@@ -1,0 +1,166 @@
+"""Config dataclasses for the whole framework (SURVEY.md §6 "Config / flag system").
+
+Every flag the reference's ``args.py`` exposes (hidden_size, drop_prob,
+batch_size, num_epochs, ema_decay, max_grad_norm, seed, metric_name, paths …)
+has an equivalent field here so experiments translate 1:1. Values follow the
+CS224N-starter lineage defaults documented in SURVEY.md §3.1 / §9.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any, Mapping, Sequence
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Architecture hyperparameters (SURVEY.md §3.1, §9).
+
+    TPU note: ``hidden_size`` defaults to 128 (MXU lane-aligned); set 100 to
+    mirror the starter default when doing parity runs against the torch
+    oracle (any value works — parity tests use odd sizes on purpose).
+    """
+
+    hidden_size: int = 128
+    emb_dim: int = 300            # GloVe dimensionality
+    img_feat_dim: int = 4096      # VGG fc-layer feature size (SURVEY §3.1)
+    audio_feat_dim: int = 40      # n_mfcc / n_mels per frame
+    num_highway_layers: int = 2
+    drop_prob: float = 0.2
+    # Decoder
+    max_decode_steps: int = 4     # K sentences selected per summary
+    mask_selected: bool = True    # mask already-picked sentences (SURVEY §8 R4)
+    # Fusion: "concat_linear_bilstm" (default, SURVEY §3.1 trimodal wiring)
+    fusion: str = "concat_linear_bilstm"
+    # Which towers are active — the five graded configs [B:6-12].
+    use_images: bool = True
+    use_audio: bool = True
+    # Compute dtype for the accelerated path; params stay fp32.
+    compute_dtype: str = "float32"
+    # Use fused Pallas kernels for attention (behind a flag, SURVEY §8 phase 6)
+    use_pallas_attention: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """Static bucket shapes (XLA hates ragged — SURVEY.md §8 ground rules)."""
+
+    max_sentences: int = 64       # T_sent bucket
+    max_words: int = 32           # W bucket (words per sentence)
+    max_keyframes: int = 64       # T_img bucket
+    max_audio_frames: int = 512   # T_aud bucket (mel/MFCC frames)
+    vocab_size: int = 50000
+    # Audio frontend (device-side preprocessing stage, SURVEY §2 L1)
+    sample_rate: int = 16000
+    n_fft: int = 512
+    hop_length: int = 160
+    win_length: int = 400
+    n_mels: int = 64
+    n_mfcc: int = 40
+    fmin: float = 0.0
+    fmax: float | None = None     # None → sample_rate / 2
+    # Image frontend
+    image_size: int = 224
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Training-loop knobs (SURVEY.md §3.1 "Train driver")."""
+
+    batch_size: int = 32
+    num_epochs: int = 30
+    lr: float = 0.5
+    optimizer: str = "adadelta"   # starter lineage default; "adam" supported
+    max_grad_norm: float = 5.0
+    ema_decay: float = 0.999
+    l2_wd: float = 0.0
+    eval_steps: int = 500
+    seed: int = 224
+    metric_name: str = "ROUGE-L"
+    maximize_metric: bool = True
+    max_checkpoints: int = 5
+    save_dir: str = "./runs"
+    name: str = "mmbidaf"
+    load_path: str | None = None
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout (SURVEY.md §3.3). DCN-aware but single-host now."""
+
+    data_axis: str = "data"
+    num_data: int = -1            # -1 → all local devices
+    dcn_axis: str = "dcn"
+    num_dcn: int = 1              # multi-host is a config change, not a rewrite
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+
+
+def _overlay(dc: Any, overrides: Mapping[str, Any]) -> Any:
+    """Return a copy of dataclass ``dc`` with ``overrides`` applied."""
+    field_names = {f.name for f in dataclasses.fields(dc)}
+    unknown = set(overrides) - field_names
+    if unknown:
+        raise ValueError(f"unknown config fields for {type(dc).__name__}: {sorted(unknown)}")
+    return dataclasses.replace(dc, **dict(overrides))
+
+
+def config_from_dict(d: Mapping[str, Any]) -> Config:
+    """Build a full Config from a (possibly partial) nested dict."""
+    cfg = Config()
+    return Config(
+        model=_overlay(cfg.model, d.get("model", {})),
+        data=_overlay(cfg.data, d.get("data", {})),
+        train=_overlay(cfg.train, d.get("train", {})),
+        mesh=_overlay(cfg.mesh, d.get("mesh", {})),
+    )
+
+
+def config_from_json(path: str) -> Config:
+    with open(path) as f:
+        return config_from_dict(json.load(f))
+
+
+def config_to_dict(cfg: Config) -> dict:
+    return dataclasses.asdict(cfg)
+
+
+def tiny_test_config(
+    hidden_size: int = 16,
+    use_images: bool = True,
+    use_audio: bool = True,
+) -> Config:
+    """A small config for unit tests / smoke runs (odd sizes stress masking)."""
+    return Config(
+        model=ModelConfig(
+            hidden_size=hidden_size,
+            emb_dim=24,
+            img_feat_dim=20,
+            audio_feat_dim=12,
+            drop_prob=0.0,
+            max_decode_steps=3,
+            use_images=use_images,
+            use_audio=use_audio,
+        ),
+        data=DataConfig(
+            max_sentences=7,
+            max_words=9,
+            max_keyframes=6,
+            max_audio_frames=11,
+            vocab_size=97,
+            n_fft=64,
+            hop_length=16,
+            win_length=48,
+            n_mels=12,
+            n_mfcc=8,
+            image_size=32,
+        ),
+        train=TrainConfig(batch_size=4, eval_steps=5),
+    )

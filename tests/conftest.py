@@ -1,0 +1,47 @@
+"""Test harness setup: force an 8-device CPU JAX backend (SURVEY.md §5 item 3).
+
+The image's sitecustomize eagerly registers + initializes the experimental
+``axon`` TPU PJRT backend at interpreter startup, so env vars alone are too
+late by the time conftest runs. Instead we clear the initialized backends and
+re-point JAX at a CPU platform faked to 8 devices — the v5e-8 stand-in for
+multi-chip tests (the local machine has exactly 1 real TPU chip).
+"""
+
+import os
+
+_DEVCOUNT_FLAG = "--xla_force_host_platform_device_count=8"
+
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (xla_flags + " " + _DEVCOUNT_FLAG).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+# Backends are initialized lazily at the first jax API call; pointing the
+# config at cpu *before* that first call makes the CPU client pick up the
+# forced 8-device XLA flag. The clear path below is a best-effort fallback
+# in case something initialized a backend before conftest ran.
+jax.config.update("jax_platforms", "cpu")
+if jax.default_backend() != "cpu":
+    from jax._src import xla_bridge
+
+    xla_bridge._clear_backends()
+    xla_bridge.get_backend.cache_clear()
+
+assert jax.default_backend() == "cpu", "tests must run on the CPU backend"
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(224)
+
+
+@pytest.fixture(scope="session")
+def eight_device_mesh():
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    return jax.make_mesh((8,), ("data",))
