@@ -87,3 +87,56 @@ def port_embedding(sd: Mapping[str, np.ndarray], prefix: str) -> dict:
         "proj_w": port_linear(sd, _key(prefix, "proj"), bias=False)["w"],
         "highway": port_highway(sd, _key(prefix, "hwy")),
     }
+
+
+def port_lstm_cell(sd: Mapping[str, np.ndarray], prefix: str) -> dict:
+    """``nn.LSTMCell`` → our ``{w_x, w_h, b}`` layout (same i,f,g,o order)."""
+    b = np.asarray(sd[_key(prefix, "bias_ih")]) + np.asarray(sd[_key(prefix, "bias_hh")])
+    return {
+        "w_x": jnp.asarray(np.asarray(sd[_key(prefix, "weight_ih")]).T),
+        "w_h": jnp.asarray(np.asarray(sd[_key(prefix, "weight_hh")]).T),
+        "b": jnp.asarray(b),
+    }
+
+
+def port_decoder(sd: Mapping[str, np.ndarray], prefix: str) -> dict:
+    """``SentencePointerDecoder`` oracle → our decoder params."""
+    return {
+        "lstm": port_lstm_cell(sd, _key(prefix, "cell")),
+        "w_m": jnp.asarray(np.asarray(sd[_key(prefix, "w_m")])),
+        "w_d": jnp.asarray(np.asarray(sd[_key(prefix, "w_d")])),
+        "v": jnp.asarray(np.asarray(sd[_key(prefix, "v")])),
+        "start": jnp.asarray(np.asarray(sd[_key(prefix, "start")])),
+    }
+
+
+def port_mmbidaf(
+    sd: Mapping[str, np.ndarray],
+    use_images: bool = True,
+    use_audio: bool = True,
+) -> dict:
+    """Full reference ``MMBiDAF`` state_dict → our model params pytree.
+
+    This is the checkpoint-import path of SURVEY.md §4.5 — given a trained
+    reference checkpoint (torch ``state_dict`` exported to numpy), produces a
+    params pytree whose jitted forward reproduces the torch forward.
+    """
+    params = {
+        "embedding": port_embedding(sd, "emb"),
+        "word_lstm": port_bilstm(sd, "word_enc.rnn"),
+        "sent_lstm": port_bilstm(sd, "sent_enc.rnn"),
+        "decoder": port_decoder(sd, "decoder"),
+    }
+    if use_images:
+        params["img_lstm"] = port_bilstm(sd, "img_enc.rnn")
+        params["att_img"] = port_bidaf_attention(sd, "att_img")
+    if use_audio:
+        params["aud_lstm"] = port_bilstm(sd, "aud_enc.rnn")
+        params["att_aud"] = port_bidaf_attention(sd, "att_aud")
+    if not use_images and not use_audio:
+        params["att_self"] = port_bidaf_attention(sd, "att_self")
+    fuse = port_linear(sd, "fuse")
+    params["fuse_w"] = fuse["w"]
+    params["fuse_b"] = fuse["b"]
+    params["model_lstm"] = port_bilstm(sd, "model_enc.rnn")
+    return params

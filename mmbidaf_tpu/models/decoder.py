@@ -1,0 +1,90 @@
+"""Sentence-pointer LSTM decoder (SURVEY.md §3.1 "Pointer decoder", §8 R4).
+
+Design (the exact reference decoder internals are [K-med]; these choices are
+documented here and mirrored bit-for-bit by the torch oracle so the parity
+contract still holds):
+
+- LSTM decoder with hidden size 2h; its input at step k is the fused sentence
+  representation ``M[b, idx_{k-1}]`` of the previously selected sentence
+  (a learned ``start`` vector at k=0); initial state zeros.
+- Pointer scores via additive (Bahdanau) attention:
+  ``e_k = v · tanh(M W_m + h_k W_d)`` → logits over T_s.
+- Already-selected sentences are masked out when
+  ``mask_selected=True`` (config flag, SURVEY §8 R4).
+- Teacher forcing (train) vs argmax feedback (infer) is a *static* switch on
+  one ``lax.scan`` — no Python control flow inside jit.
+
+Returns per-step log-probabilities ``[B, K, T_s]`` (log-softmax, so NLL is a
+gather) and the argmax selections ``[B, K]``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from mmbidaf_tpu.ops.lstm import lstm_cell, lstm_init
+from mmbidaf_tpu.ops.masked import mask_logits
+
+
+def decoder_init(key: jax.Array, m_dim: int, attn_dim: int, dtype=jnp.float32) -> dict:
+    """``m_dim`` = fused sentence rep size (decoder hidden = m_dim)."""
+    k_lstm, k_m, k_d, k_v, k_s = jax.random.split(key, 5)
+    bound_m = 1.0 / jnp.sqrt(m_dim)
+    bound_a = 1.0 / jnp.sqrt(attn_dim)
+    return {
+        "lstm": lstm_init(k_lstm, m_dim, m_dim, dtype),
+        "w_m": jax.random.uniform(k_m, (m_dim, attn_dim), dtype, -bound_m, bound_m),
+        "w_d": jax.random.uniform(k_d, (m_dim, attn_dim), dtype, -bound_m, bound_m),
+        "v": jax.random.uniform(k_v, (attn_dim,), dtype, -bound_a, bound_a),
+        "start": jax.random.uniform(k_s, (m_dim,), dtype, -bound_m, bound_m),
+    }
+
+
+@partial(jax.jit, static_argnames=("num_steps", "teacher_forcing", "mask_selected"))
+def decoder_apply(
+    params: dict,
+    M: jax.Array,
+    sent_mask: jax.Array,
+    targets: jax.Array | None = None,
+    num_steps: int = 4,
+    teacher_forcing: bool = False,
+    mask_selected: bool = True,
+) -> tuple[jax.Array, jax.Array]:
+    """Decode ``num_steps`` sentence pointers over fused reps ``M [B,T_s,d]``.
+
+    ``targets [B, K]`` (gold sentence indices) must be given when
+    ``teacher_forcing=True``. Returns ``(log_probs [B,K,T_s], picks [B,K])``.
+    """
+    B, T_s, d = M.shape
+    dtype = M.dtype
+    sent_mask = sent_mask.astype(dtype)
+
+    # Hoist the (large) key projection out of the scan: one GEMM over all
+    # sentences, reused every decode step.
+    M_keys = M @ params["w_m"]  # [B, T_s, a]
+
+    def step(carry, k):
+        h, c, inp, selected = carry
+        h, c = lstm_cell(
+            inp @ params["lstm"]["w_x"] + params["lstm"]["b"], h, c, params["lstm"]["w_h"]
+        )
+        scores = jnp.tanh(M_keys + (h @ params["w_d"])[:, None, :]) @ params["v"]
+        avail = sent_mask * (1.0 - selected) if mask_selected else sent_mask
+        log_p = jax.nn.log_softmax(mask_logits(scores, avail), axis=-1)
+        pick = jnp.argmax(log_p, axis=-1)  # [B]
+        feed_idx = targets[:, k] if teacher_forcing else pick
+        inp_next = jnp.take_along_axis(M, feed_idx[:, None, None], axis=1)[:, 0, :]
+        selected = selected.at[jnp.arange(B), feed_idx].set(1.0) if mask_selected else selected
+        return (h, c, inp_next, selected), (log_p, pick)
+
+    init = (
+        jnp.zeros((B, d), dtype),
+        jnp.zeros((B, d), dtype),
+        jnp.broadcast_to(params["start"], (B, d)),
+        jnp.zeros((B, T_s), dtype),
+    )
+    _, (log_probs, picks) = jax.lax.scan(step, init, jnp.arange(num_steps))
+    return jnp.swapaxes(log_probs, 0, 1), jnp.swapaxes(picks, 0, 1)

@@ -1,0 +1,178 @@
+"""Full MMBiDAF model assembly (SURVEY.md §3.1 "Trimodal wiring", §4.4).
+
+Pipeline (trimodal; towers drop out per config — the five graded configs
+[B:6-12]):
+
+    text_ids [B, T_s, W]  ─ GloVe+highway ─ word BiLSTM ─ final-state pool ─┐
+                                                                            ├─ sentence BiLSTM → text_enc [B, T_s, 2h]
+    imgs [B, T_i, D_v]    ─ img BiLSTM → img_enc [B, T_i, 2h]               │
+    audio [B, T_a, D_a]   ─ aud BiLSTM → aud_enc [B, T_a, 2h]               │
+                                                                            ▼
+    G_ti = BiDAF(text_enc, img_enc)   [B, T_s, 8h]
+    G_ta = BiDAF(text_enc, aud_enc)   [B, T_s, 8h]
+    (text-only: G_tt = BiDAF(text_enc, text_enc) self-attention)
+    fuse: concat(G_*) → linear → relu → modeling BiLSTM → M [B, T_s, 2h]
+    pointer decoder over M → log-probs [B, K, T_s]
+
+Exact fusion op and sentence pooling are [K-med] in the reference; the
+choices here (concat+linear+modeling-BiLSTM; final-state pooling) are
+documented in SURVEY §3.1 and mirrored exactly by the torch parity oracle.
+
+Everything is a pure function over a params pytree: ``mmbidaf_init(rng, cfg,
+word_vectors) → params``; ``mmbidaf_apply(params, batch, cfg) → log_probs``.
+Sharding is applied by the caller (batch-axis NamedSharding, SURVEY §3.3).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+import jax
+import jax.numpy as jnp
+
+from mmbidaf_tpu.config import Config
+from mmbidaf_tpu.models.decoder import decoder_apply, decoder_init
+from mmbidaf_tpu.models.embedding import embedding_apply, embedding_init
+from mmbidaf_tpu.ops.bidaf import bidaf_apply, bidaf_init
+from mmbidaf_tpu.ops.lstm import bilstm_apply, bilstm_init
+
+
+def mmbidaf_init(key: jax.Array, cfg: Config, word_vectors: jax.Array) -> dict:
+    m = cfg.model
+    h = m.hidden_size
+    keys = jax.random.split(key, 10)
+    params: dict[str, Any] = {
+        "embedding": embedding_init(keys[0], word_vectors, h, m.num_highway_layers),
+        "word_lstm": bilstm_init(keys[1], h, h),
+        "sent_lstm": bilstm_init(keys[2], 2 * h, h),
+        "decoder": decoder_init(keys[9], 2 * h, 2 * h),
+    }
+    num_g = 0
+    if m.use_images:
+        params["img_lstm"] = bilstm_init(keys[3], m.img_feat_dim, h)
+        params["att_img"] = bidaf_init(keys[4], 2 * h)
+        num_g += 1
+    if m.use_audio:
+        params["aud_lstm"] = bilstm_init(keys[5], m.audio_feat_dim, h)
+        params["att_aud"] = bidaf_init(keys[6], 2 * h)
+        num_g += 1
+    if num_g == 0:  # text-only: sentence self-attention
+        params["att_self"] = bidaf_init(keys[4], 2 * h)
+        num_g = 1
+    fuse_in = num_g * 8 * h
+    bound = 1.0 / jnp.sqrt(fuse_in)
+    params["fuse_w"] = jax.random.uniform(keys[7], (fuse_in, 2 * h), jnp.float32, -bound, bound)
+    params["fuse_b"] = jnp.zeros((2 * h,), jnp.float32)
+    params["model_lstm"] = bilstm_init(keys[8], 2 * h, h)
+    return params
+
+
+def encode_text(
+    params: dict,
+    text_ids: jax.Array,
+    word_mask: jax.Array,
+    sent_mask: jax.Array,
+    drop_prob: float = 0.0,
+    rng: jax.Array | None = None,
+) -> jax.Array:
+    """Hierarchical text tower → sentence encodings ``[B, T_s, 2h]``.
+
+    Word-level BiLSTM runs over ``[B*T_s, W]`` (one big batched scan — much
+    better MXU utilization than per-sentence loops), pooled by final states.
+    """
+    B, T_s, W = text_ids.shape
+    emb = embedding_apply(params["embedding"], text_ids, drop_prob, rng)  # [B,T_s,W,h]
+    h = emb.shape[-1]
+    flat = emb.reshape(B * T_s, W, h)
+    flat_mask = word_mask.reshape(B * T_s, W)
+    # Empty (fully padded) sentences would make every step masked; the scan
+    # then returns the zero init state, which is what we want for pads.
+    _, (h_n, _) = bilstm_apply(params["word_lstm"], flat, flat_mask)  # [B*T_s, 2h]
+    sent_vecs = h_n.reshape(B, T_s, 2 * h)
+    out, _ = bilstm_apply(params["sent_lstm"], sent_vecs, sent_mask)
+    return out
+
+
+def fuse_and_model(params: dict, gs: list[jax.Array], sent_mask: jax.Array) -> jax.Array:
+    g = jnp.concatenate(gs, axis=-1) if len(gs) > 1 else gs[0]
+    fused = jax.nn.relu(g @ params["fuse_w"] + params["fuse_b"])
+    M, _ = bilstm_apply(params["model_lstm"], fused, sent_mask)
+    return M
+
+
+def mmbidaf_fused_reps(
+    params: dict,
+    batch: Mapping[str, jax.Array],
+    cfg: Config,
+    rng: jax.Array | None = None,
+) -> jax.Array:
+    """Everything up to (and including) the fused sentence reps ``M``."""
+    m = cfg.model
+    drop = m.drop_prob if rng is not None else 0.0
+    rngs = jax.random.split(rng, 4) if rng is not None else [None] * 4
+
+    text_enc = encode_text(
+        params, batch["text_ids"], batch["word_mask"], batch["sent_mask"], drop, rngs[0]
+    )
+    sent_mask = batch["sent_mask"]
+
+    gs = []
+    if m.use_images:
+        img_enc, _ = bilstm_apply(params["img_lstm"], batch["images"], batch["img_mask"])
+        gs.append(
+            bidaf_apply(
+                params["att_img"], text_enc, img_enc, sent_mask, batch["img_mask"], drop, rngs[1]
+            )
+        )
+    if m.use_audio:
+        aud_enc, _ = bilstm_apply(params["aud_lstm"], batch["audio"], batch["aud_mask"])
+        gs.append(
+            bidaf_apply(
+                params["att_aud"], text_enc, aud_enc, sent_mask, batch["aud_mask"], drop, rngs[2]
+            )
+        )
+    if not gs:
+        gs.append(
+            bidaf_apply(
+                params["att_self"], text_enc, text_enc, sent_mask, sent_mask, drop, rngs[3]
+            )
+        )
+    return fuse_and_model(params, gs, sent_mask)
+
+
+def mmbidaf_apply(
+    params: dict,
+    batch: Mapping[str, jax.Array],
+    cfg: Config,
+    rng: jax.Array | None = None,
+) -> jax.Array:
+    """Training forward (teacher forcing) → log-probs ``[B, K, T_s]``."""
+    M = mmbidaf_fused_reps(params, batch, cfg, rng)
+    log_p, _ = decoder_apply(
+        params["decoder"],
+        M,
+        batch["sent_mask"],
+        targets=batch["targets"],
+        num_steps=cfg.model.max_decode_steps,
+        teacher_forcing=True,
+        mask_selected=cfg.model.mask_selected,
+    )
+    return log_p
+
+
+def mmbidaf_decode(
+    params: dict,
+    batch: Mapping[str, jax.Array],
+    cfg: Config,
+) -> tuple[jax.Array, jax.Array]:
+    """Greedy inference → ``(log_probs [B,K,T_s], picks [B,K])``."""
+    M = mmbidaf_fused_reps(params, batch, cfg, rng=None)
+    return decoder_apply(
+        params["decoder"],
+        M,
+        batch["sent_mask"],
+        targets=None,
+        num_steps=cfg.model.max_decode_steps,
+        teacher_forcing=False,
+        mask_selected=cfg.model.mask_selected,
+    )

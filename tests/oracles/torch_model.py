@@ -124,3 +124,115 @@ class BiDAFAttention(nn.Module):
         a = torch.bmm(s1, q)
         b = torch.bmm(torch.bmm(s1, s2.transpose(1, 2)), c)
         return torch.cat([c, a, c * a, c * b], dim=2)
+
+
+class SentencePointerDecoder(nn.Module):
+    """Mirror of mmbidaf_tpu.models.decoder (additive-attention pointer LSTM)."""
+
+    def __init__(self, m_dim, attn_dim):
+        super().__init__()
+        self.cell = nn.LSTMCell(m_dim, m_dim)
+        self.w_m = nn.Parameter(torch.empty(m_dim, attn_dim).uniform_(-m_dim**-0.5, m_dim**-0.5))
+        self.w_d = nn.Parameter(torch.empty(m_dim, attn_dim).uniform_(-m_dim**-0.5, m_dim**-0.5))
+        self.v = nn.Parameter(torch.empty(attn_dim).uniform_(-attn_dim**-0.5, attn_dim**-0.5))
+        self.start = nn.Parameter(torch.empty(m_dim).uniform_(-m_dim**-0.5, m_dim**-0.5))
+
+    def forward(self, M, sent_mask, targets=None, num_steps=4, mask_selected=True):
+        B, T_s, d = M.shape
+        h = torch.zeros(B, d)
+        c = torch.zeros(B, d)
+        inp = self.start.expand(B, d)
+        selected = torch.zeros(B, T_s)
+        M_keys = M @ self.w_m
+        log_ps, picks = [], []
+        for k in range(num_steps):
+            h, c = self.cell(inp, (h, c))
+            scores = torch.tanh(M_keys + (h @ self.w_d).unsqueeze(1)) @ self.v
+            avail = sent_mask * (1 - selected) if mask_selected else sent_mask
+            masked = avail * scores + (1 - avail) * -1e30
+            log_p = F.log_softmax(masked, dim=-1)
+            pick = log_p.argmax(dim=-1)
+            feed = targets[:, k] if targets is not None else pick
+            inp = M[torch.arange(B), feed]
+            if mask_selected:
+                selected = selected.scatter(1, feed.unsqueeze(1), 1.0)
+            log_ps.append(log_p)
+            picks.append(pick)
+        return torch.stack(log_ps, dim=1), torch.stack(picks, dim=1)
+
+
+def _encode_varlen(encoder, x, mask):
+    """RNNEncoder over sequences that may be fully padded (length 0).
+
+    pack_padded_sequence rejects zero lengths, so they are clamped to 1 and
+    the resulting final states zeroed — matching the JAX scan, whose carried
+    state stays at the zero init when every step is masked.
+    """
+    lengths = mask.sum(dim=1).long()
+    clamped = lengths.clamp(min=1)
+    out, (h_n, c_n) = encoder(x, clamped)
+    nonempty = (lengths > 0).float().unsqueeze(1)
+    out = out * mask.unsqueeze(2)
+    return out, (h_n * nonempty, c_n * nonempty)
+
+
+class MMBiDAF(nn.Module):
+    """Full trimodal model mirroring mmbidaf_tpu.models.mmbidaf semantics."""
+
+    def __init__(self, word_vectors, hidden_size, img_feat_dim=None, audio_feat_dim=None,
+                 drop_prob=0.0, num_decode_steps=4, mask_selected=True):
+        super().__init__()
+        h = hidden_size
+        self.num_decode_steps = num_decode_steps
+        self.mask_selected = mask_selected
+        self.emb = Embedding(word_vectors, h, drop_prob)
+        self.word_enc = RNNEncoder(h, h)
+        self.sent_enc = RNNEncoder(2 * h, h)
+        num_g = 0
+        if img_feat_dim is not None:
+            self.img_enc = RNNEncoder(img_feat_dim, h)
+            self.att_img = BiDAFAttention(2 * h, drop_prob)
+            num_g += 1
+        else:
+            self.img_enc = None
+        if audio_feat_dim is not None:
+            self.aud_enc = RNNEncoder(audio_feat_dim, h)
+            self.att_aud = BiDAFAttention(2 * h, drop_prob)
+            num_g += 1
+        else:
+            self.aud_enc = None
+        if num_g == 0:
+            self.att_self = BiDAFAttention(2 * h, drop_prob)
+            num_g = 1
+        self.fuse = nn.Linear(num_g * 8 * h, 2 * h)
+        self.model_enc = RNNEncoder(2 * h, h)
+        self.decoder = SentencePointerDecoder(2 * h, 2 * h)
+
+    def fused_reps(self, text_ids, word_mask, sent_mask, images=None, img_mask=None,
+                   audio=None, aud_mask=None):
+        B, T_s, W = text_ids.shape
+        emb = self.emb(text_ids)                     # [B, T_s, W, h]
+        h2 = emb.size(-1)
+        flat = emb.view(B * T_s, W, h2)
+        flat_mask = word_mask.view(B * T_s, W)
+        _, (h_n, _) = _encode_varlen(self.word_enc, flat, flat_mask)
+        sent_vecs = h_n.view(B, T_s, -1)
+        text_enc, _ = _encode_varlen(self.sent_enc, sent_vecs, sent_mask)
+        gs = []
+        if self.img_enc is not None:
+            img_enc, _ = _encode_varlen(self.img_enc, images, img_mask)
+            gs.append(self.att_img(text_enc, img_enc, sent_mask, img_mask))
+        if self.aud_enc is not None:
+            aud_enc, _ = _encode_varlen(self.aud_enc, audio, aud_mask)
+            gs.append(self.att_aud(text_enc, aud_enc, sent_mask, aud_mask))
+        if not gs:
+            gs.append(self.att_self(text_enc, text_enc, sent_mask, sent_mask))
+        g = torch.cat(gs, dim=-1) if len(gs) > 1 else gs[0]
+        fused = F.relu(self.fuse(g))
+        M, _ = _encode_varlen(self.model_enc, fused, sent_mask)
+        return M
+
+    def forward(self, text_ids, word_mask, sent_mask, targets=None, images=None,
+                img_mask=None, audio=None, aud_mask=None):
+        M = self.fused_reps(text_ids, word_mask, sent_mask, images, img_mask, audio, aud_mask)
+        return self.decoder(M, sent_mask, targets, self.num_decode_steps, self.mask_selected)

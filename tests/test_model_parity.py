@@ -1,0 +1,102 @@
+"""End-to-end model parity: torch oracle MMBiDAF vs jitted JAX forward.
+
+This is the checkpoint-parity contract (SURVEY.md §1 / BASELINE.md row 4):
+given the same weights (ported via ``port_mmbidaf``), the JAX forward must
+reproduce the torch forward to fp32 tolerance — including ragged masks,
+teacher forcing, greedy decode, and all tower subsets.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from mmbidaf_tpu.config import tiny_test_config
+from mmbidaf_tpu.data.synthetic import random_word_vectors, synthetic_batch
+from mmbidaf_tpu.interop.torch_port import port_mmbidaf
+from mmbidaf_tpu.models.mmbidaf import mmbidaf_apply, mmbidaf_decode
+from tests.oracles import torch_model as oracle
+
+ATOL = 5e-5
+
+
+def _build_pair(use_images, use_audio, seed=0):
+    cfg = tiny_test_config(use_images=use_images, use_audio=use_audio)
+    rng = np.random.default_rng(seed)
+    wv = random_word_vectors(rng, cfg.data.vocab_size, cfg.model.emb_dim)
+    torch.manual_seed(seed)
+    tm = oracle.MMBiDAF(
+        torch.from_numpy(wv),
+        cfg.model.hidden_size,
+        img_feat_dim=cfg.model.img_feat_dim if use_images else None,
+        audio_feat_dim=cfg.model.audio_feat_dim if use_audio else None,
+        num_decode_steps=cfg.model.max_decode_steps,
+        mask_selected=cfg.model.mask_selected,
+    ).eval()
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    params = port_mmbidaf(sd, use_images=use_images, use_audio=use_audio)
+    batch = synthetic_batch(rng, cfg, batch_size=3)
+    return cfg, tm, params, batch
+
+
+def _torch_inputs(batch, use_images, use_audio, with_targets):
+    kw = dict(
+        text_ids=torch.from_numpy(batch["text_ids"]).long(),
+        word_mask=torch.from_numpy(batch["word_mask"]),
+        sent_mask=torch.from_numpy(batch["sent_mask"]),
+    )
+    if with_targets:
+        kw["targets"] = torch.from_numpy(batch["targets"]).long()
+    if use_images:
+        kw["images"] = torch.from_numpy(batch["images"])
+        kw["img_mask"] = torch.from_numpy(batch["img_mask"])
+    if use_audio:
+        kw["audio"] = torch.from_numpy(batch["audio"])
+        kw["aud_mask"] = torch.from_numpy(batch["aud_mask"])
+    return kw
+
+
+@pytest.mark.parametrize(
+    "use_images,use_audio",
+    [(True, True), (True, False), (False, True), (False, False)],
+    ids=["trimodal", "text+image", "text+audio", "text-only"],
+)
+def test_forward_parity_teacher_forcing(use_images, use_audio):
+    cfg, tm, params, batch = _build_pair(use_images, use_audio)
+    jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    log_p = mmbidaf_apply(params, jbatch, cfg)
+    with torch.no_grad():
+        tlog_p, _ = tm(**_torch_inputs(batch, use_images, use_audio, with_targets=True))
+
+    valid = (batch["sent_mask"][:, None, :] > 0) & np.broadcast_to(
+        True, tlog_p.shape
+    )
+    ours = np.asarray(log_p)
+    theirs = tlog_p.numpy()
+    np.testing.assert_allclose(ours[valid], theirs[valid], atol=ATOL)
+
+
+def test_greedy_decode_parity():
+    cfg, tm, params, batch = _build_pair(True, True, seed=3)
+    jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+    log_p, picks = mmbidaf_decode(params, jbatch, cfg)
+    with torch.no_grad():
+        tlog_p, tpicks = tm(**_torch_inputs(batch, True, True, with_targets=False))
+    np.testing.assert_array_equal(np.asarray(picks), tpicks.numpy())
+    valid = batch["sent_mask"][:, None, :] > 0
+    valid = np.broadcast_to(valid, tlog_p.shape)
+    np.testing.assert_allclose(
+        np.asarray(log_p)[valid], tlog_p.numpy()[valid], atol=ATOL
+    )
+
+
+def test_selected_sentences_not_repicked():
+    """With mask_selected=True greedy decode never picks the same sentence twice."""
+    cfg, tm, params, batch = _build_pair(True, True, seed=7)
+    jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+    _, picks = mmbidaf_decode(params, jbatch, cfg)
+    picks = np.asarray(picks)
+    for row in picks:
+        assert len(set(row.tolist())) == len(row)
