@@ -1,0 +1,7 @@
+from mmbidaf_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh,
+    batch_sharding,
+    replicated_sharding,
+    shard_batch,
+    shard_params,
+)

@@ -1,0 +1,63 @@
+"""ICI/DCN sharding layer (SURVEY.md §3.3) — the one genuinely new layer.
+
+Primary strategy is data parallelism: the batch axis is sharded over the
+``('data',)`` mesh; params are replicated. Gradients reduce via the implicit
+``psum`` XLA inserts under jit when outputs are replicated — no hand-written
+collectives, they ride ICI.
+
+The mesh factory is DCN-aware: ``make_mesh(num_dcn=2)`` builds a 2-level
+``('dcn', 'data')`` mesh so multi-host later is a config change, not a
+rewrite (DCN axis stays size 1 on a single host / v5e-8 slice).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+import jax
+import numpy as np
+from jax.sharding import AxisType, Mesh, NamedSharding, PartitionSpec as P
+
+from mmbidaf_tpu.config import MeshConfig
+
+
+def make_mesh(cfg: MeshConfig = MeshConfig(), devices=None) -> Mesh:
+    """Build the device mesh with Auto axis types (classic GSPMD propagation:
+    XLA resolves intermediate shardings and inserts collectives itself)."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices) if cfg.num_data < 0 else cfg.num_data * max(cfg.num_dcn, 1)
+    devices = devices[:n]
+    if cfg.num_dcn > 1:
+        shape = (cfg.num_dcn, n // cfg.num_dcn)
+        return Mesh(
+            np.asarray(devices).reshape(shape),
+            (cfg.dcn_axis, cfg.data_axis),
+            axis_types=(AxisType.Auto, AxisType.Auto),
+        )
+    return Mesh(np.asarray(devices), (cfg.data_axis,), axis_types=(AxisType.Auto,))
+
+
+def _data_axes(mesh: Mesh) -> tuple[str, ...]:
+    """All mesh axes that shard the batch (dcn × data when 2-level)."""
+    return tuple(name for name in mesh.axis_names)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard dim 0 (batch) over every mesh axis; other dims replicated."""
+    return NamedSharding(mesh, P(_data_axes(mesh)))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Mapping[str, Any], mesh: Mesh) -> dict:
+    """Place every array in the batch with its dim-0 sharded over the mesh."""
+    sh = batch_sharding(mesh)
+    return {k: jax.device_put(v, sh) for k, v in batch.items()}
+
+
+def shard_params(params: Any, mesh: Mesh) -> Any:
+    """Replicate the params pytree across the mesh."""
+    sh = replicated_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), params)

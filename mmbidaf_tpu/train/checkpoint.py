@@ -1,0 +1,64 @@
+"""Orbax checkpointing: params + opt_state + step + EMA (SURVEY.md §6).
+
+Replaces the reference's ``util.CheckpointSaver`` (torch.save state_dict,
+retain best-k by metric) with orbax ``CheckpointManager``: atomic writes,
+best-k retention by a tracked metric, auto-resume-from-latest.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import orbax.checkpoint as ocp
+
+from mmbidaf_tpu.train.loop import TrainState
+
+
+def make_manager(
+    save_dir: str,
+    max_checkpoints: int = 5,
+    metric_name: str = "ROUGE-L",
+    maximize: bool = True,
+) -> ocp.CheckpointManager:
+    options = ocp.CheckpointManagerOptions(
+        max_to_keep=max_checkpoints,
+        best_fn=lambda metrics: metrics.get(metric_name, 0.0),
+        best_mode="max" if maximize else "min",
+        create=True,
+        enable_async_checkpointing=False,
+    )
+    return ocp.CheckpointManager(os.path.abspath(save_dir), options=options)
+
+
+def save(manager: ocp.CheckpointManager, state: TrainState, metrics: dict) -> None:
+    manager.save(
+        int(state.step),
+        args=ocp.args.StandardSave(
+            {
+                "step": state.step,
+                "params": state.params,
+                "opt_state": state.opt_state,
+                "ema_params": state.ema_params,
+                "rng": state.rng,
+            }
+        ),
+        metrics={k: float(v) for k, v in metrics.items()},
+    )
+    manager.wait_until_finished()
+
+
+def restore_latest(manager: ocp.CheckpointManager, template: TrainState) -> TrainState | None:
+    """Auto-resume: restore the newest checkpoint, or None if none exist."""
+    step = manager.latest_step()
+    if step is None:
+        return None
+    target = {
+        "step": template.step,
+        "params": template.params,
+        "opt_state": template.opt_state,
+        "ema_params": template.ema_params,
+        "rng": template.rng,
+    }
+    restored = manager.restore(step, args=ocp.args.StandardRestore(target))
+    return TrainState(**restored)

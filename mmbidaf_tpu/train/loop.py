@@ -1,0 +1,125 @@
+"""Jitted training step, loss, EMA (SURVEY.md §4.2 rebuild plan).
+
+The reference's eager loop (forward → backward → clip → step → EMA) becomes
+ONE donated-buffer jitted function ``train_step(state, batch) → (state,
+metrics)``; the Python loop only feeds batches and logs. The embedding table
+is frozen (GloVe, SURVEY §9) via an optax mask.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Mapping
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from mmbidaf_tpu.config import Config
+from mmbidaf_tpu.models.mmbidaf import mmbidaf_apply, mmbidaf_decode
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    step: jax.Array
+    params: Any
+    opt_state: Any
+    ema_params: Any
+    rng: jax.Array
+
+
+def nll_loss(log_probs: jax.Array, targets: jax.Array, target_mask: jax.Array) -> jax.Array:
+    """Mean per-step NLL against gold sentence indices (SURVEY §1)."""
+    gold_lp = jnp.take_along_axis(log_probs, targets[..., None], axis=-1)[..., 0]  # [B, K]
+    target_mask = target_mask.astype(log_probs.dtype)
+    return -(gold_lp * target_mask).sum() / jnp.maximum(target_mask.sum(), 1.0)
+
+
+def _frozen_mask(params: Any) -> Any:
+    """True on the GloVe table (requires_grad=False in the reference)."""
+
+    def mask_fn(path, _):
+        return len(path) >= 2 and path[-1].key == "table"
+
+    return jax.tree_util.tree_map_with_path(mask_fn, params)
+
+
+def make_optimizer(cfg: Config, params: Any) -> optax.GradientTransformation:
+    t = cfg.train
+    if t.optimizer == "adadelta":
+        opt = optax.adadelta(learning_rate=t.lr)
+    elif t.optimizer == "adam":
+        opt = optax.adam(learning_rate=t.lr)
+    else:
+        raise ValueError(f"unknown optimizer {t.optimizer!r}")
+    chain = [optax.clip_by_global_norm(t.max_grad_norm), opt]
+    if t.l2_wd > 0:
+        chain.insert(0, optax.add_decayed_weights(t.l2_wd))
+    # Zero the final updates for frozen params (GloVe table). Note
+    # optax.masked applies its inner transform where mask is True and passes
+    # everything else through UNCHANGED — so freezing must zero, not skip.
+    chain.append(optax.masked(optax.set_to_zero(), _frozen_mask(params)))
+    return optax.chain(*chain)
+
+
+def init_train_state(key: jax.Array, params: Any, cfg: Config) -> TrainState:
+    tx = make_optimizer(cfg, params)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+        ema_params=jax.tree.map(jnp.copy, params),
+        rng=key,
+    )
+
+
+def make_train_step(cfg: Config) -> Callable:
+    """Build the jitted, donated train step for config ``cfg``."""
+    decay = cfg.train.ema_decay
+    # tx is rebuilt per call-site from cfg; its state lives in TrainState.
+    tx_holder: dict = {}
+
+    def get_tx(params):
+        if "tx" not in tx_holder:
+            tx_holder["tx"] = make_optimizer(cfg, params)
+        return tx_holder["tx"]
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch: Mapping[str, jax.Array]):
+        rng, step_rng = jax.random.split(state.rng)
+
+        def loss_fn(params):
+            log_p = mmbidaf_apply(params, batch, cfg, rng=step_rng)
+            return nll_loss(log_p, batch["targets"], batch["target_mask"])
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        tx = get_tx(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        # EMA with bias correction by step (starter variant, SURVEY §9).
+        step = state.step + 1
+        d = jnp.minimum(decay, (1.0 + step) / (10.0 + step))
+        ema_params = jax.tree.map(
+            lambda e, p: d * e + (1.0 - d) * p, state.ema_params, params
+        )
+        grad_norm = optax.global_norm(grads)
+        metrics = {"loss": loss, "grad_norm": grad_norm}
+        return (
+            TrainState(step=step, params=params, opt_state=opt_state,
+                       ema_params=ema_params, rng=rng),
+            metrics,
+        )
+
+    return train_step
+
+
+def make_eval_step(cfg: Config) -> Callable:
+    @jax.jit
+    def eval_step(params: Any, batch: Mapping[str, jax.Array]):
+        log_p, picks = mmbidaf_decode(params, batch, cfg)
+        loss = nll_loss(log_p, batch["targets"], batch["target_mask"])
+        return {"loss": loss, "picks": picks}
+
+    return eval_step

@@ -1,0 +1,66 @@
+"""Metrics utilities: running means, JSONL logging, ROUGE evaluation.
+
+Replaces the reference's ``AverageMeter`` + tensorboard scalars (SURVEY.md
+§6) with the same scalar names, logged as JSONL (tensorboard optional).
+ROUGE stays host-side, as in the reference eval path (SURVEY §4.3).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from typing import IO, Mapping
+
+
+class AverageMeter:
+    """Running mean, same contract as the reference's util.AverageMeter."""
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self.avg = 0.0
+        self.sum = 0.0
+        self.count = 0
+
+    def update(self, val: float, num_samples: int = 1):
+        self.count += num_samples
+        self.sum += val * num_samples
+        self.avg = self.sum / self.count
+
+
+class JsonlLogger:
+    def __init__(self, path: str):
+        self._f: IO = open(path, "a")
+
+    def log(self, step: int, scalars: Mapping[str, float]) -> None:
+        rec = {"step": step, "time": time.time()}
+        rec.update({k: float(v) for k, v in scalars.items()})
+        self._f.write(json.dumps(rec) + "\n")
+        self._f.flush()
+
+    def close(self):
+        self._f.close()
+
+
+def rouge_scores(summary: str, reference: str) -> dict[str, float]:
+    """ROUGE-1/2/L F-measure via rouge_score (host-side, like the reference)."""
+    from rouge_score import rouge_scorer
+
+    scorer = rouge_scorer.RougeScorer(["rouge1", "rouge2", "rougeL"], use_stemmer=True)
+    s = scorer.score(reference, summary)
+    return {
+        "ROUGE-1": s["rouge1"].fmeasure,
+        "ROUGE-2": s["rouge2"].fmeasure,
+        "ROUGE-L": s["rougeL"].fmeasure,
+    }
+
+
+def summary_from_picks(picks, sentences: list[str]) -> str:
+    """Assemble the extractive summary: ordered selected-sentence subset."""
+    seen = []
+    for i in picks:
+        i = int(i)
+        if 0 <= i < len(sentences) and i not in seen:
+            seen.append(i)
+    return " ".join(sentences[i] for i in sorted(seen))

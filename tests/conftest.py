@@ -44,4 +44,6 @@ def rng():
 def eight_device_mesh():
     if jax.device_count() < 8:
         pytest.skip("needs 8 virtual devices")
-    return jax.make_mesh((8,), ("data",))
+    from mmbidaf_tpu.parallel import make_mesh
+
+    return make_mesh()
