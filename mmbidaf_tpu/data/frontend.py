@@ -1,0 +1,84 @@
+"""Raw-inputs → model-features device-side preprocessing (SURVEY.md §4.1).
+
+The reference does all of this offline on the host (ffmpeg/OpenCV frames,
+librosa MFCC, GloVe lookups → .npy artifacts). Here the whole stack —
+keyframe resize + VGG forward, waveform framing + matmul-DFT MFCC — is one
+jittable stage that composes with the model into a single compiled
+raw-video→summary program [B:5]. Only container decode (mp4 → RGB frames /
+PCM) stays host-side, by necessity.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Mapping
+
+import jax
+import jax.numpy as jnp
+
+from mmbidaf_tpu.config import Config
+from mmbidaf_tpu.ops import audio as audio_ops
+from mmbidaf_tpu.ops import vgg as vgg_ops
+
+
+def frontend_init(key: jax.Array, cfg: Config, vgg_spec=vgg_ops.VGG16_SPEC) -> dict:
+    """Frontend params: VGG weights (portable from torchvision) + audio consts."""
+    d = cfg.data
+    params = {
+        "audio_consts": audio_ops.make_audio_frontend_consts(
+            d.sample_rate, d.n_fft, d.win_length, d.n_mels, d.n_mfcc, d.fmin, d.fmax
+        ),
+    }
+    if cfg.model.use_images:
+        params["vgg"] = vgg_ops.vgg_init(
+            key, vgg_spec, image_size=d.image_size, fc_dim=cfg.model.img_feat_dim
+        )
+    return params
+
+
+def apply_frontend(
+    fe_params: dict,
+    raw: Mapping[str, jax.Array],
+    cfg: Config,
+    vgg_spec=vgg_ops.VGG16_SPEC,
+) -> dict:
+    """Raw batch → model-ready feature batch (jittable).
+
+    Raw batch schema:
+      frames   [B, T_i, H, W, 3] uint8   raw keyframes
+      waveform [B, N] float32            raw audio (padded)
+      text_ids/word_mask/sent_mask/img_mask/aud_mask: as in the model batch
+    """
+    d = cfg.data
+    out = {k: raw[k] for k in ("text_ids", "word_mask", "sent_mask") if k in raw}
+    if cfg.model.use_images and "frames" in raw:
+        B, T_i = raw["frames"].shape[:2]
+        flat = raw["frames"].reshape((B * T_i,) + raw["frames"].shape[2:])
+        imgs = vgg_ops.preprocess_frames(flat, d.image_size)
+        feats = vgg_ops.vgg_features(fe_params["vgg"], imgs, vgg_spec)
+        out["images"] = feats.reshape(B, T_i, -1) * raw["img_mask"][:, :, None]
+        out["img_mask"] = raw["img_mask"]
+    if cfg.model.use_audio and "waveform" in raw:
+        feats = audio_ops.waveform_to_features(
+            raw["waveform"],
+            fe_params["audio_consts"],
+            d.win_length,
+            d.hop_length,
+            d.max_audio_frames,
+            feature="mfcc",
+        )
+        out["audio"] = feats * raw["aud_mask"][:, :, None]
+        out["aud_mask"] = raw["aud_mask"]
+    return out
+
+
+def make_end_to_end_decode(cfg: Config, vgg_spec=vgg_ops.VGG16_SPEC):
+    """One jitted program: raw video batch → summary sentence indices."""
+    from mmbidaf_tpu.models.mmbidaf import mmbidaf_decode
+
+    @jax.jit
+    def end_to_end(params: dict, fe_params: dict, raw: Mapping[str, jax.Array]):
+        batch = apply_frontend(fe_params, raw, cfg, vgg_spec)
+        return mmbidaf_decode(params, batch, cfg)
+
+    return end_to_end

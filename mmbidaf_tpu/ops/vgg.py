@@ -1,0 +1,144 @@
+"""VGG-style keyframe featurizer in JAX (SURVEY.md §3.2 row 4).
+
+The reference featurizes keyframes with a pretrained torchvision VGG-16
+(fc-layer 4096-d features). Here the conv stack is XLA convs
+(``lax.conv_general_dilated``) with a spec-driven architecture:
+``VGG16_SPEC`` reproduces torchvision's ``vgg16().features`` layout (so
+pretrained torchvision weights port 1:1 via ``port_vgg``), and small specs
+serve tests. Features are taken at the classifier's fc2 (4096-d after ReLU),
+the standard VGG feature layer.
+
+TPU notes: NHWC layout (TPU-preferred), convs run on the MXU; the whole
+forward is jittable and batched over all keyframes of all videos at once
+(``[B*T_img, H, W, 3]``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Mapping, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# torchvision vgg16 config "D": numbers = out-channels of 3x3 convs, "M" = maxpool.
+VGG16_SPEC: tuple = (64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+                     512, 512, 512, "M", 512, 512, 512, "M")
+# Tiny spec for unit tests (2 blocks).
+TINY_SPEC: tuple = (8, "M", 16, "M")
+
+# ImageNet normalization (torchvision transforms convention).
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def vgg_init(
+    key: jax.Array,
+    spec: Sequence = VGG16_SPEC,
+    image_size: int = 224,
+    fc_dim: int = 4096,
+    in_channels: int = 3,
+    dtype=jnp.float32,
+) -> dict:
+    """Initialize conv stack + fc1/fc2 params (He-normal convs)."""
+    convs = []
+    c_in = in_channels
+    size = image_size
+    for item in spec:
+        if item == "M":
+            size //= 2
+            continue
+        key, k = jax.random.split(key)
+        fan_in = 3 * 3 * c_in
+        w = jax.random.normal(k, (3, 3, c_in, item), dtype) * jnp.sqrt(2.0 / fan_in)
+        convs.append({"w": w, "b": jnp.zeros((item,), dtype)})
+        c_in = item
+    flat = size * size * c_in
+    key, k1, k2 = jax.random.split(key, 3)
+    bound1 = 1.0 / np.sqrt(flat)
+    bound2 = 1.0 / np.sqrt(fc_dim)
+    return {
+        "convs": convs,
+        "fc1_w": jax.random.uniform(k1, (flat, fc_dim), dtype, -bound1, bound1),
+        "fc1_b": jnp.zeros((fc_dim,), dtype),
+        "fc2_w": jax.random.uniform(k2, (fc_dim, fc_dim), dtype, -bound2, bound2),
+        "fc2_b": jnp.zeros((fc_dim,), dtype),
+    }
+
+
+def _conv(x: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
+    out = jax.lax.conv_general_dilated(
+        x, w,
+        window_strides=(1, 1),
+        padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return out + b
+
+
+def _maxpool2(x: jax.Array) -> jax.Array:
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+    )
+
+
+@partial(jax.jit, static_argnames=("spec",))
+def vgg_features(params: dict, images: jax.Array, spec: Sequence = VGG16_SPEC) -> jax.Array:
+    """``[N, H, W, 3] float images → [N, fc_dim]`` fc2-ReLU features.
+
+    The flatten before fc1 uses torch's NCHW element order so ported
+    torchvision classifier weights line up.
+    """
+    x = images
+    ci = 0
+    for item in spec:
+        if item == "M":
+            x = _maxpool2(x)
+        else:
+            x = jax.nn.relu(_conv(x, params["convs"][ci]["w"], params["convs"][ci]["b"]))
+            ci += 1
+    # NHWC → NCHW flatten order for torch classifier-weight compatibility.
+    n = x.shape[0]
+    x = jnp.transpose(x, (0, 3, 1, 2)).reshape(n, -1)
+    x = jax.nn.relu(x @ params["fc1_w"] + params["fc1_b"])
+    x = jax.nn.relu(x @ params["fc2_w"] + params["fc2_b"])
+    return x
+
+
+def preprocess_frames(frames_uint8: jax.Array, image_size: int) -> jax.Array:
+    """Raw ``[N, H, W, 3] uint8`` frames → normalized ``[N, S, S, 3]`` floats.
+
+    Device-side resize (jax.image.resize, bilinear) + ImageNet normalization —
+    the reference's host-side OpenCV/PIL resize moved into the jitted graph
+    [B:5 "keyframe resize … in JAX"].
+    """
+    x = frames_uint8.astype(jnp.float32) / 255.0
+    n = x.shape[0]
+    x = jax.image.resize(x, (n, image_size, image_size, 3), method="bilinear")
+    return (x - IMAGENET_MEAN) / IMAGENET_STD
+
+
+def port_vgg(sd: Mapping[str, np.ndarray], spec: Sequence = VGG16_SPEC) -> dict:
+    """torchvision ``vgg16`` state_dict (numpy) → our params.
+
+    torchvision layout: ``features.{i}.weight`` OIHW convs at the indices
+    implied by the spec (conv,relu pairs + pools), ``classifier.0/3`` fc1/fc2.
+    """
+    convs = []
+    idx = 0
+    for item in spec:
+        if item == "M":
+            idx += 1
+            continue
+        w = np.asarray(sd[f"features.{idx}.weight"])  # [O, I, kh, kw]
+        b = np.asarray(sd[f"features.{idx}.bias"])
+        convs.append({"w": jnp.asarray(w.transpose(2, 3, 1, 0)), "b": jnp.asarray(b)})
+        idx += 2  # conv + relu
+    return {
+        "convs": convs,
+        "fc1_w": jnp.asarray(np.asarray(sd["classifier.0.weight"]).T),
+        "fc1_b": jnp.asarray(np.asarray(sd["classifier.0.bias"])),
+        "fc2_w": jnp.asarray(np.asarray(sd["classifier.3.weight"]).T),
+        "fc2_b": jnp.asarray(np.asarray(sd["classifier.3.bias"])),
+    }

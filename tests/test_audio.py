@@ -1,0 +1,84 @@
+"""Audio frontend tests (SURVEY.md §5 item 2): matmul-DFT vs numpy.fft,
+mel filterbank invariants, DCT vs direct formula, end-to-end shapes.
+"""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from mmbidaf_tpu.ops import audio
+
+
+def test_matmul_dft_equals_numpy_rfft(rng):
+    n_fft = 128
+    x = rng.standard_normal((4, n_fft)).astype(np.float32)
+    cos_b, sin_b = audio.dft_basis(n_fft)
+    re = x @ cos_b
+    im = x @ sin_b
+    ref = np.fft.rfft(x, axis=-1)
+    np.testing.assert_allclose(re, ref.real, atol=1e-3)
+    np.testing.assert_allclose(im, ref.imag, atol=1e-3)
+
+
+def test_windowed_power_spectrum_vs_numpy(rng):
+    n_fft, win = 64, 48
+    consts = audio.make_audio_frontend_consts(16000, n_fft, win, 12, 8)
+    frames = rng.standard_normal((2, 5, win)).astype(np.float32)
+    ours = np.asarray(audio.power_spectrum(jnp.asarray(frames), consts))
+    w = audio.hann_window(win)
+    padded = np.zeros((2, 5, n_fft), np.float32)
+    padded[..., :win] = frames * w
+    ref = np.abs(np.fft.rfft(padded, axis=-1)) ** 2
+    np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-3)
+
+
+def test_mel_filterbank_invariants():
+    fb = audio.mel_filterbank(16000, 512, 40)
+    assert fb.shape == (257, 40)
+    assert (fb >= 0).all()
+    # every filter has some support and a single peak region
+    assert (fb.sum(axis=0) > 0).all()
+    # filters tile the spectrum: mid-range bins are covered
+    coverage = fb.sum(axis=1)
+    assert (coverage[10:200] > 0).all()
+
+
+def test_dct_matrix_vs_direct():
+    n = 12
+    x = np.random.default_rng(0).standard_normal((3, n)).astype(np.float64)
+    mat = audio.dct_matrix(n, n)
+    ours = x @ mat
+    # direct DCT-II ortho
+    k = np.arange(n)
+    ref = np.zeros_like(x)
+    for ki in range(n):
+        ref[:, ki] = 2 * (x * np.cos(np.pi * ki * (2 * k + 1) / (2 * n))).sum(axis=1)
+    ref[:, 0] *= np.sqrt(1 / (4 * n))
+    ref[:, 1:] *= np.sqrt(1 / (2 * n))
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_frame_signal_shapes_and_content(rng):
+    sig = np.arange(100, dtype=np.float32)[None].repeat(2, axis=0)
+    frames = np.asarray(audio.frame_signal(jnp.asarray(sig), 16, 8, 5))
+    assert frames.shape == (2, 5, 16)
+    np.testing.assert_array_equal(frames[0, 0], np.arange(16))
+    np.testing.assert_array_equal(frames[0, 2], np.arange(16, 32))
+
+
+def test_waveform_to_features_end_to_end(rng):
+    sr, n_fft, win, hop = 16000, 256, 200, 80
+    n_mels, n_mfcc, T = 24, 13, 30
+    consts = audio.make_audio_frontend_consts(sr, n_fft, win, n_mels, n_mfcc)
+    t = np.arange(T * hop + win) / sr
+    sig = np.sin(2 * np.pi * 440.0 * t).astype(np.float32)[None]
+    feats = audio.waveform_to_features(
+        jnp.asarray(sig), consts, win, hop, T, feature="mfcc"
+    )
+    assert feats.shape == (1, T, n_mfcc)
+    assert np.isfinite(np.asarray(feats)).all()
+    lm = audio.waveform_to_features(jnp.asarray(sig), consts, win, hop, T, feature="logmel")
+    assert lm.shape == (1, T, n_mels)
+    # a 440 Hz tone concentrates energy in one mel band: argmax is stable
+    band = np.asarray(lm)[0].argmax(axis=-1)
+    assert (band == band[0]).all()

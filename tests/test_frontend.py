@@ -1,0 +1,67 @@
+"""End-to-end device-side pipeline: raw frames + waveform + token ids →
+summary indices, as ONE jitted program (config 5's inference path).
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from mmbidaf_tpu.config import tiny_test_config
+from mmbidaf_tpu.data.frontend import apply_frontend, frontend_init, make_end_to_end_decode
+from mmbidaf_tpu.data.synthetic import random_word_vectors, synthetic_batch
+from mmbidaf_tpu.models.mmbidaf import mmbidaf_init
+from mmbidaf_tpu.ops.vgg import TINY_SPEC
+
+
+def _raw_batch(rng, cfg, B=2):
+    d = cfg.data
+    base = synthetic_batch(rng, cfg, batch_size=B)
+    n_samples = d.max_audio_frames * d.hop_length + d.win_length
+    return {
+        "text_ids": base["text_ids"],
+        "word_mask": base["word_mask"],
+        "sent_mask": base["sent_mask"],
+        "img_mask": base["img_mask"],
+        "aud_mask": base["aud_mask"],
+        "frames": (rng.random((B, d.max_keyframes, 24, 20, 3)) * 255).astype(np.uint8),
+        "waveform": rng.standard_normal((B, n_samples)).astype(np.float32) * 0.1,
+    }
+
+
+def test_frontend_features_shapes(rng):
+    cfg = tiny_test_config()
+    # tiny VGG must output img_feat_dim-sized features
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, img_feat_dim=32, audio_feat_dim=cfg.data.n_mfcc)
+    )
+    fe = frontend_init(jax.random.key(0), cfg, vgg_spec=TINY_SPEC)
+    raw = {k: jnp.asarray(v) for k, v in _raw_batch(rng, cfg).items()}
+    batch = apply_frontend(fe, raw, cfg, vgg_spec=TINY_SPEC)
+    d = cfg.data
+    assert batch["images"].shape == (2, d.max_keyframes, 32)
+    assert batch["audio"].shape == (2, d.max_audio_frames, d.n_mfcc)
+    assert np.isfinite(np.asarray(batch["images"])).all()
+    assert np.isfinite(np.asarray(batch["audio"])).all()
+
+
+def test_end_to_end_decode_one_program(rng):
+    import dataclasses
+
+    cfg = tiny_test_config()
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, img_feat_dim=32, audio_feat_dim=cfg.data.n_mfcc)
+    )
+    wv = random_word_vectors(rng, cfg.data.vocab_size, cfg.model.emb_dim)
+    params = mmbidaf_init(jax.random.key(1), cfg, jnp.asarray(wv))
+    fe = frontend_init(jax.random.key(2), cfg, vgg_spec=TINY_SPEC)
+    raw = {k: jnp.asarray(v) for k, v in _raw_batch(rng, cfg).items()}
+
+    end_to_end = make_end_to_end_decode(cfg, vgg_spec=TINY_SPEC)
+    log_p, picks = end_to_end(params, fe, raw)
+    assert picks.shape == (2, cfg.model.max_decode_steps)
+    # picks are valid sentence indices
+    n_valid = np.asarray(raw["sent_mask"]).sum(axis=1)
+    assert (np.asarray(picks) < n_valid[:, None]).all()

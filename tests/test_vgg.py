@@ -1,0 +1,83 @@
+"""VGG tower parity vs a torch model with torchvision's state_dict layout
+(torchvision itself is not installed — SURVEY.md §0/§5 — so the oracle is a
+torch.nn stack with identical keys; the port path is what's under test).
+"""
+
+import numpy as np
+import torch
+import torch.nn as nn
+
+import jax.numpy as jnp
+
+from mmbidaf_tpu.ops import vgg
+
+ATOL = 1e-4
+
+
+def _torch_vgg(spec, image_size, fc_dim, in_channels=3):
+    """Build a torch VGG with torchvision's state_dict key layout."""
+    layers = []
+    c_in = in_channels
+    size = image_size
+    for item in spec:
+        if item == "M":
+            layers.append(nn.MaxPool2d(2, 2))
+            size //= 2
+        else:
+            layers.append(nn.Conv2d(c_in, item, 3, padding=1))
+            layers.append(nn.ReLU(inplace=False))
+            c_in = item
+    features = nn.Sequential(*layers)
+    classifier = nn.Sequential(
+        nn.Linear(size * size * c_in, fc_dim),
+        nn.ReLU(),
+        nn.Dropout(0.0),
+        nn.Linear(fc_dim, fc_dim),
+        nn.ReLU(),
+    )
+
+    class VGG(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.features = features
+            self.classifier = classifier
+
+        def forward(self, x):
+            x = self.features(x)
+            x = torch.flatten(x, 1)
+            return self.classifier(x)
+
+    return VGG().eval()
+
+
+def test_vgg_tiny_parity(rng):
+    torch.manual_seed(5)
+    spec, size, fc = vgg.TINY_SPEC, 16, 32
+    tm = _torch_vgg(spec, size, fc)
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    params = vgg.port_vgg(sd, spec)
+
+    x = rng.standard_normal((3, size, size, 3)).astype(np.float32)
+    ours = vgg.vgg_features(params, jnp.asarray(x), spec)
+    with torch.no_grad():
+        theirs = tm(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    np.testing.assert_allclose(np.asarray(ours), theirs.numpy(), atol=ATOL)
+
+
+def test_vgg16_spec_shapes():
+    """VGG16 spec produces 13 convs and the canonical 25088→4096 classifier."""
+    convs = [s for s in vgg.VGG16_SPEC if s != "M"]
+    assert len(convs) == 13
+    assert convs[-1] == 512
+    # 224 / 2^5 = 7 → flat dim 512*7*7 = 25088
+    import jax
+
+    params = vgg.vgg_init(jax.random.key(0), vgg.VGG16_SPEC, image_size=224)
+    assert params["fc1_w"].shape == (25088, 4096)
+
+
+def test_preprocess_frames_resize_and_normalize(rng):
+    frames = (rng.random((2, 10, 12, 3)) * 255).astype(np.uint8)
+    out = vgg.preprocess_frames(jnp.asarray(frames), 8)
+    assert out.shape == (2, 8, 8, 3)
+    assert np.isfinite(np.asarray(out)).all()
