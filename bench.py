@@ -1,0 +1,209 @@
+"""Benchmark CLI: end-to-end raw-video→summary throughput (BASELINE.md).
+
+Measures videos/sec/chip for the batched trimodal pipeline (device-side VGG
++ MFCC frontend + model + greedy pointer decode) on the available
+accelerator, and anchors it against a self-built PyTorch-CPU baseline
+pipeline (the reference is pure-Python torch with no published numbers —
+BASELINE.md; the torch oracle doubles as the baseline harness, SURVEY §8 R6).
+
+Prints ONE JSON line:
+  {"metric": "videos_per_sec_per_chip", "value": N, "unit": "videos/s",
+   "vs_baseline": ratio, ...}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def build_bench_config(quick: bool):
+    from mmbidaf_tpu.config import Config, DataConfig, ModelConfig
+
+    if quick:
+        data = DataConfig(
+            max_sentences=16, max_words=8, max_keyframes=4, max_audio_frames=64,
+            vocab_size=5000, image_size=64, n_fft=256, win_length=200, hop_length=160,
+        )
+        model = ModelConfig(hidden_size=64, img_feat_dim=512, audio_feat_dim=40,
+                            drop_prob=0.0, max_decode_steps=4)
+    else:
+        data = DataConfig(
+            max_sentences=32, max_words=16, max_keyframes=16, max_audio_frames=512,
+            vocab_size=20000, image_size=224,
+        )
+        model = ModelConfig(hidden_size=128, img_feat_dim=4096, audio_feat_dim=40,
+                            drop_prob=0.0, max_decode_steps=4)
+    return Config(model=model, data=data)
+
+
+def make_raw_batch(rng, cfg, B, frame_hw=(240, 320)):
+    from mmbidaf_tpu.data.synthetic import synthetic_batch
+
+    d = cfg.data
+    base = synthetic_batch(rng, cfg, batch_size=B)
+    n_samples = d.max_audio_frames * d.hop_length + d.win_length
+    return {
+        "text_ids": base["text_ids"],
+        "word_mask": base["word_mask"],
+        "sent_mask": base["sent_mask"],
+        "img_mask": base["img_mask"],
+        "aud_mask": base["aud_mask"],
+        "frames": (rng.random((B, d.max_keyframes, *frame_hw, 3)) * 255).astype(np.uint8),
+        "waveform": (rng.standard_normal((B, n_samples)) * 0.1).astype(np.float32),
+    }
+
+
+def bench_jax(cfg, batch_size: int, iters: int, vgg_spec) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from mmbidaf_tpu.data.frontend import frontend_init, make_end_to_end_decode
+    from mmbidaf_tpu.data.synthetic import random_word_vectors
+    from mmbidaf_tpu.models.mmbidaf import mmbidaf_init
+
+    rng = np.random.default_rng(0)
+    wv = random_word_vectors(rng, cfg.data.vocab_size, cfg.model.emb_dim)
+    params = mmbidaf_init(jax.random.key(0), cfg, jnp.asarray(wv))
+    fe = frontend_init(jax.random.key(1), cfg, vgg_spec=vgg_spec)
+    raw = {k: jnp.asarray(v) for k, v in make_raw_batch(rng, cfg, batch_size).items()}
+
+    end_to_end = make_end_to_end_decode(cfg, vgg_spec=vgg_spec)
+
+    # Compile + warmup.
+    t0 = time.perf_counter()
+    _, picks = end_to_end(params, fe, raw)
+    picks.block_until_ready()
+    compile_s = time.perf_counter() - t0
+
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        _, picks = end_to_end(params, fe, raw)
+        picks.block_until_ready()
+        times.append(time.perf_counter() - t0)
+    per_batch = float(np.median(times))
+    n_chips = jax.device_count()
+    return {
+        "videos_per_sec_per_chip": batch_size / per_batch / n_chips,
+        "p50_batch_latency_s": per_batch,
+        "p50_per_video_latency_s": per_batch,  # one batch = one program; all videos finish together
+        "compile_s": compile_s,
+        "n_chips": n_chips,
+        "backend": jax.default_backend(),
+    }
+
+
+def bench_torch_baseline(cfg, videos: int, vgg_spec, frame_hw=(240, 320)) -> dict:
+    """Reference-style PyTorch-CPU pipeline, batch 1 per video (SURVEY §7)."""
+    import torch
+
+    sys.path.insert(0, ".")
+    from tests.oracles import torch_model as oracle
+    from tests.test_vgg import _torch_vgg
+    from mmbidaf_tpu.ops import audio as audio_ops
+
+    d, m = cfg.data, cfg.model
+    torch.manual_seed(0)
+    rng = np.random.default_rng(0)
+    wv = torch.randn(d.vocab_size, m.emb_dim) * 0.4
+    model = oracle.MMBiDAF(
+        wv, m.hidden_size, img_feat_dim=m.img_feat_dim, audio_feat_dim=m.audio_feat_dim,
+        num_decode_steps=m.max_decode_steps,
+    ).eval()
+    tvgg = _torch_vgg(vgg_spec, d.image_size, m.img_feat_dim)
+    # numpy audio consts (the torch baseline mirrors librosa's offline MFCC)
+    consts_np = {
+        "cos": np.asarray(audio_ops.make_audio_frontend_consts(
+            d.sample_rate, d.n_fft, d.win_length, d.n_mels, d.n_mfcc)["cos"]),
+    }
+
+    raw = make_raw_batch(rng, cfg, videos, frame_hw)
+    times = []
+    with torch.no_grad():
+        for v in range(videos):
+            t0 = time.perf_counter()
+            # image path: resize (interpolate) + VGG
+            fr = torch.from_numpy(raw["frames"][v].transpose(0, 3, 1, 2)).float() / 255.0
+            fr = torch.nn.functional.interpolate(
+                fr, size=(d.image_size, d.image_size), mode="bilinear", align_corners=False
+            )
+            img_feats = tvgg(fr).unsqueeze(0)
+            # audio path: numpy framing + windowed DFT MFCC (librosa stand-in)
+            wavef = raw["waveform"][v : v + 1]
+            idx = (np.arange(d.max_audio_frames)[:, None] * d.hop_length
+                   + np.arange(d.win_length)[None, :])
+            frames_a = wavef[:, idx]
+            consts = audio_ops.make_audio_frontend_consts(
+                d.sample_rate, d.n_fft, d.win_length, d.n_mels, d.n_mfcc)
+            import jax.numpy as jnp  # host-side numpy math only
+
+            spec = np.asarray(frames_a @ np.asarray(consts["cos"])) ** 2 + np.asarray(
+                frames_a @ np.asarray(consts["sin"])) ** 2
+            mel = spec @ np.asarray(consts["mel_fb"])
+            logspec = 10 * np.log10(np.maximum(mel, 1e-10))
+            mfcc = (np.maximum(logspec - logspec.max(), -80.0) @ np.asarray(consts["dct"]))
+            aud = torch.from_numpy(mfcc.astype(np.float32))
+            # model forward + greedy decode
+            model(
+                text_ids=torch.from_numpy(raw["text_ids"][v : v + 1]).long(),
+                word_mask=torch.from_numpy(raw["word_mask"][v : v + 1]),
+                sent_mask=torch.from_numpy(raw["sent_mask"][v : v + 1]),
+                images=img_feats,
+                img_mask=torch.from_numpy(raw["img_mask"][v : v + 1]),
+                audio=aud,
+                aud_mask=torch.from_numpy(raw["aud_mask"][v : v + 1]),
+            )
+            times.append(time.perf_counter() - t0)
+    per_video = float(np.median(times))
+    return {"videos_per_sec": 1.0 / per_video, "p50_per_video_latency_s": per_video}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true", help="small shapes (CI smoke)")
+    ap.add_argument("--batch", type=int, default=None)
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--baseline-videos", type=int, default=2)
+    ap.add_argument("--skip-baseline", action="store_true")
+    args = ap.parse_args()
+
+    from mmbidaf_tpu.ops.vgg import TINY_SPEC, VGG16_SPEC
+
+    cfg = build_bench_config(args.quick)
+    vgg_spec = TINY_SPEC if args.quick else VGG16_SPEC
+    batch = args.batch or (8 if args.quick else 32)
+
+    jax_res = bench_jax(cfg, batch, args.iters, vgg_spec)
+
+    if args.skip_baseline:
+        baseline_vps = None
+    else:
+        base_res = bench_torch_baseline(cfg, args.baseline_videos, vgg_spec)
+        baseline_vps = base_res["videos_per_sec"]
+
+    result = {
+        "metric": "videos_per_sec_per_chip",
+        "value": round(jax_res["videos_per_sec_per_chip"], 3),
+        "unit": "videos/s",
+        "vs_baseline": (
+            round(jax_res["videos_per_sec_per_chip"] / baseline_vps, 2)
+            if baseline_vps
+            else None
+        ),
+        "p50_per_video_latency_s": round(jax_res["p50_per_video_latency_s"], 4),
+        "baseline_videos_per_sec_cpu": round(baseline_vps, 3) if baseline_vps else None,
+        "batch_size": batch,
+        "backend": jax_res["backend"],
+        "n_chips": jax_res["n_chips"],
+        "compile_s": round(jax_res["compile_s"], 1),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

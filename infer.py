@@ -1,0 +1,84 @@
+"""Inference CLI (SURVEY.md §4.3): load checkpoint → greedy decode → summary
+text + ROUGE against gold (host-side), batched over the data mesh.
+
+Runs on the synthetic corpus by default; real corpora provide the same
+padded raw-batch schema (see mmbidaf_tpu/data/frontend.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    ap = argparse.ArgumentParser(description="MMBiDAF-TPU inference")
+    ap.add_argument("--load_dir", default=None, help="orbax checkpoint dir (runs/NAME/ckpts)")
+    ap.add_argument("--hidden_size", type=int, default=128)
+    ap.add_argument("--batch_size", type=int, default=8)
+    ap.add_argument("--num_batches", type=int, default=1)
+    ap.add_argument("--seed", type=int, default=224)
+    a = ap.parse_args()
+
+    from mmbidaf_tpu.config import Config
+    from mmbidaf_tpu.data.synthetic import batch_stream, random_word_vectors
+    from mmbidaf_tpu.models.mmbidaf import mmbidaf_init
+    from mmbidaf_tpu.parallel import make_mesh, shard_batch, shard_params
+    from mmbidaf_tpu.train.loop import init_train_state, make_eval_step
+    from mmbidaf_tpu.train.metrics import rouge_scores, summary_from_picks
+
+    cfg = Config()
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, hidden_size=a.hidden_size)
+    )
+
+    mesh = make_mesh()
+    np_rng = np.random.default_rng(a.seed)
+    wv = random_word_vectors(np_rng, cfg.data.vocab_size, cfg.model.emb_dim)
+    params = shard_params(
+        mmbidaf_init(jax.random.key(a.seed), cfg, jnp.asarray(wv)), mesh
+    )
+    state = init_train_state(jax.random.key(a.seed + 1), params, cfg)
+
+    if a.load_dir:
+        from mmbidaf_tpu.train import checkpoint as ckpt
+
+        manager = ckpt.make_manager(a.load_dir)
+        restored = ckpt.restore_latest(manager, state)
+        if restored is None:
+            raise SystemExit(f"no checkpoint found in {a.load_dir}")
+        state = restored
+        print(f"loaded step {int(state.step)}")
+
+    eval_step = make_eval_step(cfg)
+    stream = batch_stream(a.seed, cfg, a.batch_size)
+
+    # Synthetic "sentences" for summary assembly.
+    sentences = [f"This is transcript sentence {i}." for i in range(cfg.data.max_sentences)]
+
+    agg = {"ROUGE-1": 0.0, "ROUGE-2": 0.0, "ROUGE-L": 0.0}
+    n = 0
+    for _ in range(a.num_batches):
+        batch_np = next(stream)
+        batch = shard_batch({k: jnp.asarray(v) for k, v in batch_np.items()}, mesh)
+        out = eval_step(state.ema_params, batch)
+        picks = np.asarray(out["picks"])
+        for b in range(picks.shape[0]):
+            summary = summary_from_picks(picks[b], sentences)
+            gold = " ".join(sentences[i] for i in batch_np["targets"][b])
+            for k, v in rouge_scores(summary, gold).items():
+                agg[k] += v
+            n += 1
+    for k in agg:
+        agg[k] /= max(n, 1)
+    print({k: round(v, 4) for k, v in agg.items()})
+
+
+if __name__ == "__main__":
+    main()

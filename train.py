@@ -1,0 +1,156 @@
+"""Training CLI (SURVEY.md §4.2): ``python train.py --flags``.
+
+The reference's eager loop becomes: jitted donated train_step over a
+data-parallel mesh; the Python loop feeds batches, logs JSONL scalars, runs
+periodic EMA eval, and drives orbax best-k checkpointing with auto-resume.
+Trains on the synthetic corpus by default (corpus-agnostic data layer; real
+corpora plug in via the same padded-batch schema).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def parse_args():
+    ap = argparse.ArgumentParser(description="Train MMBiDAF-TPU")
+    # model
+    ap.add_argument("--hidden_size", type=int, default=128)
+    ap.add_argument("--drop_prob", type=float, default=0.2)
+    ap.add_argument("--max_decode_steps", type=int, default=4)
+    ap.add_argument("--no_images", action="store_true")
+    ap.add_argument("--no_audio", action="store_true")
+    # train
+    ap.add_argument("--batch_size", type=int, default=32)
+    ap.add_argument("--num_steps", type=int, default=1000)
+    ap.add_argument("--lr", type=float, default=0.5)
+    ap.add_argument("--optimizer", default="adadelta", choices=["adadelta", "adam"])
+    ap.add_argument("--max_grad_norm", type=float, default=5.0)
+    ap.add_argument("--ema_decay", type=float, default=0.999)
+    ap.add_argument("--l2_wd", type=float, default=0.0)
+    ap.add_argument("--eval_steps", type=int, default=200)
+    ap.add_argument("--seed", type=int, default=224)
+    ap.add_argument("--save_dir", default="./runs")
+    ap.add_argument("--name", default="mmbidaf")
+    ap.add_argument("--max_checkpoints", type=int, default=5)
+    ap.add_argument("--metric_name", default="loss")
+    # data
+    ap.add_argument("--max_sentences", type=int, default=32)
+    ap.add_argument("--max_words", type=int, default=16)
+    ap.add_argument("--config_json", default=None, help="full Config overlay")
+    return ap.parse_args()
+
+
+def build_config(a):
+    from mmbidaf_tpu.config import Config, config_from_json
+
+    if a.config_json:
+        return config_from_json(a.config_json)
+    cfg = Config()
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(
+            cfg.model,
+            hidden_size=a.hidden_size,
+            drop_prob=a.drop_prob,
+            max_decode_steps=a.max_decode_steps,
+            use_images=not a.no_images,
+            use_audio=not a.no_audio,
+        ),
+        data=dataclasses.replace(
+            cfg.data, max_sentences=a.max_sentences, max_words=a.max_words
+        ),
+        train=dataclasses.replace(
+            cfg.train,
+            batch_size=a.batch_size,
+            lr=a.lr,
+            optimizer=a.optimizer,
+            max_grad_norm=a.max_grad_norm,
+            ema_decay=a.ema_decay,
+            l2_wd=a.l2_wd,
+            eval_steps=a.eval_steps,
+            seed=a.seed,
+            save_dir=a.save_dir,
+            name=a.name,
+            max_checkpoints=a.max_checkpoints,
+            metric_name=a.metric_name,
+        ),
+    )
+    return cfg
+
+
+def main():
+    a = parse_args()
+    cfg = build_config(a)
+
+    from mmbidaf_tpu.data.synthetic import batch_stream, random_word_vectors
+    from mmbidaf_tpu.models.mmbidaf import mmbidaf_init
+    from mmbidaf_tpu.parallel import make_mesh, shard_batch, shard_params
+    from mmbidaf_tpu.train import checkpoint as ckpt
+    from mmbidaf_tpu.train.loop import init_train_state, make_eval_step, make_train_step
+    from mmbidaf_tpu.train.metrics import AverageMeter, JsonlLogger
+
+    run_dir = os.path.join(cfg.train.save_dir, cfg.train.name)
+    os.makedirs(run_dir, exist_ok=True)
+    logger = JsonlLogger(os.path.join(run_dir, "log.jsonl"))
+
+    mesh = make_mesh()
+    print(f"devices: {jax.device_count()} ({jax.default_backend()}), mesh: {mesh}")
+
+    np_rng = np.random.default_rng(cfg.train.seed)
+    wv = random_word_vectors(np_rng, cfg.data.vocab_size, cfg.model.emb_dim)
+    params = shard_params(
+        mmbidaf_init(jax.random.key(cfg.train.seed), cfg, jnp.asarray(wv)), mesh
+    )
+    state = init_train_state(jax.random.key(cfg.train.seed + 1), params, cfg)
+
+    manager = ckpt.make_manager(
+        os.path.join(run_dir, "ckpts"),
+        cfg.train.max_checkpoints,
+        cfg.train.metric_name,
+        maximize=cfg.train.metric_name not in ("loss",),
+    )
+    restored = ckpt.restore_latest(manager, state)
+    if restored is not None:
+        state = restored
+        print(f"resumed from step {int(state.step)}")
+
+    train_step = make_train_step(cfg)
+    eval_step = make_eval_step(cfg)
+    meter = AverageMeter()
+
+    stream = batch_stream(cfg.train.seed, cfg)
+    eval_batch = shard_batch(
+        {k: jnp.asarray(v) for k, v in next(stream).items()}, mesh
+    )
+
+    for _ in range(a.num_steps):
+        batch = shard_batch({k: jnp.asarray(v) for k, v in next(stream).items()}, mesh)
+        state, metrics = train_step(state, batch)
+        loss = float(metrics["loss"])
+        meter.update(loss)
+        step = int(state.step)
+        if step % 50 == 0:
+            logger.log(step, {"loss": meter.avg, "grad_norm": float(metrics["grad_norm"])})
+            print(f"step {step}: loss {meter.avg:.4f}")
+            meter.reset()
+        if step % cfg.train.eval_steps == 0:
+            ev = eval_step(state.ema_params, eval_batch)
+            ev_loss = float(ev["loss"])
+            logger.log(step, {"eval_loss": ev_loss})
+            print(f"step {step}: eval_loss {ev_loss:.4f}")
+            ckpt.save(manager, state, {"loss": ev_loss})
+
+    logger.close()
+    print("done")
+
+
+if __name__ == "__main__":
+    main()
