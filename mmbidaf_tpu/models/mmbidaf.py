@@ -100,6 +100,16 @@ def fuse_and_model(params: dict, gs: list[jax.Array], sent_mask: jax.Array) -> j
     return M
 
 
+def _bidaf(att_params, c, q, c_mask, q_mask, drop, rng, cfg: Config):
+    """Dispatch to the fused Pallas attention kernel on the inference path
+    (no dropout/grad) when ``use_pallas_attention`` is set (SURVEY §8 ph. 6)."""
+    if cfg.model.use_pallas_attention and rng is None:
+        from mmbidaf_tpu.ops.pallas.bidaf_kernel import bidaf_attention_fused
+
+        return bidaf_attention_fused(att_params, c, q, c_mask, q_mask)
+    return bidaf_apply(att_params, c, q, c_mask, q_mask, drop, rng)
+
+
 def mmbidaf_fused_reps(
     params: dict,
     batch: Mapping[str, jax.Array],
@@ -120,22 +130,19 @@ def mmbidaf_fused_reps(
     if m.use_images:
         img_enc, _ = bilstm_apply(params["img_lstm"], batch["images"], batch["img_mask"])
         gs.append(
-            bidaf_apply(
-                params["att_img"], text_enc, img_enc, sent_mask, batch["img_mask"], drop, rngs[1]
-            )
+            _bidaf(params["att_img"], text_enc, img_enc, sent_mask,
+                   batch["img_mask"], drop, rngs[1], cfg)
         )
     if m.use_audio:
         aud_enc, _ = bilstm_apply(params["aud_lstm"], batch["audio"], batch["aud_mask"])
         gs.append(
-            bidaf_apply(
-                params["att_aud"], text_enc, aud_enc, sent_mask, batch["aud_mask"], drop, rngs[2]
-            )
+            _bidaf(params["att_aud"], text_enc, aud_enc, sent_mask,
+                   batch["aud_mask"], drop, rngs[2], cfg)
         )
     if not gs:
         gs.append(
-            bidaf_apply(
-                params["att_self"], text_enc, text_enc, sent_mask, sent_mask, drop, rngs[3]
-            )
+            _bidaf(params["att_self"], text_enc, text_enc, sent_mask,
+                   sent_mask, drop, rngs[3], cfg)
         )
     return fuse_and_model(params, gs, sent_mask)
 

@@ -1,0 +1,125 @@
+"""Fused Pallas BiDAF attention kernel (SURVEY.md §3.2 row 2, §8 phase 6).
+
+Fuses the whole block — trilinear similarity S, both masked softmaxes, the
+C2Q and (product-form) Q2C weighted matmuls, and the ``[c; a; c∘a; c∘b]``
+concat — into ONE kernel: S and both softmax tensors never round-trip to
+HBM (the jnp version materializes three ``[B, T_c, T_q]`` intermediates).
+
+Grid: one program per batch element; each program holds its ``[T_c, D]`` /
+``[T_q, D]`` operands in VMEM (T ≲ 512, D = 2h ≲ 512 → well under the
+16 MB/core VMEM budget; SURVEY §3.3 keeps the design blockwise-friendly for
+a future tiled/ring variant).
+
+Numerics match ``mmbidaf_tpu.ops.bidaf.bidaf_apply`` exactly (same -1e30
+mask fill, same op order) — parity-tested in interpret mode on CPU and
+compiled on TPU. Q2C is computed as ``s1 @ (s2ᵀ @ c)`` (two [T,D] GEMMs)
+rather than ``(s1 @ s2ᵀ) @ c`` (a [T_c, T_c] intermediate).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _bidaf_kernel(c_ref, q_ref, cmask_ref, qmask_ref, wc_ref, wq_ref, wcq_ref,
+                  bias_ref, out_ref):
+    b_idx = pl.program_id(0)
+    c = c_ref[0]          # [T_c, D]
+    q = q_ref[0]          # [T_q, D]
+    # Masks arrive as full [B, T] arrays (a [1, T] block would violate the
+    # TPU (8, 128) block-tiling rule); row-select the program's batch entry.
+    c_mask = cmask_ref[b_idx, :]  # [T_c]
+    q_mask = qmask_ref[b_idx, :]  # [T_q]
+    w_c = wc_ref[0]        # [D]
+    w_q = wq_ref[0]
+    w_cq = wcq_ref[0]
+    bias = bias_ref[0, 0]
+
+    # Trilinear similarity.
+    s0 = (c * w_c).sum(axis=-1, keepdims=True)                 # [T_c, 1]
+    s1v = (q * w_q).sum(axis=-1, keepdims=True)                # [T_q, 1]
+    s2 = jnp.dot(c * w_cq, q.T, preferred_element_type=jnp.float32)  # [T_c, T_q]
+    S = s0 + s1v.T + s2 + bias
+
+    # Masked softmaxes (same multiplicative form as ops.masked.mask_logits).
+    qm = q_mask[None, :]
+    cm = c_mask[:, None]
+    S_row = qm * S + (1.0 - qm) * NEG_INF
+    S_col = cm * S + (1.0 - cm) * NEG_INF
+    s_row = jax.nn.softmax(S_row, axis=1)   # over T_q
+    s_col = jax.nn.softmax(S_col, axis=0)   # over T_c
+
+    a = jnp.dot(s_row, q, preferred_element_type=jnp.float32)           # [T_c, D]
+    qc = jnp.dot(s_col.T, c, preferred_element_type=jnp.float32)        # [T_q, D]
+    b = jnp.dot(s_row, qc, preferred_element_type=jnp.float32)          # [T_c, D]
+
+    D = c.shape[-1]
+    out_ref[0, :, 0 * D:1 * D] = c
+    out_ref[0, :, 1 * D:2 * D] = a
+    out_ref[0, :, 2 * D:3 * D] = c * a
+    out_ref[0, :, 3 * D:4 * D] = c * b
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def bidaf_attention_fused(
+    params: dict,
+    c: jax.Array,
+    q: jax.Array,
+    c_mask: jax.Array,
+    q_mask: jax.Array,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Drop-in fused replacement for ``bidaf_apply`` (no dropout — inference
+    path; training uses the jnp version whose VJP XLA fuses well).
+
+    ``interpret=None`` auto-selects interpreter mode off-TPU so the same
+    model code runs on the CPU test mesh and compiled on TPU.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, T_c, D = c.shape
+    T_q = q.shape[1]
+    f32 = jnp.float32
+
+    grid_spec = pl.GridSpec(
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, T_c, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T_q, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, T_c), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, T_q), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda b: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, T_c, 4 * D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+    )
+
+    return pl.pallas_call(
+        _bidaf_kernel,
+        out_shape=jax.ShapeDtypeStruct((B, T_c, 4 * D), f32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * (T_c * T_q * D * 3 + T_c * D),
+            bytes_accessed=4 * B * (T_c * D * 5 + T_q * D * 2 + T_c * T_q),
+            transcendentals=2 * B * T_c * T_q,
+        ),
+    )(
+        c.astype(f32),
+        q.astype(f32),
+        c_mask.astype(f32),
+        q_mask.astype(f32),
+        params["w_c"].astype(f32)[None],
+        params["w_q"].astype(f32)[None],
+        params["w_cq"].astype(f32)[None],
+        params["bias"].astype(f32).reshape(1, 1),
+    )

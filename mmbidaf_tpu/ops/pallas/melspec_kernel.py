@@ -1,0 +1,81 @@
+"""Fused Pallas mel-spectrogram / MFCC kernel (SURVEY.md §3.2 row 3).
+
+Fuses window ∘ DFT (as two GEMMs) ∘ |·|² ∘ mel filterbank ∘ log into one
+pass over frame tiles: the ``[N, n_fft/2+1]`` power spectrum never leaves
+VMEM (the jnp version writes it to HBM between GEMMs). This is the Pallas
+FFT path required because ``jnp.fft`` hangs under jit on this backend
+(SURVEY §8 risk R2 Plan A; the plain-jnp matmul-DFT is Plan B and the parity
+reference).
+
+Grid: tiles of TILE_N frames; the windowed-DFT bases and mel filterbank are
+broadcast to every program (they are small: [win, bins] + [bins, n_mels]).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _logmel_kernel(frames_ref, cos_ref, sin_ref, mel_ref, out_ref):
+    frames = frames_ref[:]            # [TILE, win]
+    re = jnp.dot(frames, cos_ref[:], preferred_element_type=jnp.float32)
+    im = jnp.dot(frames, sin_ref[:], preferred_element_type=jnp.float32)
+    power = re * re + im * im         # [TILE, bins] — stays in VMEM
+    mel = jnp.dot(power, mel_ref[:], preferred_element_type=jnp.float32)
+    out_ref[:] = jnp.log(mel + 1e-6)
+
+
+@partial(jax.jit, static_argnames=("tile_n", "interpret"))
+def log_mel_fused(
+    frames: jax.Array,
+    consts: dict,
+    tile_n: int = 128,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """``[..., win] → [..., n_mels]`` natural-log mel, fused single pass.
+
+    Leading dims are flattened into the frame axis and padded to a tile
+    multiple (padded rows are discarded on return). ``interpret=None``
+    auto-selects interpreter mode off-TPU.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    *lead, win = frames.shape
+    n = 1
+    for s in lead:
+        n *= s
+    flat = frames.reshape(n, win).astype(jnp.float32)
+    n_pad = -n % tile_n
+    if n_pad:
+        flat = jnp.concatenate([flat, jnp.zeros((n_pad, win), jnp.float32)], axis=0)
+    n_total = flat.shape[0]
+    n_mels = consts["mel_fb"].shape[1]
+    bins = consts["cos"].shape[1]
+
+    grid_spec = pl.GridSpec(
+        grid=(n_total // tile_n,),
+        in_specs=[
+            pl.BlockSpec((tile_n, win), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((win, bins), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((win, bins), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bins, n_mels), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_n, n_mels), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        _logmel_kernel,
+        out_shape=jax.ShapeDtypeStruct((n_total, n_mels), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_total * win * bins * 2 + 2 * n_total * bins * n_mels,
+            bytes_accessed=4 * (n_total * win + 2 * win * bins + bins * n_mels + n_total * n_mels),
+            transcendentals=n_total * n_mels,
+        ),
+    )(flat, consts["cos"], consts["sin"], consts["mel_fb"])
+    return out[:n].reshape(*lead, n_mels)

@@ -1,0 +1,64 @@
+"""Pallas kernel parity vs the jnp reference implementations, in interpret
+mode on CPU (SURVEY.md §5 item 2; compiled-on-TPU timing lives in bench).
+"""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from mmbidaf_tpu.ops import audio
+from mmbidaf_tpu.ops.bidaf import bidaf_apply, bidaf_init
+from mmbidaf_tpu.ops.pallas.bidaf_kernel import bidaf_attention_fused
+from mmbidaf_tpu.ops.pallas.melspec_kernel import log_mel_fused
+
+import jax
+
+
+def _ragged_mask(rng, B, T):
+    lengths = rng.integers(1, T + 1, size=B)
+    lengths[0] = T
+    return (np.arange(T)[None, :] < lengths[:, None]).astype(np.float32)
+
+
+def test_fused_bidaf_matches_jnp(rng):
+    B, T_c, T_q, D = 3, 12, 9, 16
+    params = bidaf_init(jax.random.key(0), D)
+    c = jnp.asarray(rng.standard_normal((B, T_c, D)).astype(np.float32))
+    q = jnp.asarray(rng.standard_normal((B, T_q, D)).astype(np.float32))
+    c_mask = jnp.asarray(_ragged_mask(rng, B, T_c))
+    q_mask = jnp.asarray(_ragged_mask(rng, B, T_q))
+
+    ref = bidaf_apply(params, c, q, c_mask, q_mask)
+    fused = bidaf_attention_fused(params, c, q, c_mask, q_mask, interpret=True)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=2e-5)
+
+
+def test_fused_logmel_matches_jnp(rng):
+    n_fft, win = 64, 48
+    consts = audio.make_audio_frontend_consts(16000, n_fft, win, 12, 8)
+    frames = jnp.asarray(rng.standard_normal((2, 37, win)).astype(np.float32))
+    ref = audio.log_mel(frames, consts)
+    fused = log_mel_fused(frames, consts, tile_n=16, interpret=True)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), rtol=2e-4, atol=1e-5)
+
+
+def test_model_decode_with_pallas_attention_matches(rng):
+    """Full-model greedy decode with the fused kernel == jnp path (CPU interpret)."""
+    import dataclasses
+
+    from mmbidaf_tpu.config import tiny_test_config
+    from mmbidaf_tpu.data.synthetic import random_word_vectors, synthetic_batch
+    from mmbidaf_tpu.models.mmbidaf import mmbidaf_decode, mmbidaf_init
+
+    cfg = tiny_test_config()
+    wv = random_word_vectors(rng, cfg.data.vocab_size, cfg.model.emb_dim)
+    params = mmbidaf_init(jax.random.key(0), cfg, jnp.asarray(wv))
+    batch = {k: jnp.asarray(v) for k, v in synthetic_batch(rng, cfg, batch_size=3).items()}
+
+    log_p_ref, picks_ref = mmbidaf_decode(params, batch, cfg)
+    cfg_pl = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, use_pallas_attention=True)
+    )
+    log_p_pl, picks_pl = mmbidaf_decode(params, batch, cfg_pl)
+    np.testing.assert_array_equal(np.asarray(picks_ref), np.asarray(picks_pl))
+    np.testing.assert_allclose(np.asarray(log_p_ref), np.asarray(log_p_pl), atol=2e-5)
