@@ -1,0 +1,127 @@
+"""Dataset + collate (SURVEY.md §3.1 "Datasets + collate", §2 L2).
+
+The reference's per-modality ``torch.utils.data.Dataset``/``DataLoader`` with
+custom pad/collate becomes a corpus-agnostic source of **fixed-shape padded
+batches** (XLA static shapes): a ``VideoCorpus`` over per-video asset dirs,
+an index-based random-access source compatible with ``grain`` samplers, and
+a plain batched iterator for environments without grain.
+
+Each example is the *raw* schema (frames/waveform/text ids) consumed by the
+jitted device frontend — preprocessing happens on-device, not here.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator, Sequence
+
+import numpy as np
+
+from mmbidaf_tpu.config import Config
+from mmbidaf_tpu.data.labels import make_targets
+from mmbidaf_tpu.data.text import encode_transcript, word_tokenize
+from mmbidaf_tpu.data.video import load_video_assets
+
+
+class VideoCorpus:
+    """Random-access corpus over ``root/<video_id>/`` asset directories.
+
+    Implements ``__len__`` / ``__getitem__`` (the grain RandomAccessDataSource
+    protocol), so it plugs into ``grain.MapDataset.source(...)`` directly.
+    """
+
+    def __init__(self, root: str, cfg: Config, word2idx: dict[str, int]):
+        self.root = root
+        self.cfg = cfg
+        self.word2idx = word2idx
+        self.video_ids = sorted(
+            d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d))
+        )
+        if not self.video_ids:
+            raise FileNotFoundError(f"no video dirs under {root}")
+        d = cfg.data
+        self.num_audio_samples = d.max_audio_frames * d.hop_length + d.win_length
+
+    def __len__(self) -> int:
+        return len(self.video_ids)
+
+    def __getitem__(self, idx: int) -> dict[str, np.ndarray]:
+        d, m = self.cfg.data, self.cfg.model
+        assets = load_video_assets(
+            os.path.join(self.root, self.video_ids[idx]),
+            d.max_keyframes,
+            self.num_audio_samples,
+        )
+        enc = encode_transcript(
+            assets["transcript"], self.word2idx, d.max_sentences, d.max_words
+        )
+        n_aud = d.max_audio_frames  # full waveform is padded to cover all frames
+        aud_mask = np.ones((n_aud,), np.float32)
+        ex = {
+            "text_ids": enc["text_ids"],
+            "word_mask": enc["word_mask"],
+            "sent_mask": enc["sent_mask"],
+            "frames": assets["frames"],
+            "img_mask": assets["img_mask"],
+            "waveform": assets["waveform"],
+            "aud_mask": aud_mask,
+        }
+        if assets["summary"] is not None:
+            sent_tokens = [word_tokenize(s) for s in enc["sentences"]]
+            # pad token lists to T_s so indices line up with sent_mask
+            sent_tokens += [[]] * (d.max_sentences - len(sent_tokens))
+            targets, target_mask = make_targets(
+                sent_tokens, word_tokenize(assets["summary"]), m.max_decode_steps
+            )
+            ex["targets"] = targets
+            ex["target_mask"] = target_mask
+        return ex
+
+
+def collate(examples: Sequence[dict]) -> dict[str, np.ndarray]:
+    """Stack fixed-shape examples into one padded batch."""
+    keys = examples[0].keys()
+    return {k: np.stack([e[k] for e in examples]) for k in keys}
+
+
+def batched_iterator(
+    corpus: VideoCorpus,
+    batch_size: int,
+    seed: int = 0,
+    shuffle: bool = True,
+    drop_remainder: bool = True,
+) -> Iterator[dict[str, np.ndarray]]:
+    """Epoch-less batched stream (repeats forever, reshuffling per epoch).
+
+    The last short batch is padded by wrapping (XLA static batch shapes).
+    """
+    rng = np.random.default_rng(seed)
+    n = len(corpus)
+    while True:
+        order = rng.permutation(n) if shuffle else np.arange(n)
+        for start in range(0, n, batch_size):
+            idxs = order[start : start + batch_size]
+            if len(idxs) < batch_size:
+                if drop_remainder and n >= batch_size:
+                    continue
+                idxs = np.concatenate([idxs, order[: batch_size - len(idxs)]])
+            yield collate([corpus[int(i)] for i in idxs])
+
+
+def make_grain_loader(corpus: VideoCorpus, batch_size: int, seed: int = 0):
+    """grain-backed loader (parallel workers, reproducible shuffling)."""
+    import grain.python as grain
+
+    sampler = grain.IndexSampler(
+        num_records=len(corpus),
+        shuffle=True,
+        seed=seed,
+        shard_options=grain.NoSharding(),
+        num_epochs=None,
+    )
+    return grain.DataLoader(
+        data_source=corpus,
+        sampler=sampler,
+        operations=[grain.Batch(batch_size=batch_size, drop_remainder=True)],
+        worker_count=0,
+    )

@@ -1,0 +1,150 @@
+"""Host-side container decode (SURVEY.md §4.1): the ONLY stage that stays on
+the host — mp4/image/wav → arrays. Everything downstream (resize, VGG, DFT,
+mel) runs inside jit (data/frontend.py).
+
+The reference shells out to ffmpeg/OpenCV per video. This image has neither;
+decode is a plug-in surface with built-in decoders for what the environment
+supports (image files via PIL, WAV via stdlib ``wave``, ``.npy``/``.npz``
+pre-extracted arrays), plus an optional ffmpeg path that activates when an
+``ffmpeg`` binary exists. Keyframe *sampling* policy (every-N) lives here.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+import wave as wave_mod
+from typing import Sequence
+
+import numpy as np
+
+
+def sample_keyframes(frames: np.ndarray, max_keyframes: int) -> tuple[np.ndarray, np.ndarray]:
+    """Every-N sampling of ``[T, H, W, 3]`` frames → exactly ``max_keyframes``
+    (padded with zeros) + mask. Mirrors the reference's every-N policy."""
+    T = frames.shape[0]
+    if T == 0:
+        raise ValueError("no frames to sample")
+    n = min(T, max_keyframes)
+    idx = np.linspace(0, T - 1, n).round().astype(np.int64)
+    out = np.zeros((max_keyframes,) + frames.shape[1:], frames.dtype)
+    out[:n] = frames[idx]
+    mask = (np.arange(max_keyframes) < n).astype(np.float32)
+    return out, mask
+
+
+def load_image_dir(path: str) -> np.ndarray:
+    """Directory of image files (sorted) → ``[T, H, W, 3] uint8``."""
+    from PIL import Image
+
+    names = sorted(
+        f for f in os.listdir(path)
+        if f.lower().endswith((".png", ".jpg", ".jpeg", ".ppm", ".bmp"))
+    )
+    if not names:
+        raise FileNotFoundError(f"no images in {path}")
+    frames = [np.asarray(Image.open(os.path.join(path, n)).convert("RGB")) for n in names]
+    return np.stack(frames).astype(np.uint8)
+
+
+def load_wav(path: str) -> tuple[np.ndarray, int]:
+    """WAV file → (mono float32 waveform in [-1, 1], sample_rate)."""
+    with wave_mod.open(path, "rb") as w:
+        sr = w.getframerate()
+        n = w.getnframes()
+        width = w.getsampwidth()
+        channels = w.getnchannels()
+        raw = w.readframes(n)
+    if width == 2:
+        data = np.frombuffer(raw, np.int16).astype(np.float32) / 32768.0
+    elif width == 4:
+        data = np.frombuffer(raw, np.int32).astype(np.float32) / 2147483648.0
+    elif width == 1:
+        data = (np.frombuffer(raw, np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {width}")
+    if channels > 1:
+        data = data.reshape(-1, channels).mean(axis=1)
+    return data, sr
+
+
+def pad_waveform(wave: np.ndarray, num_samples: int) -> tuple[np.ndarray, int]:
+    """Pad/truncate to the static length the jitted frontend expects.
+    Returns (padded, valid_samples)."""
+    out = np.zeros((num_samples,), np.float32)
+    n = min(len(wave), num_samples)
+    out[:n] = wave[:n]
+    return out, n
+
+
+def ffmpeg_available() -> bool:
+    return shutil.which("ffmpeg") is not None
+
+
+def decode_video_ffmpeg(
+    path: str, fps: float = 1.0, size: tuple[int, int] = (240, 320)
+) -> np.ndarray:
+    """mp4 → ``[T, H, W, 3] uint8`` via an ffmpeg rawvideo pipe (activates
+    only where an ffmpeg binary exists; absent in this image)."""
+    if not ffmpeg_available():
+        raise RuntimeError("ffmpeg binary not available")
+    h, w = size
+    cmd = [
+        "ffmpeg", "-v", "error", "-i", path, "-vf", f"fps={fps},scale={w}:{h}",
+        "-f", "rawvideo", "-pix_fmt", "rgb24", "-",
+    ]
+    raw = subprocess.run(cmd, capture_output=True, check=True).stdout
+    n = len(raw) // (h * w * 3)
+    return np.frombuffer(raw[: n * h * w * 3], np.uint8).reshape(n, h, w, 3)
+
+
+def extract_audio_ffmpeg(path: str, sample_rate: int = 16000) -> np.ndarray:
+    """mp4 → mono float32 PCM via ffmpeg (optional, see above)."""
+    if not ffmpeg_available():
+        raise RuntimeError("ffmpeg binary not available")
+    cmd = [
+        "ffmpeg", "-v", "error", "-i", path, "-ac", "1", "-ar", str(sample_rate),
+        "-f", "f32le", "-",
+    ]
+    raw = subprocess.run(cmd, capture_output=True, check=True).stdout
+    return np.frombuffer(raw, np.float32)
+
+
+def load_video_assets(
+    video_dir: str,
+    max_keyframes: int,
+    num_audio_samples: int,
+) -> dict:
+    """Per-video asset directory → raw arrays for the device frontend.
+
+    Layout (corpus-agnostic, SURVEY §1): ``frames/`` image dir OR
+    ``frames.npy``; ``audio.wav`` OR ``audio.npy``; ``transcript.txt``;
+    optional ``summary.txt`` (gold).
+    """
+    if os.path.exists(os.path.join(video_dir, "frames.npy")):
+        frames = np.load(os.path.join(video_dir, "frames.npy"))
+    else:
+        frames = load_image_dir(os.path.join(video_dir, "frames"))
+    frames, img_mask = sample_keyframes(frames, max_keyframes)
+
+    if os.path.exists(os.path.join(video_dir, "audio.npy")):
+        wave = np.load(os.path.join(video_dir, "audio.npy")).astype(np.float32)
+    else:
+        wave, _ = load_wav(os.path.join(video_dir, "audio.wav"))
+    wave, _ = pad_waveform(wave, num_audio_samples)
+
+    with open(os.path.join(video_dir, "transcript.txt")) as f:
+        transcript = f.read()
+    summary = None
+    spath = os.path.join(video_dir, "summary.txt")
+    if os.path.exists(spath):
+        with open(spath) as f:
+            summary = f.read()
+    return {
+        "frames": frames,
+        "img_mask": img_mask,
+        "waveform": wave,
+        "transcript": transcript,
+        "summary": summary,
+    }

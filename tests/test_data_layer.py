@@ -1,0 +1,161 @@
+"""Data-layer tests: vocab build + GloVe parse, transcript encode, gold-label
+derivation, WAV decode, keyframe sampling, and a full on-disk corpus →
+batched loader → end-to-end decode round trip (SURVEY.md §5 item 4).
+"""
+
+import os
+import wave as wave_mod
+
+import numpy as np
+import pytest
+
+from mmbidaf_tpu.config import tiny_test_config
+from mmbidaf_tpu.data import labels, text, video, vocab
+from mmbidaf_tpu.data.pipeline import VideoCorpus, batched_iterator, collate
+
+
+def test_build_vocab_and_encode():
+    corpus = [["the", "cat", "sat"], ["the", "dog", "sat", "down"]]
+    w2i = vocab.build_vocab(corpus)
+    assert w2i[vocab.PAD_TOKEN] == 0 and w2i[vocab.OOV_TOKEN] == 1
+    assert w2i["the"] == 2  # most frequent first
+    ids = vocab.encode_tokens(["the", "unknown", "cat"], w2i)
+    assert ids[0] == 2 and ids[1] == vocab.OOV_ID
+
+
+def test_load_glove_roundtrip(tmp_path):
+    w2i = vocab.build_vocab([["hello", "world"]])
+    glove = tmp_path / "glove.txt"
+    glove.write_text("hello 1.0 2.0 3.0\nworld 4.0 5.0 6.0\nunused 7.0 8.0 9.0\n")
+    table = vocab.load_glove(str(glove), w2i, emb_dim=3)
+    np.testing.assert_array_equal(table[w2i["hello"]], [1.0, 2.0, 3.0])
+    np.testing.assert_array_equal(table[vocab.PAD_ID], 0.0)
+    np.testing.assert_array_equal(table[vocab.OOV_ID], 0.0)
+    vocab.save_vocab(w2i, table, str(tmp_path / "v.json"), str(tmp_path / "e.npz"))
+    w2i2, table2 = vocab.load_vocab(str(tmp_path / "v.json"), str(tmp_path / "e.npz"))
+    assert w2i2 == w2i
+    np.testing.assert_array_equal(table2, table)
+
+
+def test_sentence_split_and_encode():
+    transcript = "The model works well. It uses attention! Does it scale? Yes."
+    sents = text.sent_tokenize(transcript)
+    assert len(sents) == 4
+    w2i = vocab.build_vocab([text.word_tokenize(s) for s in sents])
+    enc = text.encode_transcript(transcript, w2i, max_sentences=6, max_words=8)
+    assert enc["text_ids"].shape == (6, 8)
+    assert enc["sent_mask"].sum() == 4
+    assert enc["word_mask"][0].sum() == len(text.word_tokenize(sents[0]))
+    # padded sentences are fully zero
+    assert enc["text_ids"][4:].sum() == 0
+
+
+def test_greedy_extractive_labels_picks_overlapping():
+    sentences = [
+        "completely unrelated words here".split(),
+        "the quick brown fox jumps".split(),
+        "machine learning on tpus is fast".split(),
+        "another irrelevant filler sentence".split(),
+    ]
+    summary = "tpus make machine learning fast the quick fox".split()
+    idxs, mask = labels.make_targets(sentences, summary, k=2)
+    assert set(idxs.tolist()) == {1, 2}
+    assert mask.tolist() == [1.0, 1.0]
+
+
+def test_wav_decode(tmp_path):
+    sr = 8000
+    t = np.arange(sr) / sr
+    sig = (np.sin(2 * np.pi * 440 * t) * 32000).astype(np.int16)
+    path = str(tmp_path / "a.wav")
+    with wave_mod.open(path, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(sig.tobytes())
+    data, sr2 = video.load_wav(path)
+    assert sr2 == sr and len(data) == sr
+    assert abs(data).max() <= 1.0
+    np.testing.assert_allclose(data[:100], sig[:100] / 32768.0, atol=1e-6)
+
+
+def test_sample_keyframes():
+    frames = np.arange(10)[:, None, None, None].repeat(4, 1).repeat(4, 2).repeat(3, 3).astype(np.uint8)
+    out, mask = video.sample_keyframes(frames, 4)
+    assert out.shape == (4, 4, 4, 3)
+    assert mask.tolist() == [1, 1, 1, 1]
+    assert out[0, 0, 0, 0] == 0 and out[3, 0, 0, 0] == 9
+    out2, mask2 = video.sample_keyframes(frames[:2], 4)
+    assert mask2.tolist() == [1, 1, 0, 0]
+    assert out2[2:].sum() == 0
+
+
+@pytest.fixture
+def disk_corpus(tmp_path, rng):
+    """Three fake videos on disk: PNG frames, WAV audio, transcript + summary."""
+    from PIL import Image
+
+    cfg = tiny_test_config()
+    d = cfg.data
+    n_samples = d.max_audio_frames * d.hop_length + d.win_length
+    for v in range(3):
+        vd = tmp_path / f"video{v}"
+        (vd / "frames").mkdir(parents=True)
+        for i in range(5):
+            arr = (rng.random((16, 20, 3)) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(vd / "frames" / f"f{i:03d}.png")
+        sig = (rng.standard_normal(n_samples // 2) * 8000).astype(np.int16)
+        with wave_mod.open(str(vd / "audio.wav"), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(d.sample_rate)
+            w.writeframes(sig.tobytes())
+        sents = [f"Sentence {j} of video {v} talks about topic {j}." for j in range(5)]
+        (vd / "transcript.txt").write_text(" ".join(sents))
+        (vd / "summary.txt").write_text(sents[1] + " " + sents[3])
+    return str(tmp_path), cfg
+
+
+def test_corpus_to_decode_roundtrip(disk_corpus):
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from mmbidaf_tpu.data.frontend import frontend_init, make_end_to_end_decode
+    from mmbidaf_tpu.models.mmbidaf import mmbidaf_init
+    from mmbidaf_tpu.ops.vgg import TINY_SPEC
+
+    root, cfg = disk_corpus
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, img_feat_dim=32, audio_feat_dim=cfg.data.n_mfcc)
+    )
+    # vocab from the corpus transcripts
+    corpus_tokens = []
+    for vid in sorted(os.listdir(root)):
+        with open(os.path.join(root, vid, "transcript.txt")) as f:
+            for s in text.sent_tokenize(f.read()):
+                corpus_tokens.append(text.word_tokenize(s))
+    w2i = vocab.build_vocab(corpus_tokens)
+
+    corpus = VideoCorpus(root, cfg, w2i)
+    assert len(corpus) == 3
+    ex = corpus[0]
+    assert ex["text_ids"].shape == (cfg.data.max_sentences, cfg.data.max_words)
+    assert "targets" in ex and ex["targets"].shape == (cfg.model.max_decode_steps,)
+
+    batch = next(batched_iterator(corpus, batch_size=2, seed=0))
+    assert batch["frames"].shape[0] == 2
+
+    # end-to-end through the jitted frontend + model
+    wv = np.random.default_rng(0).standard_normal(
+        (len(w2i), cfg.model.emb_dim)
+    ).astype(np.float32)
+    params = mmbidaf_init(jax.random.key(0), cfg, jnp.asarray(wv))
+    fe = frontend_init(jax.random.key(1), cfg, vgg_spec=TINY_SPEC)
+    raw = {k: jnp.asarray(v) for k, v in batch.items() if k not in ("targets", "target_mask")}
+    end_to_end = make_end_to_end_decode(cfg, vgg_spec=TINY_SPEC)
+    _, picks = end_to_end(params, fe, raw)
+    assert picks.shape == (2, cfg.model.max_decode_steps)
+    n_valid = batch["sent_mask"].sum(axis=1)
+    assert (np.asarray(picks) < n_valid[:, None]).all()
