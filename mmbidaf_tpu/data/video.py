@@ -27,7 +27,9 @@ def sample_keyframes(frames: np.ndarray, max_keyframes: int) -> tuple[np.ndarray
     if T == 0:
         raise ValueError("no frames to sample")
     n = min(T, max_keyframes)
-    idx = np.linspace(0, T - 1, n).round().astype(np.int64)
+    # floor(x + 0.5) (not np.round's half-to-even) — keeps the C++ batch
+    # sampler in native/ bit-identical to this policy.
+    idx = np.floor(np.linspace(0, T - 1, n) + 0.5).astype(np.int64)
     out = np.zeros((max_keyframes,) + frames.shape[1:], frames.dtype)
     out[:n] = frames[idx]
     mask = (np.arange(max_keyframes) < n).astype(np.float32)

@@ -1,0 +1,194 @@
+// mmbidaf_native: host-side decode + batch-assembly runtime in C++.
+//
+// The reference leans on torch DataLoader worker *processes* for host IO
+// (SURVEY.md §4.2 "DataLoader worker subprocesses"). The TPU-native rebuild
+// replaces that with an in-process C++ thread pool: WAV/PPM decoding and
+// waveform padding run off the GIL, feeding the jitted device frontend.
+// Exposed as a plain C ABI consumed via ctypes (mmbidaf_tpu/native).
+//
+// Build: make -C native   (g++ -O3 -shared -fPIC, no external deps)
+
+#include <algorithm>
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// WAV decode (PCM 8/16/32-bit, mono-mixed) → float32 in [-1, 1].
+// Returns number of samples written, or -1 on parse error.
+// ---------------------------------------------------------------------------
+long mmb_wav_decode(const uint8_t* data, long n, float* out, long out_cap,
+                    int* sample_rate_out) {
+  if (n < 44 || std::memcmp(data, "RIFF", 4) != 0 ||
+      std::memcmp(data + 8, "WAVE", 4) != 0)
+    return -1;
+
+  long pos = 12;
+  int channels = 0, bits = 0, sample_rate = 0;
+  const uint8_t* pcm = nullptr;
+  long pcm_bytes = 0;
+
+  while (pos + 8 <= n) {
+    const uint8_t* hdr = data + pos;
+    uint32_t chunk_size;
+    std::memcpy(&chunk_size, hdr + 4, 4);
+    if (std::memcmp(hdr, "fmt ", 4) == 0 && pos + 8 + 16 <= n) {
+      uint16_t ch, bps;
+      uint32_t sr;
+      std::memcpy(&ch, hdr + 10, 2);
+      std::memcpy(&sr, hdr + 12, 4);
+      std::memcpy(&bps, hdr + 22, 2);
+      channels = ch;
+      sample_rate = (int)sr;
+      bits = bps;
+    } else if (std::memcmp(hdr, "data", 4) == 0) {
+      pcm = hdr + 8;
+      pcm_bytes = std::min((long)chunk_size, n - pos - 8);
+    }
+    pos += 8 + chunk_size + (chunk_size & 1);
+  }
+  if (!pcm || channels <= 0 || bits <= 0) return -1;
+
+  long bytes_per_frame = channels * bits / 8;
+  long frames = pcm_bytes / bytes_per_frame;
+  long out_n = std::min(frames, out_cap);
+  for (long i = 0; i < out_n; ++i) {
+    double acc = 0.0;
+    for (int c = 0; c < channels; ++c) {
+      const uint8_t* p = pcm + i * bytes_per_frame + c * bits / 8;
+      double v = 0.0;
+      if (bits == 16) {
+        int16_t s;
+        std::memcpy(&s, p, 2);
+        v = s / 32768.0;
+      } else if (bits == 32) {
+        int32_t s;
+        std::memcpy(&s, p, 4);
+        v = s / 2147483648.0;
+      } else if (bits == 8) {
+        v = ((int)p[0] - 128) / 128.0;
+      }
+      acc += v;
+    }
+    out[i] = (float)(acc / channels);
+  }
+  if (sample_rate_out) *sample_rate_out = sample_rate;
+  return out_n;
+}
+
+// ---------------------------------------------------------------------------
+// Binary PPM (P6, maxval 255) decode → uint8 HWC. Returns 0 on success.
+// ---------------------------------------------------------------------------
+static long ppm_token(const uint8_t* d, long n, long pos, long* value) {
+  // skip whitespace + comments
+  while (pos < n) {
+    if (d[pos] == '#') {
+      while (pos < n && d[pos] != '\n') ++pos;
+    } else if (d[pos] == ' ' || d[pos] == '\t' || d[pos] == '\n' ||
+               d[pos] == '\r') {
+      ++pos;
+    } else {
+      break;
+    }
+  }
+  long v = 0;
+  bool any = false;
+  while (pos < n && d[pos] >= '0' && d[pos] <= '9') {
+    v = v * 10 + (d[pos] - '0');
+    ++pos;
+    any = true;
+  }
+  if (!any) return -1;
+  *value = v;
+  return pos;
+}
+
+int mmb_ppm_header(const uint8_t* data, long n, long* width, long* height) {
+  if (n < 2 || data[0] != 'P' || data[1] != '6') return -1;
+  long pos = 2, w, h, maxval;
+  pos = ppm_token(data, n, pos, &w);
+  if (pos < 0) return -1;
+  pos = ppm_token(data, n, pos, &h);
+  if (pos < 0) return -1;
+  pos = ppm_token(data, n, pos, &maxval);
+  if (pos < 0 || maxval != 255) return -1;
+  *width = w;
+  *height = h;
+  return 0;
+}
+
+int mmb_ppm_decode(const uint8_t* data, long n, uint8_t* out, long out_cap) {
+  if (n < 2 || data[0] != 'P' || data[1] != '6') return -1;
+  long pos = 2, w, h, maxval;
+  pos = ppm_token(data, n, pos, &w);
+  if (pos < 0) return -1;
+  pos = ppm_token(data, n, pos, &h);
+  if (pos < 0) return -1;
+  pos = ppm_token(data, n, pos, &maxval);
+  if (pos < 0 || maxval != 255) return -1;
+  ++pos;  // single whitespace after maxval
+  long need = w * h * 3;
+  if (n - pos < need || out_cap < need) return -1;
+  std::memcpy(out, data + pos, need);
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Parallel waveform pad/normalize: scatter many variable-length float32
+// waveforms into one zero-padded [batch, num_samples] buffer with a thread
+// pool (the collate hot loop, off the GIL).
+// ---------------------------------------------------------------------------
+void mmb_pad_waveforms(const float** waves, const long* lengths, long batch,
+                       long num_samples, float* out, int num_threads) {
+  std::memset(out, 0, sizeof(float) * batch * num_samples);
+  if (num_threads < 1) num_threads = 1;
+  std::atomic<long> next(0);
+  auto worker = [&]() {
+    long i;
+    while ((i = next.fetch_add(1)) < batch) {
+      long n = std::min(lengths[i], num_samples);
+      std::memcpy(out + i * num_samples, waves[i], sizeof(float) * n);
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 0; t < num_threads; ++t) threads.emplace_back(worker);
+  for (auto& th : threads) th.join();
+}
+
+// ---------------------------------------------------------------------------
+// Parallel every-N keyframe sampling: gather rows from [T, frame_bytes]
+// sources into padded [batch, max_k, frame_bytes] uint8 output + masks.
+// ---------------------------------------------------------------------------
+void mmb_sample_keyframes(const uint8_t** videos, const long* num_frames,
+                          long frame_bytes, long batch, long max_k,
+                          uint8_t* out, float* mask, int num_threads) {
+  std::memset(out, 0, (size_t)batch * max_k * frame_bytes);
+  std::memset(mask, 0, sizeof(float) * batch * max_k);
+  if (num_threads < 1) num_threads = 1;
+  std::atomic<long> next(0);
+  auto worker = [&]() {
+    long b;
+    while ((b = next.fetch_add(1)) < batch) {
+      long T = num_frames[b];
+      long n = std::min(T, max_k);
+      for (long j = 0; j < n; ++j) {
+        // linspace(0, T-1, n) rounded — matches data/video.py sampling
+        long src = (n == 1) ? 0 : (long)((double)j * (T - 1) / (n - 1) + 0.5);
+        std::memcpy(out + (b * max_k + j) * frame_bytes,
+                    videos[b] + src * frame_bytes, frame_bytes);
+        mask[b * max_k + j] = 1.0f;
+      }
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 0; t < num_threads; ++t) threads.emplace_back(worker);
+  for (auto& th : threads) th.join();
+}
+
+int mmb_version() { return 1; }
+
+}  // extern "C"
