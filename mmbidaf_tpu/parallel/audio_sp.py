@@ -1,0 +1,81 @@
+"""Sequence-parallel audio frontend (SURVEY.md §3.3 "SP/CP" row).
+
+The one genuinely long sequence in the pipeline is the raw waveform
+(~minutes × 16 kHz). Model sequences don't need SP, but the frame axis of
+the mel/MFCC stage shards cleanly: each device computes the windowed
+matmul-DFT → mel for its contiguous slab of frames via ``shard_map``, and
+the result either stays frame-sharded (feeding a frame-sharded BiLSTM is
+future work) or is ``all_gather``-ed over ICI.
+
+Because frames at slab boundaries need ``win_length - hop`` samples of
+lookahead, each shard loads its slab of the *waveform* with a static halo;
+the waveform is replicated per batch row here (it is small relative to
+HBM), so the "halo exchange" is a local slice — the shard_map expresses the
+compute partitioning, XLA inserts the gather collective at the end.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mmbidaf_tpu.ops.audio import frame_signal, melspectrogram, power_to_db
+
+
+def make_sp_audio_frontend(
+    mesh: Mesh,
+    consts: dict,
+    win_length: int,
+    hop_length: int,
+    num_frames: int,
+    feature: str = "mfcc",
+    axis: str | None = None,
+):
+    """Build a jitted ``[B, N] waveform → [B, num_frames, n_feat]`` frontend
+    whose frame axis is computed shard-parallel over ``axis`` (default: the
+    mesh's last axis) and gathered at the end.
+    """
+    axis = axis or mesh.axis_names[-1]
+    n_dev = mesh.shape[axis]
+    assert num_frames % n_dev == 0, (
+        f"num_frames {num_frames} must divide over {n_dev} devices"
+    )
+    frames_per_dev = num_frames // n_dev
+    if feature not in ("mfcc", "logmel"):
+        raise ValueError(f"unknown feature {feature!r}")
+
+    def shard_body(signal: jax.Array) -> jax.Array:
+        # signal arrives replicated: [B, N]; each device computes its slab.
+        # Only the linear stages (frame, window-DFT, mel) shard — MFCC's
+        # power_to_db normalizes by a per-example GLOBAL max, so the dB/DCT
+        # tail runs after the gather (it is tiny: pointwise + [n_mels,
+        # n_mfcc] GEMM).
+        idx = jax.lax.axis_index(axis)
+        start = idx * frames_per_dev * hop_length
+        slab_len = (frames_per_dev - 1) * hop_length + win_length
+        slab = jax.lax.dynamic_slice_in_dim(signal, start, slab_len, axis=1)
+        frames = frame_signal(slab, win_length, hop_length, frames_per_dev)
+        return melspectrogram(frames, consts)  # [B, frames_per_dev, n_mels]
+
+    sharded = shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=P(),            # waveform replicated
+        out_specs=P(None, axis),  # frame axis sharded over the mesh
+        check_rep=False,
+    )
+
+    @jax.jit
+    def frontend(signal: jax.Array) -> jax.Array:
+        mel = sharded(signal)
+        # Gather the frame axis for the (replicated-activation) model.
+        mel = jax.lax.with_sharding_constraint(mel, NamedSharding(mesh, P()))
+        if feature == "logmel":
+            return jnp.log(mel + 1e-6)
+        return power_to_db(mel) @ consts["dct"]
+
+    return frontend
