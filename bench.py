@@ -36,8 +36,12 @@ def build_bench_config(quick: bool):
             max_sentences=32, max_words=16, max_keyframes=16, max_audio_frames=512,
             vocab_size=20000, image_size=224,
         )
+        # TPU-native serving config: bf16 compute (conv/LSTM/attention on the
+        # bf16 MXU path) + fused Pallas attention. The torch-CPU baseline
+        # stays fp32 — that's what the reference runs.
         model = ModelConfig(hidden_size=128, img_feat_dim=4096, audio_feat_dim=40,
-                            drop_prob=0.0, max_decode_steps=4)
+                            drop_prob=0.0, max_decode_steps=4,
+                            compute_dtype="bfloat16", use_pallas_attention=True)
     return Config(model=model, data=data)
 
 
@@ -56,6 +60,31 @@ def make_raw_batch(rng, cfg, B, frame_hw=(240, 320)):
         "frames": (rng.random((B, d.max_keyframes, *frame_hw, 3)) * 255).astype(np.uint8),
         "waveform": (rng.standard_normal((B, n_samples)) * 0.1).astype(np.float32),
     }
+
+
+def make_raw_batch_on_device(cfg, B, frame_hw=(240, 320)):
+    """Device-side synthetic raw batch (see bench_jax note on H2D cost)."""
+    import jax
+    import jax.numpy as jnp
+
+    d, m = cfg.data, cfg.model
+    n_samples = d.max_audio_frames * d.hop_length + d.win_length
+    T_s, W, T_i, T_a = d.max_sentences, d.max_words, d.max_keyframes, d.max_audio_frames
+    ks = jax.random.split(jax.random.key(7), 4)
+
+    @jax.jit
+    def gen():
+        return {
+            "text_ids": jax.random.randint(ks[0], (B, T_s, W), 2, d.vocab_size, jnp.int32),
+            "word_mask": jnp.ones((B, T_s, W), jnp.float32),
+            "sent_mask": jnp.ones((B, T_s), jnp.float32),
+            "img_mask": jnp.ones((B, T_i), jnp.float32),
+            "aud_mask": jnp.ones((B, T_a), jnp.float32),
+            "frames": jax.random.randint(ks[1], (B, T_i, *frame_hw, 3), 0, 256, jnp.int32).astype(jnp.uint8),
+            "waveform": jax.random.normal(ks[2], (B, n_samples), jnp.float32) * 0.1,
+        }
+
+    return {k: v for k, v in gen().items()}
 
 
 def bench_jax(cfg, batch_size: int, iters: int, vgg_spec) -> dict:
@@ -82,7 +111,11 @@ def bench_jax(cfg, batch_size: int, iters: int, vgg_spec) -> dict:
     from mmbidaf_tpu.data.frontend import frontend_init
 
     fe = frontend_init(jax.random.key(1), cfg, vgg_spec=vgg_spec)
-    raw = {k: jnp.asarray(v) for k, v in make_raw_batch(rng, cfg, batch_size).items()}
+    # Synthetic raw batch generated ON DEVICE: host-side generation + H2D of
+    # ~100 MB of frames through this tunnelled backend costs minutes of wall
+    # clock and is not part of the measured pipeline (the slope timing below
+    # excludes one-time transfers anyway).
+    raw = make_raw_batch_on_device(cfg, batch_size)
 
     @jax.jit
     def step(params, fe, raw, acc):
@@ -195,7 +228,7 @@ def main():
     ap.add_argument("--quick", action="store_true", help="small shapes (CI smoke)")
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--iters", type=int, default=5)
-    ap.add_argument("--baseline-videos", type=int, default=2)
+    ap.add_argument("--baseline-videos", type=int, default=1)
     ap.add_argument("--skip-baseline", action="store_true")
     args = ap.parse_args()
 

@@ -38,8 +38,11 @@ class ModelConfig:
     use_audio: bool = True
     # Compute dtype for the accelerated path; params stay fp32.
     compute_dtype: str = "float32"
-    # Use fused Pallas kernels for attention (behind a flag, SURVEY §8 phase 6)
+    # Fused Pallas kernels (behind flags, SURVEY §8 phase 6). Both apply to
+    # the inference path only (no custom VJPs yet); training uses the jnp
+    # versions whose autodiff XLA fuses well.
     use_pallas_attention: bool = False
+    use_pallas_lstm: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -50,12 +50,20 @@ def apply_frontend(
       text_ids/word_mask/sent_mask/img_mask/aud_mask: as in the model batch
     """
     d = cfg.data
+    compute_dtype = jnp.dtype(cfg.model.compute_dtype)
     out = {k: raw[k] for k in ("text_ids", "word_mask", "sent_mask") if k in raw}
     if cfg.model.use_images and "frames" in raw:
         B, T_i = raw["frames"].shape[:2]
         flat = raw["frames"].reshape((B * T_i,) + raw["frames"].shape[2:])
         imgs = vgg_ops.preprocess_frames(flat, d.image_size)
-        feats = vgg_ops.vgg_features(fe_params["vgg"], imgs, vgg_spec)
+        vgg_params = fe_params["vgg"]
+        if compute_dtype != jnp.float32:
+            # The VGG convs are ~95% of frontend FLOPs — run them on the
+            # bf16 MXU path when the model's compute dtype asks for it.
+            cast = lambda x: x.astype(compute_dtype) if x.dtype == jnp.float32 else x
+            vgg_params = jax.tree.map(cast, vgg_params)
+            imgs = imgs.astype(compute_dtype)
+        feats = vgg_ops.vgg_features(vgg_params, imgs, vgg_spec).astype(jnp.float32)
         out["images"] = feats.reshape(B, T_i, -1) * raw["img_mask"][:, :, None]
         out["img_mask"] = raw["img_mask"]
     if cfg.model.use_audio and "waveform" in raw:

@@ -74,6 +74,7 @@ def encode_text(
     sent_mask: jax.Array,
     drop_prob: float = 0.0,
     rng: jax.Array | None = None,
+    bilstm_fn=bilstm_apply,
 ) -> jax.Array:
     """Hierarchical text tower → sentence encodings ``[B, T_s, 2h]``.
 
@@ -87,16 +88,18 @@ def encode_text(
     flat_mask = word_mask.reshape(B * T_s, W)
     # Empty (fully padded) sentences would make every step masked; the scan
     # then returns the zero init state, which is what we want for pads.
-    _, (h_n, _) = bilstm_apply(params["word_lstm"], flat, flat_mask)  # [B*T_s, 2h]
+    _, (h_n, _) = bilstm_fn(params["word_lstm"], flat, flat_mask)  # [B*T_s, 2h]
     sent_vecs = h_n.reshape(B, T_s, 2 * h)
-    out, _ = bilstm_apply(params["sent_lstm"], sent_vecs, sent_mask)
+    out, _ = bilstm_fn(params["sent_lstm"], sent_vecs, sent_mask)
     return out
 
 
-def fuse_and_model(params: dict, gs: list[jax.Array], sent_mask: jax.Array) -> jax.Array:
+def fuse_and_model(
+    params: dict, gs: list[jax.Array], sent_mask: jax.Array, bilstm_fn=bilstm_apply
+) -> jax.Array:
     g = jnp.concatenate(gs, axis=-1) if len(gs) > 1 else gs[0]
     fused = jax.nn.relu(g @ params["fuse_w"] + params["fuse_b"])
-    M, _ = bilstm_apply(params["model_lstm"], fused, sent_mask)
+    M, _ = bilstm_fn(params["model_lstm"], fused, sent_mask)
     return M
 
 
@@ -135,20 +138,29 @@ def mmbidaf_fused_reps(
     drop = m.drop_prob if rng is not None else 0.0
     rngs = jax.random.split(rng, 4) if rng is not None else [None] * 4
 
+    # Pallas LSTM kernel on the inference path (no VJP defined for it yet).
+    if m.use_pallas_lstm and rng is None:
+        from mmbidaf_tpu.ops.pallas.lstm_kernel import bilstm_pallas
+
+        bilstm_fn = bilstm_pallas
+    else:
+        bilstm_fn = bilstm_apply
+
     text_enc = encode_text(
-        params, batch["text_ids"], batch["word_mask"], batch["sent_mask"], drop, rngs[0]
+        params, batch["text_ids"], batch["word_mask"], batch["sent_mask"], drop, rngs[0],
+        bilstm_fn,
     )
     sent_mask = batch["sent_mask"]
 
     gs = []
     if m.use_images:
-        img_enc, _ = bilstm_apply(params["img_lstm"], batch["images"], batch["img_mask"])
+        img_enc, _ = bilstm_fn(params["img_lstm"], batch["images"], batch["img_mask"])
         gs.append(
             _bidaf(params["att_img"], text_enc, img_enc, sent_mask,
                    batch["img_mask"], drop, rngs[1], cfg)
         )
     if m.use_audio:
-        aud_enc, _ = bilstm_apply(params["aud_lstm"], batch["audio"], batch["aud_mask"])
+        aud_enc, _ = bilstm_fn(params["aud_lstm"], batch["audio"], batch["aud_mask"])
         gs.append(
             _bidaf(params["att_aud"], text_enc, aud_enc, sent_mask,
                    batch["aud_mask"], drop, rngs[2], cfg)
@@ -158,7 +170,7 @@ def mmbidaf_fused_reps(
             _bidaf(params["att_self"], text_enc, text_enc, sent_mask,
                    sent_mask, drop, rngs[3], cfg)
         )
-    return fuse_and_model(params, gs, sent_mask).astype(jnp.float32)
+    return fuse_and_model(params, gs, sent_mask, bilstm_fn).astype(jnp.float32)
 
 
 def mmbidaf_apply(

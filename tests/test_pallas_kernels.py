@@ -62,3 +62,42 @@ def test_model_decode_with_pallas_attention_matches(rng):
     log_p_pl, picks_pl = mmbidaf_decode(params, batch, cfg_pl)
     np.testing.assert_array_equal(np.asarray(picks_ref), np.asarray(picks_pl))
     np.testing.assert_allclose(np.asarray(log_p_ref), np.asarray(log_p_pl), atol=2e-5)
+
+
+def test_pallas_lstm_matches_scan(rng):
+    from mmbidaf_tpu.ops.lstm import bilstm_apply, bilstm_init
+    from mmbidaf_tpu.ops.pallas.lstm_kernel import bilstm_pallas
+
+    B, T, in_dim, h = 4, 11, 6, 8
+    params = bilstm_init(jax.random.key(3), in_dim, h)
+    x = jnp.asarray(rng.standard_normal((B, T, in_dim)).astype(np.float32))
+    lengths = np.array([11, 5, 1, 8])
+    mask = jnp.asarray((np.arange(T)[None] < lengths[:, None]).astype(np.float32))
+
+    ref_out, (ref_h, ref_c) = bilstm_apply(params, x, mask)
+    out, (h_n, c_n) = bilstm_pallas(params, x, mask, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(h_n), np.asarray(ref_h), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(c_n), np.asarray(ref_c), atol=2e-5)
+
+
+def test_model_decode_with_pallas_lstm_matches(rng):
+    """Full-model greedy decode with the Pallas LSTM == scan path (interpret)."""
+    import dataclasses
+
+    from mmbidaf_tpu.config import tiny_test_config
+    from mmbidaf_tpu.data.synthetic import random_word_vectors, synthetic_batch
+    from mmbidaf_tpu.models.mmbidaf import mmbidaf_decode, mmbidaf_init
+
+    cfg = tiny_test_config()
+    wv = random_word_vectors(rng, cfg.data.vocab_size, cfg.model.emb_dim)
+    params = mmbidaf_init(jax.random.key(1), cfg, jnp.asarray(wv))
+    batch = {k: jnp.asarray(v) for k, v in synthetic_batch(rng, cfg, batch_size=2).items()}
+
+    log_p_ref, picks_ref = mmbidaf_decode(params, batch, cfg)
+    cfg_pl = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, use_pallas_lstm=True)
+    )
+    log_p_pl, picks_pl = mmbidaf_decode(params, batch, cfg_pl)
+    np.testing.assert_array_equal(np.asarray(picks_ref), np.asarray(picks_pl))
+    np.testing.assert_allclose(np.asarray(log_p_ref), np.asarray(log_p_pl), atol=3e-5)
