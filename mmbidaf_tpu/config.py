@@ -75,6 +75,12 @@ class TrainConfig:
     num_epochs: int = 30
     lr: float = 0.5
     optimizer: str = "adadelta"   # starter lineage default; "adam" supported
+    # LR schedule (reference train driver has an LR scheduler slot):
+    # "constant" | "cosine" | "exponential"; warmup applies to all of them.
+    lr_schedule: str = "constant"
+    warmup_steps: int = 0
+    decay_steps: int = 100_000    # horizon for cosine/exponential
+    lr_min_ratio: float = 0.01    # floor as a fraction of peak lr
     max_grad_norm: float = 5.0
     ema_decay: float = 0.999
     l2_wd: float = 0.0

@@ -46,12 +46,33 @@ def _frozen_mask(params: Any) -> Any:
     return jax.tree_util.tree_map_with_path(mask_fn, params)
 
 
+def make_lr_schedule(cfg: Config) -> optax.Schedule:
+    """Warmup + {constant, cosine, exponential} decay (reference LR-scheduler slot)."""
+    t = cfg.train
+    floor = t.lr * t.lr_min_ratio
+    if t.lr_schedule == "constant":
+        main = optax.constant_schedule(t.lr)
+    elif t.lr_schedule == "cosine":
+        main = optax.cosine_decay_schedule(t.lr, t.decay_steps, alpha=t.lr_min_ratio)
+    elif t.lr_schedule == "exponential":
+        main = optax.exponential_decay(
+            t.lr, t.decay_steps, decay_rate=t.lr_min_ratio, end_value=floor
+        )
+    else:
+        raise ValueError(f"unknown lr_schedule {t.lr_schedule!r}")
+    if t.warmup_steps > 0:
+        warmup = optax.linear_schedule(0.0, t.lr, t.warmup_steps)
+        return optax.join_schedules([warmup, main], [t.warmup_steps])
+    return main
+
+
 def make_optimizer(cfg: Config, params: Any) -> optax.GradientTransformation:
     t = cfg.train
+    schedule = make_lr_schedule(cfg)
     if t.optimizer == "adadelta":
-        opt = optax.adadelta(learning_rate=t.lr)
+        opt = optax.adadelta(learning_rate=schedule)
     elif t.optimizer == "adam":
-        opt = optax.adam(learning_rate=t.lr)
+        opt = optax.adam(learning_rate=schedule)
     else:
         raise ValueError(f"unknown optimizer {t.optimizer!r}")
     chain = [optax.clip_by_global_norm(t.max_grad_norm), opt]

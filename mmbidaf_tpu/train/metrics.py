@@ -64,3 +64,32 @@ def summary_from_picks(picks, sentences: list[str]) -> str:
         if 0 <= i < len(sentences) and i not in seen:
             seen.append(i)
     return " ".join(sentences[i] for i in sorted(seen))
+
+
+class TensorboardWriter:
+    """Optional tensorboard scalars (the reference logs loss/ROUGE/LR curves
+    to tensorboardX). Uses tf.summary if tensorflow is importable; silently
+    no-ops otherwise so the training loop never depends on TF.
+    """
+
+    def __init__(self, log_dir: str):
+        try:
+            import tensorflow as tf  # installed in this image
+
+            self._tf = tf
+            self._writer = tf.summary.create_file_writer(log_dir)
+        except Exception:
+            self._tf = None
+            self._writer = None
+
+    @property
+    def active(self) -> bool:
+        return self._writer is not None
+
+    def log(self, step: int, scalars: Mapping[str, float]) -> None:
+        if self._writer is None:
+            return
+        with self._writer.as_default():
+            for k, v in scalars.items():
+                self._tf.summary.scalar(k, float(v), step=step)
+        self._writer.flush()

@@ -109,3 +109,32 @@ def test_average_meter():
     m.update(1.0, 2)
     m.update(4.0, 1)
     assert abs(m.avg - 2.0) < 1e-9
+
+
+def test_lr_schedules():
+    from mmbidaf_tpu.config import Config, TrainConfig
+    from mmbidaf_tpu.train.loop import make_lr_schedule
+
+    base = Config()
+    cos = dataclasses.replace(
+        base, train=TrainConfig(lr=1.0, lr_schedule="cosine", warmup_steps=10, decay_steps=100)
+    )
+    sched = make_lr_schedule(cos)
+    assert float(sched(0)) == 0.0
+    assert abs(float(sched(10)) - 1.0) < 1e-6
+    assert float(sched(110)) < 0.05  # decayed to ~alpha
+    exp = dataclasses.replace(
+        base, train=TrainConfig(lr=1.0, lr_schedule="exponential", decay_steps=100)
+    )
+    assert float(make_lr_schedule(exp)(100)) <= 0.011
+
+
+def test_tensorboard_writer(tmp_path):
+    import os
+
+    from mmbidaf_tpu.train.metrics import TensorboardWriter
+
+    w = TensorboardWriter(str(tmp_path / "tb"))
+    w.log(1, {"loss": 0.5})
+    if w.active:
+        assert any(files for _, _, files in os.walk(str(tmp_path / "tb")))
