@@ -43,7 +43,10 @@ def decoder_init(key: jax.Array, m_dim: int, attn_dim: int, dtype=jnp.float32) -
     }
 
 
-@partial(jax.jit, static_argnames=("num_steps", "teacher_forcing", "mask_selected"))
+@partial(
+    jax.jit,
+    static_argnames=("num_steps", "teacher_forcing", "mask_selected", "mode", "topk"),
+)
 def decoder_apply(
     params: dict,
     M: jax.Array,
@@ -52,12 +55,22 @@ def decoder_apply(
     num_steps: int = 4,
     teacher_forcing: bool = False,
     mask_selected: bool = True,
+    mode: str = "greedy",
+    topk: int = 4,
+    rng: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Decode ``num_steps`` sentence pointers over fused reps ``M [B,T_s,d]``.
 
     ``targets [B, K]`` (gold sentence indices) must be given when
-    ``teacher_forcing=True``. Returns ``(log_probs [B,K,T_s], picks [B,K])``.
+    ``teacher_forcing=True``. ``mode='greedy'`` takes the argmax;
+    ``mode='topk'`` samples from the renormalized top-``topk`` sentences
+    (the reference's greedy/top-k pointer decode — rng required).
+    Returns ``(log_probs [B,K,T_s], picks [B,K])``.
     """
+    if mode not in ("greedy", "topk"):
+        raise ValueError(f"unknown decode mode {mode!r}")
+    if mode == "topk" and rng is None:
+        raise ValueError("topk decoding needs an rng key")
     B, T_s, d = M.shape
     dtype = M.dtype
     sent_mask = sent_mask.astype(dtype)
@@ -65,8 +78,13 @@ def decoder_apply(
     # Hoist the (large) key projection out of the scan: one GEMM over all
     # sentences, reused every decode step.
     M_keys = M @ params["w_m"]  # [B, T_s, a]
+    step_rngs = (
+        jax.random.split(rng, num_steps) if rng is not None
+        else jnp.zeros((num_steps, 2), jnp.uint32)
+    )
 
-    def step(carry, k):
+    def step(carry, inputs):
+        k, step_rng = inputs
         h, c, inp, selected = carry
         h, c = lstm_cell(
             inp @ params["lstm"]["w_x"] + params["lstm"]["b"], h, c, params["lstm"]["w_h"]
@@ -74,7 +92,12 @@ def decoder_apply(
         scores = jnp.tanh(M_keys + (h @ params["w_d"])[:, None, :]) @ params["v"]
         avail = sent_mask * (1.0 - selected) if mask_selected else sent_mask
         log_p = jax.nn.log_softmax(mask_logits(scores, avail), axis=-1)
-        pick = jnp.argmax(log_p, axis=-1)  # [B]
+        if mode == "topk":
+            kth = jnp.sort(log_p, axis=-1)[:, -topk][:, None]
+            trunc = jnp.where(log_p >= kth, log_p, -jnp.inf)
+            pick = jax.random.categorical(step_rng, trunc, axis=-1)
+        else:
+            pick = jnp.argmax(log_p, axis=-1)  # [B]
         feed_idx = targets[:, k] if teacher_forcing else pick
         inp_next = jnp.take_along_axis(M, feed_idx[:, None, None], axis=1)[:, 0, :]
         selected = selected.at[jnp.arange(B), feed_idx].set(1.0) if mask_selected else selected
@@ -86,5 +109,7 @@ def decoder_apply(
         jnp.broadcast_to(params["start"], (B, d)),
         jnp.zeros((B, T_s), dtype),
     )
-    _, (log_probs, picks) = jax.lax.scan(step, init, jnp.arange(num_steps))
+    _, (log_probs, picks) = jax.lax.scan(
+        step, init, (jnp.arange(num_steps), step_rngs)
+    )
     return jnp.swapaxes(log_probs, 0, 1), jnp.swapaxes(picks, 0, 1)

@@ -197,8 +197,12 @@ def mmbidaf_decode(
     params: dict,
     batch: Mapping[str, jax.Array],
     cfg: Config,
+    mode: str = "greedy",
+    topk: int = 4,
+    rng: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
-    """Greedy inference → ``(log_probs [B,K,T_s], picks [B,K])``."""
+    """Inference → ``(log_probs [B,K,T_s], picks [B,K])``; greedy or top-k
+    sampling (the reference's two decode modes)."""
     M = mmbidaf_fused_reps(params, batch, cfg, rng=None)
     return decoder_apply(
         params["decoder"],
@@ -208,4 +212,7 @@ def mmbidaf_decode(
         num_steps=cfg.model.max_decode_steps,
         teacher_forcing=False,
         mask_selected=cfg.model.mask_selected,
+        mode=mode,
+        topk=topk,
+        rng=rng,
     )

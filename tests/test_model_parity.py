@@ -100,3 +100,25 @@ def test_selected_sentences_not_repicked():
     picks = np.asarray(picks)
     for row in picks:
         assert len(set(row.tolist())) == len(row)
+
+
+def test_topk_decode_valid_and_stochastic():
+    """top-k decode picks valid, unrepeated sentences and differs across rngs."""
+    import jax
+
+    from mmbidaf_tpu.models.mmbidaf import mmbidaf_decode
+
+    cfg, tm, params, batch = _build_pair(True, True, seed=9)
+    jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+    _, picks_a = mmbidaf_decode(params, jbatch, cfg, mode="topk", topk=3, rng=jax.random.key(0))
+    _, picks_b = mmbidaf_decode(params, jbatch, cfg, mode="topk", topk=3, rng=jax.random.key(1))
+    n_valid = batch["sent_mask"].sum(axis=1)
+    assert (np.asarray(picks_a) < n_valid[:, None]).all()
+    for row in np.asarray(picks_a):
+        assert len(set(row.tolist())) == len(row)  # mask_selected respected
+    # different seeds should usually differ somewhere
+    assert not np.array_equal(np.asarray(picks_a), np.asarray(picks_b))
+    # topk=1 degenerates to greedy
+    _, greedy = mmbidaf_decode(params, jbatch, cfg)
+    _, top1 = mmbidaf_decode(params, jbatch, cfg, mode="topk", topk=1, rng=jax.random.key(2))
+    np.testing.assert_array_equal(np.asarray(greedy), np.asarray(top1))
