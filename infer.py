@@ -24,6 +24,8 @@ def main():
     ap.add_argument("--batch_size", type=int, default=8)
     ap.add_argument("--num_batches", type=int, default=1)
     ap.add_argument("--seed", type=int, default=224)
+    ap.add_argument("--mode", default="greedy", choices=["greedy", "topk"])
+    ap.add_argument("--topk", type=int, default=4)
     a = ap.parse_args()
 
     from mmbidaf_tpu.config import Config
@@ -56,7 +58,15 @@ def main():
         state = restored
         print(f"loaded step {int(state.step)}")
 
-    eval_step = make_eval_step(cfg)
+    if a.mode == "topk":
+        from mmbidaf_tpu.models.mmbidaf import mmbidaf_decode
+
+        def eval_step(params, batch, _rng=[jax.random.key(a.seed)]):
+            _rng[0], k = jax.random.split(_rng[0])
+            _, picks = mmbidaf_decode(params, batch, cfg, mode="topk", topk=a.topk, rng=k)
+            return {"picks": picks}
+    else:
+        eval_step = make_eval_step(cfg)
     stream = batch_stream(a.seed, cfg, a.batch_size)
 
     # Synthetic "sentences" for summary assembly.

@@ -95,11 +95,18 @@ def main():
     from mmbidaf_tpu.parallel import make_mesh, shard_batch, shard_params
     from mmbidaf_tpu.train import checkpoint as ckpt
     from mmbidaf_tpu.train.loop import init_train_state, make_eval_step, make_train_step
-    from mmbidaf_tpu.train.metrics import AverageMeter, JsonlLogger
+    from mmbidaf_tpu.train.metrics import (
+        AverageMeter,
+        JsonlLogger,
+        TensorboardWriter,
+        rouge_scores,
+        summary_from_picks,
+    )
 
     run_dir = os.path.join(cfg.train.save_dir, cfg.train.name)
     os.makedirs(run_dir, exist_ok=True)
     logger = JsonlLogger(os.path.join(run_dir, "log.jsonl"))
+    tb = TensorboardWriter(os.path.join(run_dir, "tb"))
 
     mesh = make_mesh()
     print(f"devices: {jax.device_count()} ({jax.default_backend()}), mesh: {mesh}")
@@ -138,15 +145,30 @@ def main():
         meter.update(loss)
         step = int(state.step)
         if step % 50 == 0:
-            logger.log(step, {"loss": meter.avg, "grad_norm": float(metrics["grad_norm"])})
+            scalars = {"loss": meter.avg, "grad_norm": float(metrics["grad_norm"])}
+            logger.log(step, scalars)
+            tb.log(step, scalars)
             print(f"step {step}: loss {meter.avg:.4f}")
             meter.reset()
         if step % cfg.train.eval_steps == 0:
             ev = eval_step(state.ema_params, eval_batch)
             ev_loss = float(ev["loss"])
-            logger.log(step, {"eval_loss": ev_loss})
-            print(f"step {step}: eval_loss {ev_loss:.4f}")
-            ckpt.save(manager, state, {"loss": ev_loss})
+            # dev ROUGE against the synthetic gold (sentence-index overlap)
+            picks = np.asarray(ev["picks"])
+            sentences = [f"transcript sentence {i}." for i in range(cfg.data.max_sentences)]
+            targets_np = np.asarray(jax.device_get(eval_batch["targets"]))
+            r_sum = {"ROUGE-1": 0.0, "ROUGE-2": 0.0, "ROUGE-L": 0.0}
+            n_ev = min(8, picks.shape[0])
+            for b in range(n_ev):
+                hyp = summary_from_picks(picks[b], sentences)
+                gold = " ".join(sentences[i] for i in targets_np[b])
+                for k, v in rouge_scores(hyp, gold).items():
+                    r_sum[k] += v / n_ev
+            scalars = {"eval_loss": ev_loss, **{k: v for k, v in r_sum.items()}}
+            logger.log(step, scalars)
+            tb.log(step, scalars)
+            print(f"step {step}: eval_loss {ev_loss:.4f} ROUGE-L {r_sum['ROUGE-L']:.3f}")
+            ckpt.save(manager, state, {"loss": ev_loss, **r_sum})
 
     logger.close()
     print("done")
