@@ -140,3 +140,69 @@ def port_mmbidaf(
     params["fuse_b"] = fuse["b"]
     params["model_lstm"] = port_bilstm(sd, "model_enc.rnn")
     return params
+
+
+# ---------------------------------------------------------------------------
+# Reverse direction: JAX params pytree → reference-layout state_dict (numpy).
+# Lets models trained here be loaded by the PyTorch reference (or any tool
+# expecting its checkpoint format). export then port_mmbidaf is identity.
+# ---------------------------------------------------------------------------
+
+def _export_linear(out: dict, prefix: str, w, b=None) -> None:
+    out[_key(prefix, "weight")] = np.asarray(w).T
+    if b is not None:
+        out[_key(prefix, "bias")] = np.asarray(b)
+
+
+def _export_lstm_direction(out: dict, prefix: str, p: dict, suffix: str = "") -> None:
+    out[_key(prefix, f"weight_ih_l0{suffix}")] = np.asarray(p["w_x"]).T
+    out[_key(prefix, f"weight_hh_l0{suffix}")] = np.asarray(p["w_h"]).T
+    b = np.asarray(p["b"])
+    # torch stores two bias vectors that are summed; split evenly.
+    out[_key(prefix, f"bias_ih_l0{suffix}")] = b * 0.5
+    out[_key(prefix, f"bias_hh_l0{suffix}")] = b * 0.5
+
+
+def _export_bilstm(out: dict, prefix: str, p: dict) -> None:
+    _export_lstm_direction(out, prefix, p["fwd"])
+    _export_lstm_direction(out, prefix, p["bwd"], "_reverse")
+
+
+def _export_bidaf(out: dict, prefix: str, p: dict) -> None:
+    out[_key(prefix, "c_weight")] = np.asarray(p["w_c"]).reshape(-1, 1)
+    out[_key(prefix, "q_weight")] = np.asarray(p["w_q"]).reshape(-1, 1)
+    out[_key(prefix, "cq_weight")] = np.asarray(p["w_cq"]).reshape(1, 1, -1)
+    out[_key(prefix, "bias")] = np.asarray(p["bias"]).reshape(1)
+
+
+def export_mmbidaf(params: dict) -> dict:
+    """Our params pytree → reference-layout ``dict[str, np.ndarray]``."""
+    out: dict = {}
+    emb = params["embedding"]
+    out["emb.embed.weight"] = np.asarray(emb["table"])
+    _export_linear(out, "emb.proj", emb["proj_w"])
+    for i, layer in enumerate(emb["highway"]["layers"]):
+        _export_linear(out, f"emb.hwy.gates.{i}", layer["gate_w"], layer["gate_b"])
+        _export_linear(out, f"emb.hwy.transforms.{i}", layer["transform_w"], layer["transform_b"])
+    _export_bilstm(out, "word_enc.rnn", params["word_lstm"])
+    _export_bilstm(out, "sent_enc.rnn", params["sent_lstm"])
+    if "img_lstm" in params:
+        _export_bilstm(out, "img_enc.rnn", params["img_lstm"])
+        _export_bidaf(out, "att_img", params["att_img"])
+    if "aud_lstm" in params:
+        _export_bilstm(out, "aud_enc.rnn", params["aud_lstm"])
+        _export_bidaf(out, "att_aud", params["att_aud"])
+    if "att_self" in params:
+        _export_bidaf(out, "att_self", params["att_self"])
+    _export_linear(out, "fuse", params["fuse_w"], params["fuse_b"])
+    _export_bilstm(out, "model_enc.rnn", params["model_lstm"])
+    dec = params["decoder"]
+    out["decoder.cell.weight_ih"] = np.asarray(dec["lstm"]["w_x"]).T
+    out["decoder.cell.weight_hh"] = np.asarray(dec["lstm"]["w_h"]).T
+    out["decoder.cell.bias_ih"] = np.asarray(dec["lstm"]["b"]) * 0.5
+    out["decoder.cell.bias_hh"] = np.asarray(dec["lstm"]["b"]) * 0.5
+    out["decoder.w_m"] = np.asarray(dec["w_m"])
+    out["decoder.w_d"] = np.asarray(dec["w_d"])
+    out["decoder.v"] = np.asarray(dec["v"])
+    out["decoder.start"] = np.asarray(dec["start"])
+    return out

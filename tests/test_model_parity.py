@@ -122,3 +122,40 @@ def test_topk_decode_valid_and_stochastic():
     _, greedy = mmbidaf_decode(params, jbatch, cfg)
     _, top1 = mmbidaf_decode(params, jbatch, cfg, mode="topk", topk=1, rng=jax.random.key(2))
     np.testing.assert_array_equal(np.asarray(greedy), np.asarray(top1))
+
+
+def test_export_then_import_roundtrip():
+    """export_mmbidaf → port_mmbidaf is the identity on the params pytree,
+    and the exported state_dict loads into the torch oracle cleanly."""
+    import jax as _jax
+    import torch as _torch
+
+    from mmbidaf_tpu.config import tiny_test_config
+    from mmbidaf_tpu.data.synthetic import random_word_vectors
+    from mmbidaf_tpu.interop.torch_port import export_mmbidaf, port_mmbidaf
+    from mmbidaf_tpu.models.mmbidaf import mmbidaf_init
+
+    cfg = tiny_test_config()
+    rng = np.random.default_rng(5)
+    wv = random_word_vectors(rng, cfg.data.vocab_size, cfg.model.emb_dim)
+    params = mmbidaf_init(_jax.random.key(5), cfg, jnp.asarray(wv))
+    sd = export_mmbidaf(params)
+    params2 = port_mmbidaf(sd, use_images=True, use_audio=True)
+    flat1 = _jax.tree_util.tree_leaves_with_path(params)
+    flat2 = dict(_jax.tree_util.tree_leaves_with_path(params2))
+    # build path->leaf maps and compare
+    for path, leaf in flat1:
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(dict(flat2)[path]), atol=1e-6,
+            err_msg=str(path),
+        )
+    # exported dict loads into the torch oracle (strict key match)
+    tm = oracle.MMBiDAF(
+        torch.from_numpy(wv), cfg.model.hidden_size,
+        img_feat_dim=cfg.model.img_feat_dim, audio_feat_dim=cfg.model.audio_feat_dim,
+    )
+    missing, unexpected = tm.load_state_dict(
+        {k: _torch.from_numpy(np.array(v)) for k, v in sd.items()}, strict=False
+    )
+    assert not unexpected, f"unexpected keys: {unexpected}"
+    assert not missing, f"missing keys: {missing}"
