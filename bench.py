@@ -70,10 +70,12 @@ def make_raw_batch_on_device(cfg, B, frame_hw=(240, 320)):
     d, m = cfg.data, cfg.model
     n_samples = d.max_audio_frames * d.hop_length + d.win_length
     T_s, W, T_i, T_a = d.max_sentences, d.max_words, d.max_keyframes, d.max_audio_frames
-    ks = jax.random.split(jax.random.key(7), 4)
 
     @jax.jit
-    def gen():
+    def gen(seed):
+        # Keys derived inside jit (closure key constants would be fetched
+        # host-side at lowering time — a needless D2H on this backend).
+        ks = jax.random.split(jax.random.key(seed), 4)
         return {
             "text_ids": jax.random.randint(ks[0], (B, T_s, W), 2, d.vocab_size, jnp.int32),
             "word_mask": jnp.ones((B, T_s, W), jnp.float32),
@@ -84,7 +86,7 @@ def make_raw_batch_on_device(cfg, B, frame_hw=(240, 320)):
             "waveform": jax.random.normal(ks[2], (B, n_samples), jnp.float32) * 0.1,
         }
 
-    return {k: v for k, v in gen().items()}
+    return {k: v for k, v in gen(jnp.int32(7)).items()}
 
 
 def bench_jax(cfg, batch_size: int, iters: int, vgg_spec) -> dict:
