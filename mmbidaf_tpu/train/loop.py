@@ -96,8 +96,13 @@ def init_train_state(key: jax.Array, params: Any, cfg: Config) -> TrainState:
     )
 
 
-def make_train_step(cfg: Config) -> Callable:
-    """Build the jitted, donated train step for config ``cfg``."""
+def make_train_step(cfg: Config, fe_params: Any = None, vgg_spec=None) -> Callable:
+    """Build the jitted, donated train step for config ``cfg``.
+
+    With ``fe_params`` given, batches may be RAW (frames/waveform instead of
+    features): the device-side frontend runs inside the jitted step, frozen
+    (the reference also trains on frozen VGG/MFCC features — SURVEY §3.1).
+    """
     decay = cfg.train.ema_decay
     # tx is rebuilt per call-site from cfg; its state lives in TrainState.
     tx_holder: dict = {}
@@ -107,13 +112,26 @@ def make_train_step(cfg: Config) -> Callable:
             tx_holder["tx"] = make_optimizer(cfg, params)
         return tx_holder["tx"]
 
+    if fe_params is not None:
+        from mmbidaf_tpu.data.frontend import apply_frontend
+        from mmbidaf_tpu.ops.vgg import VGG16_SPEC
+
+        spec = vgg_spec or VGG16_SPEC
+
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch: Mapping[str, jax.Array]):
         rng, step_rng = jax.random.split(state.rng)
+        if fe_params is not None and ("frames" in batch or "waveform" in batch):
+            feat = apply_frontend(fe_params, batch, cfg, spec)
+            feat["targets"] = batch["targets"]
+            feat["target_mask"] = batch["target_mask"]
+            batch_f = feat
+        else:
+            batch_f = batch
 
         def loss_fn(params):
-            log_p = mmbidaf_apply(params, batch, cfg, rng=step_rng)
-            return nll_loss(log_p, batch["targets"], batch["target_mask"])
+            log_p = mmbidaf_apply(params, batch_f, cfg, rng=step_rng)
+            return nll_loss(log_p, batch_f["targets"], batch_f["target_mask"])
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         tx = get_tx(state.params)

@@ -159,3 +159,48 @@ def test_corpus_to_decode_roundtrip(disk_corpus):
     assert picks.shape == (2, cfg.model.max_decode_steps)
     n_valid = batch["sent_mask"].sum(axis=1)
     assert (np.asarray(picks) < n_valid[:, None]).all()
+
+
+def test_train_on_raw_disk_corpus(disk_corpus):
+    """Raw on-disk corpus → frontend-inside-train-step → finite loss (config 5
+    training path: raw video → features → model, one jitted program)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from mmbidaf_tpu.data.frontend import frontend_init
+    from mmbidaf_tpu.data.pipeline import VideoCorpus, batched_iterator
+    from mmbidaf_tpu.models.mmbidaf import mmbidaf_init
+    from mmbidaf_tpu.ops.vgg import TINY_SPEC
+    from mmbidaf_tpu.train.loop import init_train_state, make_train_step
+
+    root, cfg = disk_corpus
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(
+            cfg.model, img_feat_dim=32, audio_feat_dim=cfg.data.n_mfcc
+        ),
+        train=dataclasses.replace(cfg.train, optimizer="adam", lr=1e-3),
+    )
+    corpus_tokens = []
+    for vid in sorted(os.listdir(root)):
+        with open(os.path.join(root, vid, "transcript.txt")) as f:
+            for s in text.sent_tokenize(f.read()):
+                corpus_tokens.append(text.word_tokenize(s))
+    w2i = vocab.build_vocab(corpus_tokens)
+    corpus = VideoCorpus(root, cfg, w2i)
+
+    wv = np.random.default_rng(0).standard_normal((len(w2i), cfg.model.emb_dim)).astype(np.float32)
+    params = mmbidaf_init(jax.random.key(0), cfg, jnp.asarray(wv))
+    fe = frontend_init(jax.random.key(1), cfg, vgg_spec=TINY_SPEC)
+    state = init_train_state(jax.random.key(2), params, cfg)
+    train_step = make_train_step(cfg, fe_params=fe, vgg_spec=TINY_SPEC)
+
+    it = batched_iterator(corpus, batch_size=2, seed=0, drop_remainder=False)
+    losses = []
+    for _ in range(3):
+        batch = {k: jnp.asarray(v) for k, v in next(it).items()}
+        state, metrics = train_step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()

@@ -44,6 +44,10 @@ def parse_args():
     # data
     ap.add_argument("--max_sentences", type=int, default=32)
     ap.add_argument("--max_words", type=int, default=16)
+    ap.add_argument("--data_dir", default=None,
+                    help="root of per-video asset dirs (frames/ audio.wav "
+                         "transcript.txt summary.txt); default: synthetic corpus")
+    ap.add_argument("--glove_path", default=None, help="GloVe .txt for real corpora")
     ap.add_argument("--config_json", default=None, help="full Config overlay")
     return ap.parse_args()
 
@@ -112,7 +116,32 @@ def main():
     print(f"devices: {jax.device_count()} ({jax.default_backend()}), mesh: {mesh}")
 
     np_rng = np.random.default_rng(cfg.train.seed)
-    wv = random_word_vectors(np_rng, cfg.data.vocab_size, cfg.model.emb_dim)
+    fe_params = None
+    if a.data_dir:
+        # Real corpus: vocab from transcripts (+ optional GloVe), raw batches,
+        # device-side frontend inside the train step.
+        from mmbidaf_tpu.data.frontend import frontend_init
+        from mmbidaf_tpu.data.pipeline import VideoCorpus, batched_iterator
+        from mmbidaf_tpu.data.text import sent_tokenize, word_tokenize
+        from mmbidaf_tpu.data.vocab import build_vocab, load_glove
+
+        corpus_tokens = []
+        for vid in sorted(os.listdir(a.data_dir)):
+            tpath = os.path.join(a.data_dir, vid, "transcript.txt")
+            if os.path.isfile(tpath):
+                with open(tpath) as f:
+                    for sline in sent_tokenize(f.read()):
+                        corpus_tokens.append(word_tokenize(sline))
+        w2i = build_vocab(corpus_tokens, max_size=cfg.data.vocab_size)
+        if a.glove_path:
+            wv = load_glove(a.glove_path, w2i, cfg.model.emb_dim)
+        else:
+            wv = random_word_vectors(np_rng, len(w2i), cfg.model.emb_dim)
+        corpus = VideoCorpus(a.data_dir, cfg, w2i)
+        stream_raw = batched_iterator(corpus, cfg.train.batch_size, cfg.train.seed)
+        fe_params = frontend_init(jax.random.key(cfg.train.seed + 2), cfg)
+    else:
+        wv = random_word_vectors(np_rng, cfg.data.vocab_size, cfg.model.emb_dim)
     params = shard_params(
         mmbidaf_init(jax.random.key(cfg.train.seed), cfg, jnp.asarray(wv)), mesh
     )
@@ -129,14 +158,24 @@ def main():
         state = restored
         print(f"resumed from step {int(state.step)}")
 
-    train_step = make_train_step(cfg)
+    train_step = make_train_step(cfg, fe_params=fe_params)
     eval_step = make_eval_step(cfg)
     meter = AverageMeter()
 
-    stream = batch_stream(cfg.train.seed, cfg)
-    eval_batch = shard_batch(
-        {k: jnp.asarray(v) for k, v in next(stream).items()}, mesh
-    )
+    if a.data_dir:
+        from mmbidaf_tpu.data.frontend import apply_frontend
+
+        stream = stream_raw
+        raw_eval = {k: jnp.asarray(v) for k, v in next(stream).items()}
+        feat = jax.jit(lambda r: apply_frontend(fe_params, r, cfg))(raw_eval)
+        feat["targets"] = raw_eval["targets"]
+        feat["target_mask"] = raw_eval["target_mask"]
+        eval_batch = shard_batch(feat, mesh)
+    else:
+        stream = batch_stream(cfg.train.seed, cfg)
+        eval_batch = shard_batch(
+            {k: jnp.asarray(v) for k, v in next(stream).items()}, mesh
+        )
 
     for _ in range(a.num_steps):
         batch = shard_batch({k: jnp.asarray(v) for k, v in next(stream).items()}, mesh)
