@@ -123,3 +123,32 @@ def bidaf_attention_fused(
         params["w_cq"].astype(f32)[None],
         params["bias"].astype(f32).reshape(1, 1),
     )
+
+
+# ---------------------------------------------------------------------------
+# Trainable wrapper: fused Pallas forward + jnp-recompute backward.
+# The backward re-derives the (cheap) attention block with jax.vjp of the
+# reference jnp implementation — standard rematerialization, so the fused
+# kernel is usable under jax.grad (e.g. dropout-free fine-tuning).
+# ---------------------------------------------------------------------------
+
+@jax.custom_vjp
+def bidaf_attention_fused_trainable(params, c, q, c_mask, q_mask):
+    return bidaf_attention_fused(params, c, q, c_mask, q_mask)
+
+
+def _fused_fwd(params, c, q, c_mask, q_mask):
+    out = bidaf_attention_fused(params, c, q, c_mask, q_mask)
+    return out, (params, c, q, c_mask, q_mask)
+
+
+def _fused_bwd(res, g):
+    from mmbidaf_tpu.ops.bidaf import bidaf_apply
+
+    params, c, q, c_mask, q_mask = res
+    _, vjp = jax.vjp(lambda p, cc, qq: bidaf_apply(p, cc, qq, c_mask, q_mask), params, c, q)
+    d_params, d_c, d_q = vjp(g)
+    return d_params, d_c, d_q, None, None
+
+
+bidaf_attention_fused_trainable.defvjp(_fused_fwd, _fused_bwd)

@@ -101,3 +101,26 @@ def test_model_decode_with_pallas_lstm_matches(rng):
     log_p_pl, picks_pl = mmbidaf_decode(params, batch, cfg_pl)
     np.testing.assert_array_equal(np.asarray(picks_ref), np.asarray(picks_pl))
     np.testing.assert_allclose(np.asarray(log_p_ref), np.asarray(log_p_pl), atol=3e-5)
+
+
+def test_fused_bidaf_trainable_grads_match_jnp(rng):
+    """custom-VJP fused attention: grads == jnp reference grads (interpret)."""
+    from mmbidaf_tpu.ops.pallas.bidaf_kernel import bidaf_attention_fused_trainable
+
+    B, T_c, T_q, D = 2, 6, 5, 8
+    params = bidaf_init(jax.random.key(4), D)
+    c = jnp.asarray(rng.standard_normal((B, T_c, D)).astype(np.float32))
+    q = jnp.asarray(rng.standard_normal((B, T_q, D)).astype(np.float32))
+    c_mask = jnp.asarray(_ragged_mask(rng, B, T_c))
+    q_mask = jnp.asarray(_ragged_mask(rng, B, T_q))
+
+    def loss_fused(p, cc, qq):
+        return (bidaf_attention_fused_trainable(p, cc, qq, c_mask, q_mask) ** 2).sum()
+
+    def loss_ref(p, cc, qq):
+        return (bidaf_apply(p, cc, qq, c_mask, q_mask) ** 2).sum()
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(params, c, q)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(params, c, q)
+    for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-4)
