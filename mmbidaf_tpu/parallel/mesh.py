@@ -61,3 +61,18 @@ def shard_params(params: Any, mesh: Mesh) -> Any:
     """Replicate the params pytree across the mesh."""
     sh = replicated_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), params)
+
+
+def initialize_distributed() -> bool:
+    """Multi-host bring-up hook: call ``jax.distributed.initialize`` when the
+    standard coordinator env vars are present (SURVEY §3.3 — multi-host is a
+    config change, not a rewrite). Returns True if distributed mode started.
+    """
+    import os
+
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+        "COORDINATOR_ADDRESS"
+    ):
+        jax.distributed.initialize()
+        return True
+    return False
