@@ -178,11 +178,12 @@ def bench_torch_baseline(cfg, videos: int, vgg_spec, frame_hw=(240, 320)) -> dic
         num_decode_steps=m.max_decode_steps,
     ).eval()
     tvgg = _torch_vgg(vgg_spec, d.image_size, m.img_feat_dim)
-    # numpy audio consts (the torch baseline mirrors librosa's offline MFCC)
-    consts_np = {
-        "cos": np.asarray(audio_ops.make_audio_frontend_consts(
-            d.sample_rate, d.n_fft, d.win_length, d.n_mels, d.n_mfcc)["cos"]),
+    consts = {
+        k: np.asarray(v) for k, v in audio_ops.make_audio_frontend_consts(
+            d.sample_rate, d.n_fft, d.win_length, d.n_mels, d.n_mfcc).items()
     }
+    frame_idx = (np.arange(d.max_audio_frames)[:, None] * d.hop_length
+                 + np.arange(d.win_length)[None, :])
 
     raw = make_raw_batch(rng, cfg, videos, frame_hw)
     times = []
@@ -196,19 +197,11 @@ def bench_torch_baseline(cfg, videos: int, vgg_spec, frame_hw=(240, 320)) -> dic
             )
             img_feats = tvgg(fr).unsqueeze(0)
             # audio path: numpy framing + windowed DFT MFCC (librosa stand-in)
-            wavef = raw["waveform"][v : v + 1]
-            idx = (np.arange(d.max_audio_frames)[:, None] * d.hop_length
-                   + np.arange(d.win_length)[None, :])
-            frames_a = wavef[:, idx]
-            consts = audio_ops.make_audio_frontend_consts(
-                d.sample_rate, d.n_fft, d.win_length, d.n_mels, d.n_mfcc)
-            import jax.numpy as jnp  # host-side numpy math only
-
-            spec = np.asarray(frames_a @ np.asarray(consts["cos"])) ** 2 + np.asarray(
-                frames_a @ np.asarray(consts["sin"])) ** 2
-            mel = spec @ np.asarray(consts["mel_fb"])
+            frames_a = raw["waveform"][v : v + 1][:, frame_idx]
+            spec = (frames_a @ consts["cos"]) ** 2 + (frames_a @ consts["sin"]) ** 2
+            mel = spec @ consts["mel_fb"]
             logspec = 10 * np.log10(np.maximum(mel, 1e-10))
-            mfcc = (np.maximum(logspec - logspec.max(), -80.0) @ np.asarray(consts["dct"]))
+            mfcc = np.maximum(logspec - logspec.max(), -80.0) @ consts["dct"]
             aud = torch.from_numpy(mfcc.astype(np.float32))
             # model forward + greedy decode
             model(

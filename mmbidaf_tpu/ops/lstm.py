@@ -60,12 +60,13 @@ def lstm_cell(
     return h_new, c_new
 
 
-@partial(jax.jit, static_argnames=("reverse",))
+@partial(jax.jit, static_argnames=("reverse", "unroll"))
 def lstm_scan(
     params: dict,
     x: jax.Array,
     mask: jax.Array,
     reverse: bool = False,
+    unroll: int = 1,
 ) -> tuple[jax.Array, tuple[jax.Array, jax.Array]]:
     """Run a unidirectional LSTM over ``x [B, T, D]`` with ``mask [B, T]``.
 
@@ -103,7 +104,9 @@ def lstm_scan(
         jnp.zeros((B, h_dim), dtype),
         jnp.zeros((B, h_dim), dtype),
     )
-    (h_last, c_last), out = jax.lax.scan(step, init, (gates_all, mask_t))
+    (h_last, c_last), out = jax.lax.scan(
+        step, init, (gates_all, mask_t), unroll=unroll
+    )
     out = jnp.swapaxes(out, 0, 1)  # [B, T, h]
     if reverse:
         out = jnp.flip(out, axis=1)
