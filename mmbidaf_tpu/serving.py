@@ -1,0 +1,164 @@
+"""User-facing serving API: video assets in, summary text out.
+
+The reference's user story is "train, then point the eval script at a video
+and get its extractive summary". This wraps that as a library object:
+
+    s = Summarizer.from_checkpoint(ckpt_dir, vocab_path, emb_path, cfg)
+    s = Summarizer.init_random(cfg, seed=0)              # or untrained
+    summaries = s.summarize_batch([video_dir1, video_dir2])
+    summary   = s.summarize(video_dir)
+
+Everything device-side runs as ONE jitted program (frontend + model +
+pointer decode); host work is container decode + summary assembly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from mmbidaf_tpu.config import Config
+from mmbidaf_tpu.data.frontend import frontend_init, make_end_to_end_decode
+from mmbidaf_tpu.data.text import encode_transcript
+from mmbidaf_tpu.data.video import load_video_assets
+from mmbidaf_tpu.data.vocab import load_vocab
+from mmbidaf_tpu.models.mmbidaf import mmbidaf_init
+from mmbidaf_tpu.ops.vgg import VGG16_SPEC
+from mmbidaf_tpu.train.metrics import summary_from_picks
+
+
+class Summarizer:
+    def __init__(
+        self,
+        params,
+        fe_params,
+        word2idx: dict[str, int],
+        cfg: Config,
+        vgg_spec=VGG16_SPEC,
+        mode: str = "greedy",
+        topk: int = 4,
+        seed: int = 0,
+    ):
+        self.params = params
+        self.fe_params = fe_params
+        self.word2idx = word2idx
+        self.cfg = cfg
+        self.vgg_spec = vgg_spec
+        self.mode = mode
+        self.topk = topk
+        self._rng = jax.random.key(seed)
+        d = cfg.data
+        self._num_audio_samples = d.max_audio_frames * d.hop_length + d.win_length
+        if mode == "greedy":
+            self._decode = make_end_to_end_decode(cfg, vgg_spec=vgg_spec)
+        else:
+            from mmbidaf_tpu.data.frontend import apply_frontend
+            from mmbidaf_tpu.models.mmbidaf import mmbidaf_decode
+
+            @jax.jit
+            def decode(params, fe, raw, rng):
+                batch = apply_frontend(fe, raw, cfg, vgg_spec)
+                return mmbidaf_decode(params, batch, cfg, mode="topk", topk=topk, rng=rng)
+
+            self._decode_topk = decode
+
+    # -- constructors -------------------------------------------------------
+
+    @classmethod
+    def init_random(cls, cfg: Config, seed: int = 0, vgg_spec=VGG16_SPEC, **kw):
+        """Untrained summarizer (smoke tests / benchmarking)."""
+        from mmbidaf_tpu.data.synthetic import random_word_vectors
+
+        rng = np.random.default_rng(seed)
+        wv = random_word_vectors(rng, cfg.data.vocab_size, cfg.model.emb_dim)
+        word2idx = {f"w{i}": i for i in range(cfg.data.vocab_size)}
+        params = mmbidaf_init(jax.random.key(seed), cfg, jnp.asarray(wv))
+        fe = frontend_init(jax.random.key(seed + 1), cfg, vgg_spec=vgg_spec)
+        return cls(params, fe, word2idx, cfg, vgg_spec, **kw)
+
+    @classmethod
+    def from_checkpoint(
+        cls,
+        ckpt_dir: str,
+        vocab_path: str,
+        emb_path: str,
+        cfg: Config,
+        vgg_spec=VGG16_SPEC,
+        seed: int = 0,
+        **kw,
+    ):
+        """Load EMA params from an orbax run + the corpus vocab."""
+        from mmbidaf_tpu.train import checkpoint as ckpt
+        from mmbidaf_tpu.train.loop import init_train_state
+
+        word2idx, table = load_vocab(vocab_path, emb_path)
+        params = mmbidaf_init(jax.random.key(seed), cfg, jnp.asarray(table))
+        template = init_train_state(jax.random.key(seed + 1), params, cfg)
+        manager = ckpt.make_manager(ckpt_dir)
+        restored = ckpt.restore_latest(manager, template)
+        if restored is None:
+            raise FileNotFoundError(f"no checkpoint in {ckpt_dir}")
+        fe = frontend_init(jax.random.key(seed + 2), cfg, vgg_spec=vgg_spec)
+        return cls(restored.ema_params, fe, word2idx, cfg, vgg_spec, **kw)
+
+    @classmethod
+    def from_torch_state_dict(
+        cls,
+        sd: dict,
+        word2idx: dict[str, int],
+        cfg: Config,
+        vgg_spec=VGG16_SPEC,
+        seed: int = 0,
+        **kw,
+    ):
+        """Reference-checkpoint import path (SURVEY §4.5)."""
+        from mmbidaf_tpu.interop.torch_port import port_mmbidaf
+
+        params = port_mmbidaf(
+            sd, use_images=cfg.model.use_images, use_audio=cfg.model.use_audio
+        )
+        fe = frontend_init(jax.random.key(seed), cfg, vgg_spec=vgg_spec)
+        return cls(params, fe, word2idx, cfg, vgg_spec, **kw)
+
+    # -- inference ----------------------------------------------------------
+
+    def _raw_batch(self, video_dirs: Sequence[str]) -> tuple[dict, list[list[str]]]:
+        d = self.cfg.data
+        rows, sentences = [], []
+        for vd in video_dirs:
+            assets = load_video_assets(vd, d.max_keyframes, self._num_audio_samples)
+            enc = encode_transcript(
+                assets["transcript"], self.word2idx, d.max_sentences, d.max_words
+            )
+            sentences.append(enc["sentences"])
+            rows.append(
+                {
+                    "text_ids": enc["text_ids"],
+                    "word_mask": enc["word_mask"],
+                    "sent_mask": enc["sent_mask"],
+                    "frames": assets["frames"],
+                    "img_mask": assets["img_mask"],
+                    "waveform": assets["waveform"],
+                    "aud_mask": np.ones((d.max_audio_frames,), np.float32),
+                }
+            )
+        batch = {k: jnp.asarray(np.stack([r[k] for r in rows])) for k in rows[0]}
+        return batch, sentences
+
+    def summarize_batch(self, video_dirs: Sequence[str]) -> list[str]:
+        raw, sentences = self._raw_batch(video_dirs)
+        if self.mode == "greedy":
+            _, picks = self._decode(self.params, self.fe_params, raw)
+        else:
+            self._rng, k = jax.random.split(self._rng)
+            _, picks = self._decode_topk(self.params, self.fe_params, raw, k)
+        picks = np.asarray(picks)
+        return [summary_from_picks(picks[i], sentences[i]) for i in range(len(video_dirs))]
+
+    def summarize(self, video_dir: str) -> str:
+        return self.summarize_batch([video_dir])[0]

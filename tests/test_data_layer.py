@@ -204,3 +204,28 @@ def test_train_on_raw_disk_corpus(disk_corpus):
         state, metrics = train_step(state, batch)
         losses.append(float(metrics["loss"]))
     assert np.isfinite(losses).all()
+
+
+def test_grain_loader(disk_corpus):
+    """grain DataLoader over VideoCorpus yields batched raw examples."""
+    import dataclasses
+
+    root, cfg = disk_corpus
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, img_feat_dim=32)
+    )
+    corpus_tokens = []
+    for vid in sorted(os.listdir(root)):
+        with open(os.path.join(root, vid, "transcript.txt")) as f:
+            for s in text.sent_tokenize(f.read()):
+                corpus_tokens.append(text.word_tokenize(s))
+    w2i = vocab.build_vocab(corpus_tokens)
+    corpus = VideoCorpus(root, cfg, w2i)
+
+    from mmbidaf_tpu.data.pipeline import make_grain_loader
+
+    loader = make_grain_loader(corpus, batch_size=2, seed=0)
+    batch = next(iter(loader))
+    assert batch["text_ids"].shape[0] == 2
+    assert batch["frames"].shape[0] == 2
+    assert batch["targets"].shape == (2, cfg.model.max_decode_steps)

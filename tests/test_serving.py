@@ -1,0 +1,81 @@
+"""Serving API: video dirs in → summary strings out, greedy and top-k."""
+
+import dataclasses
+import os
+import wave as wave_mod
+
+import numpy as np
+import pytest
+
+from mmbidaf_tpu.config import tiny_test_config
+from mmbidaf_tpu.ops.vgg import TINY_SPEC
+from mmbidaf_tpu.serving import Summarizer
+
+
+@pytest.fixture
+def corpus_dirs(tmp_path, rng):
+    from PIL import Image
+
+    cfg = tiny_test_config()
+    d = cfg.data
+    n_samples = d.max_audio_frames * d.hop_length + d.win_length
+    dirs = []
+    for v in range(2):
+        vd = tmp_path / f"vid{v}"
+        (vd / "frames").mkdir(parents=True)
+        for i in range(4):
+            arr = (rng.random((12, 16, 3)) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(vd / "frames" / f"f{i}.png")
+        sig = (rng.standard_normal(n_samples // 3) * 8000).astype(np.int16)
+        with wave_mod.open(str(vd / "audio.wav"), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(d.sample_rate)
+            w.writeframes(sig.tobytes())
+        sents = [f"Video {v} sentence {j} covers topic {j}." for j in range(5)]
+        (vd / "transcript.txt").write_text(" ".join(sents))
+        dirs.append(str(vd))
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, img_feat_dim=32, audio_feat_dim=cfg.data.n_mfcc)
+    )
+    return dirs, cfg
+
+
+def test_summarize_greedy(corpus_dirs):
+    dirs, cfg = corpus_dirs
+    s = Summarizer.init_random(cfg, seed=0, vgg_spec=TINY_SPEC)
+    # vocab is synthetic; transcripts map to OOV — still must produce summaries
+    outs = s.summarize_batch(dirs)
+    assert len(outs) == 2
+    for out in outs:
+        assert isinstance(out, str) and len(out) > 0
+        assert "sentence" in out  # assembled from real transcript sentences
+
+
+def test_summarize_topk(corpus_dirs):
+    dirs, cfg = corpus_dirs
+    s = Summarizer.init_random(cfg, seed=0, vgg_spec=TINY_SPEC, mode="topk", topk=3)
+    out1 = s.summarize(dirs[0])
+    out2 = s.summarize(dirs[0])
+    assert isinstance(out1, str) and len(out1) > 0
+    # stochastic decode: repeated calls may differ (not asserted strictly)
+
+
+def test_summarize_from_torch_state_dict(corpus_dirs):
+    import torch
+
+    from tests.oracles import torch_model as oracle
+
+    dirs, cfg = corpus_dirs
+    torch.manual_seed(0)
+    wv = torch.randn(cfg.data.vocab_size, cfg.model.emb_dim)
+    tm = oracle.MMBiDAF(
+        wv, cfg.model.hidden_size, img_feat_dim=cfg.model.img_feat_dim,
+        audio_feat_dim=cfg.model.audio_feat_dim,
+        num_decode_steps=cfg.model.max_decode_steps,
+    )
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    w2i = {f"w{i}": i for i in range(cfg.data.vocab_size)}
+    s = Summarizer.from_torch_state_dict(sd, w2i, cfg, vgg_spec=TINY_SPEC)
+    out = s.summarize(dirs[0])
+    assert isinstance(out, str) and len(out) > 0
