@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
-from typing import Any, Mapping, Sequence
+from typing import Any, Mapping
 
 
 @dataclasses.dataclass(frozen=True)
@@ -38,9 +38,10 @@ class ModelConfig:
     use_audio: bool = True
     # Compute dtype for the accelerated path; params stay fp32.
     compute_dtype: str = "float32"
-    # Fused Pallas kernels (behind flags, SURVEY §8 phase 6). Both apply to
-    # the inference path only (no custom VJPs yet); training uses the jnp
-    # versions whose autodiff XLA fuses well.
+    # Fused Pallas kernels (behind flags, SURVEY §8 phase 6). The model
+    # dispatches to them on the inference path; training defaults to the jnp
+    # versions whose autodiff XLA fuses well (the attention kernel also has a
+    # custom-VJP wrapper, ops.pallas.bidaf_kernel.bidaf_attention_fused_trainable).
     use_pallas_attention: bool = False
     use_pallas_lstm: bool = False
 

@@ -10,7 +10,6 @@ PCM) stays host-side, by necessity.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Mapping
 
 import jax

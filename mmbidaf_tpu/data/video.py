@@ -15,8 +15,6 @@ import os
 import shutil
 import subprocess
 import wave as wave_mod
-from typing import Sequence
-
 import numpy as np
 
 

@@ -73,21 +73,15 @@ def lstm_pallas(
     mask_t = jnp.swapaxes(mask, 0, 1).astype(f32)              # [T, B]
 
     if reverse:
+        # Kernel step t reads gates[T-1-t] and writes out[T-1-t] via the
+        # index maps (no data movement); the mask is indexed by kernel step
+        # directly, so it must be flipped to follow the gates stream.
         g_idx = lambda t: (T - 1 - t, 0, 0)
-        o_idx = lambda t: (T - 1 - t, 0, 0)
-        mask_k = jnp.flip(mask_t, axis=0)
+        mask_for_kernel = jnp.flip(mask_t, axis=0)
     else:
         g_idx = lambda t: (t, 0, 0)
-        o_idx = lambda t: (t, 0, 0)
-        mask_k = mask_t
-    # With reversed index maps the kernel still sees time 0..T-1 in its own
-    # order; mask must follow the same order as the gates stream.
-    if reverse:
-        # kernel step t reads gates[T-1-t]; mask_ref is indexed by t directly,
-        # so pass the flipped mask and index it with t.
-        mask_for_kernel = mask_k
-    else:
         mask_for_kernel = mask_t
+    o_idx = g_idx
 
     out, h_last, c_last = pl.pallas_call(
         _lstm_kernel,

@@ -16,8 +16,6 @@ compute partitioning, XLA inserts the gather collective at the end.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax.experimental.shard_map import shard_map

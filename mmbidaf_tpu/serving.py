@@ -14,7 +14,6 @@ pointer decode); host work is container decode + summary assembly.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Sequence
 
 import numpy as np

@@ -8,8 +8,6 @@ best-k retention by a tracked metric, auto-resume-from-latest.
 from __future__ import annotations
 
 import os
-from typing import Any
-
 import orbax.checkpoint as ocp
 
 from mmbidaf_tpu.train.loop import TrainState
