@@ -39,3 +39,24 @@ def test_trace_writes_profile(tmp_path):
     # some profile artifact got written
     found = any(files for _, _, files in os.walk(d))
     assert found
+
+
+def test_initialize_distributed_noop_without_coordinator(monkeypatch):
+    from mmbidaf_tpu.parallel.mesh import initialize_distributed
+
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.delenv("COORDINATOR_ADDRESS", raising=False)
+    assert initialize_distributed() is False
+
+
+def test_config_dict_roundtrip():
+    from mmbidaf_tpu.config import Config, config_from_dict, config_to_dict
+
+    cfg = config_from_dict({"model": {"hidden_size": 99}, "train": {"lr": 0.1}})
+    assert cfg.model.hidden_size == 99 and cfg.train.lr == 0.1
+    d = config_to_dict(cfg)
+    assert d["model"]["hidden_size"] == 99
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        config_from_dict({"model": {"not_a_field": 1}})
