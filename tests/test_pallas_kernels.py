@@ -124,3 +124,21 @@ def test_fused_bidaf_trainable_grads_match_jnp(rng):
     gr = jax.grad(loss_ref, argnums=(0, 1, 2))(params, c, q)
     for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(gr)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-4)
+
+
+def test_tiled_bidaf_matches_jnp(rng):
+    """Blockwise two-pass BiDAF == reference jnp (incl. padding + ragged)."""
+    from mmbidaf_tpu.ops.pallas.bidaf_tiled_kernel import bidaf_attention_tiled
+
+    B, T_c, T_q, D = 2, 20, 13, 16
+    params = bidaf_init(jax.random.key(6), D)
+    c = jnp.asarray(rng.standard_normal((B, T_c, D)).astype(np.float32))
+    q = jnp.asarray(rng.standard_normal((B, T_q, D)).astype(np.float32))
+    c_mask = jnp.asarray(_ragged_mask(rng, B, T_c))
+    q_mask = jnp.asarray(_ragged_mask(rng, B, T_q))
+
+    ref = bidaf_apply(params, c, q, c_mask, q_mask)
+    tiled = bidaf_attention_tiled(
+        params, c, q, c_mask, q_mask, tc_blk=8, tq_blk=8, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(tiled), np.asarray(ref), atol=3e-5)
