@@ -60,3 +60,17 @@ def test_config_dict_roundtrip():
 
     with _pytest.raises(ValueError):
         config_from_dict({"model": {"not_a_field": 1}})
+
+
+def test_trace_summary(tmp_path):
+    from mmbidaf_tpu.utils.trace_summary import summarize_trace
+
+    d = str(tmp_path / "prof2")
+    with trace(d):
+        f = jax.jit(lambda x: (x @ x).sum())
+        f(jnp.ones((128, 128))).block_until_ready()
+    rows = summarize_trace(d, top_k=10)
+    assert isinstance(rows, list)
+    # CPU traces may label ops differently; just require the schema
+    for r in rows:
+        assert {"name", "total_ms", "pct", "hlo"} <= set(r)
