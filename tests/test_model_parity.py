@@ -159,3 +159,35 @@ def test_export_then_import_roundtrip():
     )
     assert not unexpected, f"unexpected keys: {unexpected}"
     assert not missing, f"missing keys: {missing}"
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13])
+def test_decode_picks_always_valid_random_configs(seed):
+    """Property test: for random tiny configs + ragged batches, greedy picks
+    are always valid unmasked sentence indices."""
+    import dataclasses
+
+    import jax
+
+    from mmbidaf_tpu.config import tiny_test_config
+    from mmbidaf_tpu.data.synthetic import random_word_vectors, synthetic_batch
+    from mmbidaf_tpu.models.mmbidaf import mmbidaf_decode, mmbidaf_init
+
+    rng = np.random.default_rng(seed)
+    cfg = tiny_test_config(hidden_size=int(rng.integers(8, 24)))
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(
+            cfg.model,
+            max_decode_steps=int(rng.integers(1, 4)),
+            use_images=bool(rng.integers(0, 2)),
+            use_audio=bool(rng.integers(0, 2)),
+        ),
+    )
+    wv = random_word_vectors(rng, cfg.data.vocab_size, cfg.model.emb_dim)
+    params = mmbidaf_init(jax.random.key(seed), cfg, jnp.asarray(wv))
+    batch = {k: jnp.asarray(v) for k, v in synthetic_batch(rng, cfg, batch_size=3).items()}
+    _, picks = mmbidaf_decode(params, batch, cfg)
+    n_valid = np.asarray(batch["sent_mask"]).sum(axis=1)
+    assert (np.asarray(picks) < n_valid[:, None]).all()
+    assert (np.asarray(picks) >= 0).all()
