@@ -1,0 +1,88 @@
+"""Training-throughput benchmark (secondary; the driver runs bench.py).
+
+Measures jitted train-step throughput (steps/s and videos/s) on feature
+batches with the chained-dispatch slope method (see bench.py for why
+wall-clock-per-call timing is invalid on this backend).
+
+    python bench_train.py [--quick] [--steps 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--steps", type=int, default=8)
+    ap.add_argument("--batch", type=int, default=None)
+    a = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from bench import build_bench_config
+    from mmbidaf_tpu.data.synthetic import random_word_vectors, synthetic_batch
+    from mmbidaf_tpu.models.mmbidaf import mmbidaf_init
+    from mmbidaf_tpu.train.loop import init_train_state, make_train_step
+
+    cfg = build_bench_config(a.quick)
+    # Training runs fp32 + jnp kernels (autodiff path).
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(
+            cfg.model, compute_dtype="float32", use_pallas_attention=False,
+            drop_prob=0.2,
+        ),
+        train=dataclasses.replace(cfg.train, optimizer="adadelta"),
+    )
+    B = a.batch or (8 if a.quick else 32)
+
+    rng = np.random.default_rng(0)
+    wv = random_word_vectors(rng, cfg.data.vocab_size, cfg.model.emb_dim)
+    params = mmbidaf_init(jax.random.key(0), cfg, jnp.asarray(wv))
+    state = init_train_state(jax.random.key(1), params, cfg)
+    batch = {k: jnp.asarray(v) for k, v in synthetic_batch(rng, cfg, batch_size=B).items()}
+    train_step = make_train_step(cfg)
+
+    t0 = time.perf_counter()
+    state, metrics = train_step(state, batch)
+    jax.device_get(metrics["loss"])
+    compile_s = time.perf_counter() - t0
+
+    def run(m):
+        nonlocal state
+        t0 = time.perf_counter()
+        last = None
+        for _ in range(m):
+            state, metrics = train_step(state, batch)
+            last = metrics["loss"]
+        jax.device_get(last)
+        return time.perf_counter() - t0
+
+    run(1)
+    n_lo, n_hi = 2, 2 + max(a.steps, 3)
+    t_lo = min(run(n_lo), run(n_lo))
+    t_hi = min(run(n_hi), run(n_hi))
+    per_step = max((t_hi - t_lo) / (n_hi - n_lo), 1e-9)
+
+    print(json.dumps({
+        "metric": "train_steps_per_sec",
+        "value": round(1.0 / per_step, 3),
+        "unit": "steps/s",
+        "videos_per_sec": round(B / per_step, 2),
+        "batch_size": B,
+        "p50_step_latency_s": round(per_step, 4),
+        "compile_s": round(compile_s, 1),
+        "backend": jax.default_backend(),
+    }))
+
+
+if __name__ == "__main__":
+    main()
