@@ -82,3 +82,28 @@ def test_waveform_to_features_end_to_end(rng):
     # a 440 Hz tone concentrates energy in one mel band: argmax is stable
     band = np.asarray(lm)[0].argmax(axis=-1)
     assert (band == band[0]).all()
+
+
+def test_mel_filterbank_analytic_golden():
+    """Hand-computed golden case (librosa is not installed — SURVEY §5 item 2):
+    with sr=8000, n_fft=8, n_mels=2, fmin=0, fmax=4000 the Slaney mel points
+    are linearly spaced below 1 kHz... verify filter peaks sit at the
+    analytically computed center frequencies and slopes are triangular."""
+    sr, n_fft, n_mels = 8000, 64, 4
+    fb = audio.mel_filterbank(sr, n_fft, n_mels, fmin=0.0, fmax=1000.0)
+    # below 1 kHz the Slaney scale is linear, so centers are evenly spaced:
+    # mel points at 0, 200, 400, 600, 800, 1000 Hz; centers 200..800.
+    fft_freqs = np.linspace(0, sr / 2, n_fft // 2 + 1)
+    centers_hz = [200.0, 400.0, 600.0, 800.0]
+    for m, c_hz in enumerate(centers_hz):
+        peak_bin = fb[:, m].argmax()
+        assert abs(fft_freqs[peak_bin] - c_hz) <= sr / n_fft, (
+            f"filter {m} peaks at {fft_freqs[peak_bin]} Hz, expected ~{c_hz}"
+        )
+    # triangular: monotone up to the peak, monotone down after (within support)
+    for m in range(n_mels):
+        col = fb[:, m]
+        p = col.argmax()
+        sup = np.nonzero(col > 0)[0]
+        assert (np.diff(col[sup[0]:p + 1]) >= -1e-7).all()
+        assert (np.diff(col[p:sup[-1] + 1]) <= 1e-7).all()
