@@ -34,6 +34,9 @@ def _conv3x3_kernel(x_hbm, w_ref, b_ref, out_ref, x_vmem, sem, *,
     n = pl.program_id(0)
     hi = pl.program_id(1)
 
+    # DMA slices only the (untiled) H dim — the W dim is transferred whole
+    # (it is pre-padded to an 8-multiple; Mosaic requires tiled-dim slices
+    # to be tiling-aligned).
     dma = pltpu.make_async_copy(
         x_hbm.at[n, pl.ds(hi * tile_h, tile_h + 2), :, :],
         x_vmem,
@@ -45,9 +48,15 @@ def _conv3x3_kernel(x_hbm, w_ref, b_ref, out_ref, x_vmem, sem, *,
     cols = []
     for dy in range(3):
         for dx in range(3):
-            cols.append(
-                x_vmem[dy:dy + tile_h, dx:dx + W, :].reshape(tile_h * W, Cin)
+            # dx shifts land on the sublane dim; use a cyclic roll (supported
+            # for any shift) + aligned [0:W] slice instead of an unaligned
+            # offset slice. The wrapped tail columns are never read.
+            w_vmem = x_vmem.shape[1]
+            shifted = (
+                pltpu.roll(x_vmem[dy:dy + tile_h], w_vmem - dx, axis=1)
+                if dx else x_vmem[dy:dy + tile_h]
             )
+            cols.append(shifted[:, 0:W, :].reshape(tile_h * W, Cin))
     patch = jnp.concatenate(cols, axis=1)  # [tile_h*W, 9*Cin]
     out = jnp.dot(patch, w_ref[:], preferred_element_type=jnp.float32) + b_ref[0]
     if relu:
@@ -70,9 +79,14 @@ def conv3x3_same(
     N, H, W, Cin = x.shape
     Cout = w3x3.shape[-1]
     assert H % tile_h == 0, f"H={H} must divide tile_h={tile_h}"
+    assert W % 8 == 0, f"W={W} must be 8-aligned for the output block"
     dtype = x.dtype
 
-    x_pad = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    # Pad H by the conv halo; pad W by the halo AND up to an 8-multiple so
+    # full-width DMA slabs satisfy Mosaic's tiled-dim alignment.
+    w_total = W + 2
+    w_align = (-w_total) % 8
+    x_pad = jnp.pad(x, ((0, 0), (1, 1), (1, 1 + w_align), (0, 0)))
     w_flat = w3x3.reshape(9 * Cin, Cout).astype(dtype)
 
     return pl.pallas_call(
@@ -88,7 +102,7 @@ def conv3x3_same(
             (1, tile_h, W, Cout), lambda n, h: (n, h, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((tile_h + 2, W + 2, Cin), dtype),
+            pltpu.VMEM((tile_h + 2, w_total + w_align, Cin), dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,

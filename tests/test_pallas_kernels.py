@@ -148,7 +148,7 @@ def test_pallas_conv3x3_matches_lax(rng):
     """im2col conv kernel == lax.conv_general_dilated (SAME, 3x3, ReLU)."""
     from mmbidaf_tpu.ops.pallas.conv_kernel import conv3x3_same
 
-    N, H, W, Cin, Cout = 2, 8, 10, 5, 7
+    N, H, W, Cin, Cout = 2, 8, 16, 5, 7
     x = jnp.asarray(rng.standard_normal((N, H, W, Cin)).astype(np.float32))
     w = jnp.asarray(rng.standard_normal((3, 3, Cin, Cout)).astype(np.float32) * 0.2)
     b = jnp.asarray(rng.standard_normal(Cout).astype(np.float32))
