@@ -48,15 +48,12 @@ def _conv3x3_kernel(x_hbm, w_ref, b_ref, out_ref, x_vmem, sem, *,
     cols = []
     for dy in range(3):
         for dx in range(3):
-            # dx shifts land on the sublane dim; use a cyclic roll (supported
-            # for any shift) + aligned [0:W] slice instead of an unaligned
-            # offset slice. The wrapped tail columns are never read.
-            w_vmem = x_vmem.shape[1]
-            shifted = (
-                pltpu.roll(x_vmem[dy:dy + tile_h], w_vmem - dx, axis=1)
-                if dx else x_vmem[dy:dy + tile_h]
+            # dx shifts are static unaligned slices on the sublane dim —
+            # Mosaic lowers these as vector shifts (the 8/16-alignment rule
+            # only applies to DMA memref slicing, which stays full-width).
+            cols.append(
+                x_vmem[dy:dy + tile_h, dx:dx + W, :].reshape(tile_h * W, Cin)
             )
-            cols.append(shifted[:, 0:W, :].reshape(tile_h * W, Cin))
     patch = jnp.concatenate(cols, axis=1)  # [tile_h*W, 9*Cin]
     out = jnp.dot(patch, w_ref[:], preferred_element_type=jnp.float32) + b_ref[0]
     if relu:
@@ -82,32 +79,42 @@ def conv3x3_same(
     assert W % 8 == 0, f"W={W} must be 8-aligned for the output block"
     dtype = x.dtype
 
-    # Pad H by the conv halo; pad W by the halo AND up to an 8-multiple so
-    # full-width DMA slabs satisfy Mosaic's tiled-dim alignment.
+    # Pad H by the conv halo; pad W by the halo AND up to the dtype's sublane
+    # tile (8 for f32, 16 for bf16, 32 for int8); pad Cin up to the 128-lane
+    # tile — Mosaic's memref slicing requires both tiled dims at tile
+    # granularity. (Cin padding is free for the Cin ≥ 128 layers that carry
+    # most of the VGG FLOPs; zero rows in the filter keep results exact.)
+    sublane = {4: 8, 2: 16, 1: 32}[jnp.dtype(dtype).itemsize]
     w_total = W + 2
-    w_align = (-w_total) % 8
-    x_pad = jnp.pad(x, ((0, 0), (1, 1), (1, 1 + w_align), (0, 0)))
-    w_flat = w3x3.reshape(9 * Cin, Cout).astype(dtype)
+    w_align = (-w_total) % sublane
+    c_align = (-Cin) % 128
+    x_pad = jnp.pad(x, ((0, 0), (1, 1), (1, 1 + w_align), (0, c_align)))
+    w_flat = (
+        jnp.pad(w3x3, ((0, 0), (0, 0), (0, c_align), (0, 0)))
+        .reshape(9 * (Cin + c_align), Cout)
+        .astype(dtype)
+    )
+    Cin_p = Cin + c_align
 
     return pl.pallas_call(
-        partial(_conv3x3_kernel, tile_h=tile_h, W=W, Cin=Cin, Cout=Cout, relu=relu),
+        partial(_conv3x3_kernel, tile_h=tile_h, W=W, Cin=Cin_p, Cout=Cout, relu=relu),
         out_shape=jax.ShapeDtypeStruct((N, H, W, Cout), dtype),
         grid=(N, H // tile_h),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),  # padded input stays in HBM
-            pl.BlockSpec((9 * Cin, Cout), lambda n, h: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((9 * Cin_p, Cout), lambda n, h: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Cout), lambda n, h: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, tile_h, W, Cout), lambda n, h: (n, h, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((tile_h + 2, w_total + w_align, Cin), dtype),
+            pltpu.VMEM((tile_h + 2, w_total + w_align, Cin_p), dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * N * H * W * 9 * Cin * Cout,
+            flops=2 * N * H * W * 9 * Cin_p * Cout,
             bytes_accessed=x.dtype.itemsize * (N * H * W * (Cin + Cout)) + w_flat.size * 4,
             transcendentals=0,
         ),
