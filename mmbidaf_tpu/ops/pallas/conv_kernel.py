@@ -119,3 +119,87 @@ def conv3x3_same(
             transcendentals=0,
         ),
     )(x_pad, w_flat, b.astype(dtype)[None])
+
+
+def _conv3x3_acc_kernel(x_hbm, w_ref, b_ref, out_ref, x_vmem, sem, *,
+                        tile_h: int, W: int, Cin: int, Cout: int, relu: bool):
+    """Variant B: no im2col materialization — nine accumulated GEMMs.
+
+    ``out = Σ_k patch_k @ w_k`` where ``patch_k`` is a shifted VIEW of the
+    slab; avoids the 9-way concat (a large VPU copy) at the cost of K=Cin
+    GEMMs (still MXU-shaped once Cin ≥ 128).
+    """
+    n = pl.program_id(0)
+    hi = pl.program_id(1)
+    dma = pltpu.make_async_copy(
+        x_hbm.at[n, pl.ds(hi * tile_h, tile_h + 2), :, :], x_vmem, sem
+    )
+    dma.start()
+    dma.wait()
+
+    acc = jnp.zeros((tile_h * W, Cout), jnp.float32)
+    k = 0
+    for dy in range(3):
+        for dx in range(3):
+            patch = x_vmem[dy:dy + tile_h, dx:dx + W, :].reshape(tile_h * W, Cin)
+            acc = acc + jnp.dot(
+                patch, w_ref[k], preferred_element_type=jnp.float32
+            )
+            k += 1
+    out = acc + b_ref[0]
+    if relu:
+        out = jnp.maximum(out, 0.0)
+    out_ref[0] = out.reshape(tile_h, W, Cout).astype(out_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("tile_h", "relu", "interpret"))
+def conv3x3_same_acc(
+    x: jax.Array,
+    w3x3: jax.Array,
+    b: jax.Array,
+    tile_h: int = 8,
+    relu: bool = True,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Accumulated-GEMM variant of ``conv3x3_same`` (same contract)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    N, H, W, Cin = x.shape
+    Cout = w3x3.shape[-1]
+    assert H % tile_h == 0 and W % 8 == 0
+    dtype = x.dtype
+    sublane = {4: 8, 2: 16, 1: 32}[jnp.dtype(dtype).itemsize]
+    w_total = W + 2
+    w_align = (-w_total) % sublane
+    c_align = (-Cin) % 128
+    x_pad = jnp.pad(x, ((0, 0), (1, 1), (1, 1 + w_align), (0, c_align)))
+    w_k = (
+        jnp.pad(w3x3, ((0, 0), (0, 0), (0, c_align), (0, 0)))
+        .reshape(9, Cin + c_align, Cout)
+        .astype(dtype)
+    )
+    Cin_p = Cin + c_align
+
+    return pl.pallas_call(
+        partial(_conv3x3_acc_kernel, tile_h=tile_h, W=W, Cin=Cin_p, Cout=Cout, relu=relu),
+        out_shape=jax.ShapeDtypeStruct((N, H, W, Cout), dtype),
+        grid=(N, H // tile_h),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((9, Cin_p, Cout), lambda n, h: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Cout), lambda n, h: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile_h, W, Cout), lambda n, h: (n, h, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tile_h + 2, w_total + w_align, Cin_p), dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * N * H * W * 9 * Cin_p * Cout,
+            bytes_accessed=x.dtype.itemsize * (N * H * W * (Cin + Cout)),
+            transcendentals=0,
+        ),
+    )(x_pad, w_k, b.astype(dtype)[None])
