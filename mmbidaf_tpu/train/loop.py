@@ -157,8 +157,12 @@ def make_train_step(cfg: Config, fe_params: Any = None, vgg_spec=None) -> Callab
 def make_eval_step(cfg: Config) -> Callable:
     @jax.jit
     def eval_step(params: Any, batch: Mapping[str, jax.Array]):
-        log_p, picks = mmbidaf_decode(params, batch, cfg)
-        loss = nll_loss(log_p, batch["targets"], batch["target_mask"])
+        # Loss must be TEACHER-FORCED: greedy decode masks already-picked
+        # sentences, so when greedy and gold disagree on order the gold
+        # index can be masked (-1e30 log-prob) and the NLL explodes.
+        log_p_tf = mmbidaf_apply(params, batch, cfg, rng=None)
+        loss = nll_loss(log_p_tf, batch["targets"], batch["target_mask"])
+        _, picks = mmbidaf_decode(params, batch, cfg)
         return {"loss": loss, "picks": picks}
 
     return eval_step
