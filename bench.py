@@ -185,6 +185,9 @@ def bench_torch_baseline(cfg, videos: int, vgg_spec, frame_hw=(240, 320)) -> dic
     frame_idx = (np.arange(d.max_audio_frames)[:, None] * d.hop_length
                  + np.arange(d.win_length)[None, :])
 
+    # +1 warmup video: the first forward pays torch lazy-init / thread-pool
+    # spin-up and is discarded (baseline variance was ~5× without this).
+    videos = videos + 1
     raw = make_raw_batch(rng, cfg, videos, frame_hw)
     times = []
     with torch.no_grad():
@@ -214,7 +217,7 @@ def bench_torch_baseline(cfg, videos: int, vgg_spec, frame_hw=(240, 320)) -> dic
                 aud_mask=torch.from_numpy(raw["aud_mask"][v : v + 1]),
             )
             times.append(time.perf_counter() - t0)
-    per_video = float(np.median(times))
+    per_video = float(np.median(times[1:]))  # drop the warmup video
     return {"videos_per_sec": 1.0 / per_video, "p50_per_video_latency_s": per_video}
 
 
