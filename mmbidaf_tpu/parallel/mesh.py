@@ -15,6 +15,7 @@ from __future__ import annotations
 from typing import Any, Mapping
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import AxisType, Mesh, NamedSharding, PartitionSpec as P
 
@@ -52,9 +53,22 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Mapping[str, Any], mesh: Mesh) -> dict:
-    """Place every array in the batch with its dim-0 sharded over the mesh."""
+    """Place every array in the batch with its dim-0 sharded over the mesh.
+
+    Arrays whose leading dim doesn't divide the mesh (e.g. a tiny debug
+    batch on an 8-device mesh) are replicated instead — correct, just not
+    parallel; size the batch as a multiple of the mesh for real runs.
+    """
     sh = batch_sharding(mesh)
-    return {k: jax.device_put(v, sh) for k, v in batch.items()}
+    rep = replicated_sharding(mesh)
+    n = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+
+    def place(v):
+        v = jnp.asarray(v) if not hasattr(v, "shape") else v
+        ok = len(v.shape) > 0 and v.shape[0] % n == 0
+        return jax.device_put(v, sh if ok else rep)
+
+    return {k: place(v) for k, v in batch.items()}
 
 
 def shard_params(params: Any, mesh: Mesh) -> Any:
