@@ -48,6 +48,8 @@ def parse_args():
                     help="root of per-video asset dirs (frames/ audio.wav "
                          "transcript.txt summary.txt); default: synthetic corpus")
     ap.add_argument("--glove_path", default=None, help="GloVe .txt for real corpora")
+    ap.add_argument("--vgg", default="vgg16", choices=["vgg16", "tiny"],
+                    help="frontend conv spec (tiny = fast CPU demos)")
     ap.add_argument("--config_json", default=None, help="full Config overlay")
     return ap.parse_args()
 
@@ -137,9 +139,12 @@ def main():
             wv = load_glove(a.glove_path, w2i, cfg.model.emb_dim)
         else:
             wv = random_word_vectors(np_rng, len(w2i), cfg.model.emb_dim)
+        from mmbidaf_tpu.ops.vgg import TINY_SPEC, VGG16_SPEC
+
+        vgg_spec = TINY_SPEC if a.vgg == "tiny" else VGG16_SPEC
         corpus = VideoCorpus(a.data_dir, cfg, w2i)
         stream_raw = batched_iterator(corpus, cfg.train.batch_size, cfg.train.seed)
-        fe_params = frontend_init(jax.random.key(cfg.train.seed + 2), cfg)
+        fe_params = frontend_init(jax.random.key(cfg.train.seed + 2), cfg, vgg_spec=vgg_spec)
     else:
         wv = random_word_vectors(np_rng, cfg.data.vocab_size, cfg.model.emb_dim)
     params = shard_params(
@@ -158,7 +163,10 @@ def main():
         state = restored
         print(f"resumed from step {int(state.step)}")
 
-    train_step = make_train_step(cfg, fe_params=fe_params)
+    train_step = make_train_step(
+        cfg, fe_params=fe_params,
+        vgg_spec=None if fe_params is None else vgg_spec,
+    )
     eval_step = make_eval_step(cfg)
     meter = AverageMeter()
 
@@ -167,7 +175,7 @@ def main():
 
         stream = stream_raw
         raw_eval = {k: jnp.asarray(v) for k, v in next(stream).items()}
-        feat = jax.jit(lambda r: apply_frontend(fe_params, r, cfg))(raw_eval)
+        feat = jax.jit(lambda r: apply_frontend(fe_params, r, cfg, vgg_spec))(raw_eval)
         feat["targets"] = raw_eval["targets"]
         feat["target_mask"] = raw_eval["target_mask"]
         eval_batch = shard_batch(feat, mesh)
