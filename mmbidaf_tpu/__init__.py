@@ -18,8 +18,19 @@ behavioral spec is SURVEY.md, which this package cites by section.
 __version__ = "0.1.0"
 
 from mmbidaf_tpu.config import (  # noqa: F401
+    Config,
     DataConfig,
     MeshConfig,
     ModelConfig,
     TrainConfig,
+    config_from_json,
 )
+
+
+def __getattr__(name):
+    # Lazy top-level conveniences (avoid importing jax-heavy modules eagerly).
+    if name == "Summarizer":
+        from mmbidaf_tpu.serving import Summarizer
+
+        return Summarizer
+    raise AttributeError(name)
