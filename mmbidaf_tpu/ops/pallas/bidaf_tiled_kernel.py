@@ -53,28 +53,31 @@ def _tiled_kernel(c_hbm, q_hbm, cmask_ref, qmask_ref, wc_ref, wq_ref, wcq_ref,
 
     def s_block(ci, qi):
         """Similarity block [tc_blk, tq_blk] for (c-block ci, q-block qi)."""
-        c_blk = c_hbm[0, pl.ds(ci * tc_blk, tc_blk), :]
-        q_blk = q_hbm[0, pl.ds(qi * tq_blk, tq_blk), :]
+        c_blk = c_hbm[0, ci * tc_blk:(ci + 1) * tc_blk, :]
+        q_blk = q_hbm[0, qi * tq_blk:(qi + 1) * tq_blk, :]
         s0 = (c_blk * w_c).sum(axis=-1, keepdims=True)
         s1 = (q_blk * w_q).sum(axis=-1, keepdims=True)
         s2 = jnp.dot(c_blk * w_cq, q_blk.T, preferred_element_type=jnp.float32)
         return s0 + s1.T + s2 + bias, c_blk, q_blk
 
     def masked_rowwise(S, ci, qi):
-        qm = jax.lax.dynamic_slice_in_dim(q_mask, qi * tq_blk, tq_blk)[None, :]
+        qm = q_mask[qi * tq_blk:(qi + 1) * tq_blk][None, :]
         return qm * S + (1.0 - qm) * NEG_INF
 
     def masked_colwise(S, ci, qi):
-        cm = jax.lax.dynamic_slice_in_dim(c_mask, ci * tc_blk, tc_blk)[:, None]
+        cm = c_mask[ci * tc_blk:(ci + 1) * tc_blk][:, None]
         return cm * S + (1.0 - cm) * NEG_INF
 
-    # ---- pass 1: column-softmax stats + unnormalized s_colᵀ·c ----
-    # col stats live for the whole T_q axis: max/denoms [T_q], qc [T_q, D].
-    def p1_q(qi, col_state):
-        col_max, col_den, qc_acc = col_state
-
-        def p1_c(ci, inner):
-            cmax, cden, qc = inner
+    # Block loops are Python-unrolled: n_cb/n_qb are STATIC, and Pallas TPU
+    # cannot lower dynamic_slice on values — static slices lower fine. The
+    # per-q-block column stats live in a Python list (one value per block).
+    # ---- pass 1: column-softmax stats + normalized s_colᵀ·c per q-block ----
+    qc_blocks = []
+    for qi in range(n_qb):
+        cmax = jnp.full((tq_blk,), NEG_INF, jnp.float32)
+        cden = jnp.zeros((tq_blk,), jnp.float32)
+        qc = jnp.zeros((tq_blk, D), jnp.float32)
+        for ci in range(n_cb):
             S, c_blk, _ = s_block(ci, qi)
             Sc = masked_colwise(S, ci, qi)  # masked over c rows
             blk_max = Sc.max(axis=0)        # [tq_blk]
@@ -85,32 +88,16 @@ def _tiled_kernel(c_hbm, q_hbm, cmask_ref, qmask_ref, wc_ref, wq_ref, wcq_ref,
             qc = qc * scale[:, None] + jnp.dot(
                 p.T, c_blk, preferred_element_type=jnp.float32
             )
-            return new_max, cden, qc
-
-        init = (
-            jnp.full((tq_blk,), NEG_INF, jnp.float32),
-            jnp.zeros((tq_blk,), jnp.float32),
-            jnp.zeros((tq_blk, D), jnp.float32),
-        )
-        m, d, qc = jax.lax.fori_loop(0, n_cb, p1_c, init)
-        col_max = jax.lax.dynamic_update_slice_in_dim(col_max, m, qi * tq_blk, 0)
-        col_den = jax.lax.dynamic_update_slice_in_dim(col_den, d, qi * tq_blk, 0)
-        qc_acc = jax.lax.dynamic_update_slice_in_dim(qc_acc, qc, qi * tq_blk, 0)
-        return col_max, col_den, qc_acc
-
-    col_state = (
-        jnp.full((T_q,), NEG_INF, jnp.float32),
-        jnp.zeros((T_q,), jnp.float32),
-        jnp.zeros((T_q, D), jnp.float32),
-    )
-    _, col_den, qc_unnorm = jax.lax.fori_loop(0, n_qb, p1_q, col_state)
-    # normalized s_colᵀ·c rows: [T_q, D]
-    qc = qc_unnorm / jnp.maximum(col_den, 1e-30)[:, None]
+            cmax = new_max
+        qc_blocks.append(qc / jnp.maximum(cden, 1e-30)[:, None])
 
     # ---- pass 2: flash row softmax; accumulate a and b per c-block ----
-    def p2_c(ci, _):
-        def p2_q(qi, inner):
-            rmax, rden, a_acc, b_acc = inner
+    for ci in range(n_cb):
+        rmax = jnp.full((tc_blk,), NEG_INF, jnp.float32)
+        rden = jnp.zeros((tc_blk,), jnp.float32)
+        a_acc = jnp.zeros((tc_blk, D), jnp.float32)
+        b_acc = jnp.zeros((tc_blk, D), jnp.float32)
+        for qi in range(n_qb):
             S, c_blk, q_blk = s_block(ci, qi)
             Sr = masked_rowwise(S, ci, qi)
             blk_max = Sr.max(axis=1)
@@ -122,30 +109,18 @@ def _tiled_kernel(c_hbm, q_hbm, cmask_ref, qmask_ref, wc_ref, wq_ref, wcq_ref,
                 p, q_blk, preferred_element_type=jnp.float32
             )
             b_acc = b_acc * scale[:, None] + jnp.dot(
-                p, jax.lax.dynamic_slice_in_dim(qc, qi * tq_blk, tq_blk),
-                preferred_element_type=jnp.float32,
+                p, qc_blocks[qi], preferred_element_type=jnp.float32
             )
-            return new_max, rden, a_acc, b_acc
-
-        init = (
-            jnp.full((tc_blk,), NEG_INF, jnp.float32),
-            jnp.zeros((tc_blk,), jnp.float32),
-            jnp.zeros((tc_blk, D), jnp.float32),
-            jnp.zeros((tc_blk, D), jnp.float32),
-        )
-        _, rden, a_acc, b_acc = jax.lax.fori_loop(0, n_qb, p2_q, init)
+            rmax = new_max
         inv = 1.0 / jnp.maximum(rden, 1e-30)
         a = a_acc * inv[:, None]
         b = b_acc * inv[:, None]
-        c_blk = c_hbm[0, pl.ds(ci * tc_blk, tc_blk), :]
-        sl = pl.ds(ci * tc_blk, tc_blk)
+        c_blk = c_hbm[0, ci * tc_blk:(ci + 1) * tc_blk, :]
+        sl = slice(ci * tc_blk, (ci + 1) * tc_blk)
         out_ref[0, sl, 0 * D:1 * D] = c_blk
         out_ref[0, sl, 1 * D:2 * D] = a
         out_ref[0, sl, 2 * D:3 * D] = c_blk * a
         out_ref[0, sl, 3 * D:4 * D] = c_blk * b
-        return 0
-
-    jax.lax.fori_loop(0, n_cb, p2_c, 0)
 
 
 @partial(jax.jit, static_argnames=("tc_blk", "tq_blk", "interpret"))
