@@ -60,3 +60,21 @@ def restore_latest(manager: ocp.CheckpointManager, template: TrainState) -> Trai
     }
     restored = manager.restore(step, args=ocp.args.StandardRestore(target))
     return TrainState(**restored)
+
+
+def save_config(save_dir: str, cfg) -> None:
+    """Persist the full Config next to the checkpoints (reproducibility:
+    a checkpoint without its bucket shapes/arch dims is not loadable)."""
+    import json
+
+    from mmbidaf_tpu.config import config_to_dict
+
+    os.makedirs(save_dir, exist_ok=True)
+    with open(os.path.join(save_dir, "config.json"), "w") as f:
+        json.dump(config_to_dict(cfg), f, indent=1)
+
+
+def load_config(save_dir: str):
+    from mmbidaf_tpu.config import config_from_json
+
+    return config_from_json(os.path.join(save_dir, "config.json"))

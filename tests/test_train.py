@@ -138,3 +138,12 @@ def test_tensorboard_writer(tmp_path):
     w.log(1, {"loss": 0.5})
     if w.active:
         assert any(files for _, _, files in os.walk(str(tmp_path / "tb")))
+
+
+def test_config_saved_with_checkpoints(tmp_path):
+    from mmbidaf_tpu.train import checkpoint as ckpt
+
+    cfg = tiny_test_config()
+    ckpt.save_config(str(tmp_path), cfg)
+    cfg2 = ckpt.load_config(str(tmp_path))
+    assert cfg2 == cfg

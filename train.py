@@ -152,6 +152,7 @@ def main():
     )
     state = init_train_state(jax.random.key(cfg.train.seed + 1), params, cfg)
 
+    ckpt.save_config(run_dir, cfg)
     manager = ckpt.make_manager(
         os.path.join(run_dir, "ckpts"),
         cfg.train.max_checkpoints,
