@@ -203,3 +203,97 @@ def conv3x3_same_acc(
             transcendentals=0,
         ),
     )(x_pad, w_k, b.astype(dtype)[None])
+
+
+def _conv3x3_db_kernel(x_hbm, w_ref, b_ref, out_ref, slab, sem, *,
+                       tile_h: int, W: int, Cin: int, Cout: int, relu: bool):
+    """Variant C: double-buffered input slabs — the next H-tile's DMA is in
+    flight while the current tile computes (guide: 'Patterns: Double
+    Buffering'). Grid order is (n, hi) with hi fastest, so the prefetch
+    target is simply the next grid step's slab."""
+    n = pl.program_id(0)
+    hi = pl.program_id(1)
+    n_h = pl.num_programs(1)
+    slot = hi % 2
+
+    def slab_dma(h_idx, s):
+        return pltpu.make_async_copy(
+            x_hbm.at[n, pl.ds(h_idx * tile_h, tile_h + 2), :, :],
+            slab.at[s],
+            sem.at[s],
+        )
+
+    @pl.when(hi == 0)
+    def _():
+        slab_dma(0, 0).start()
+
+    @pl.when(hi + 1 < n_h)
+    def _():
+        slab_dma(hi + 1, (hi + 1) % 2).start()
+
+    slab_dma(hi, slot).wait()
+
+    acc = jnp.zeros((tile_h * W, Cout), jnp.float32)
+    k = 0
+    for dy in range(3):
+        for dx in range(3):
+            patch = slab[slot, dy:dy + tile_h, dx:dx + W, :].reshape(tile_h * W, Cin)
+            acc = acc + jnp.dot(patch, w_ref[k], preferred_element_type=jnp.float32)
+            k += 1
+    out = acc + b_ref[0]
+    if relu:
+        out = jnp.maximum(out, 0.0)
+    out_ref[0] = out.reshape(tile_h, W, Cout).astype(out_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("tile_h", "relu", "interpret"))
+def conv3x3_same_db(
+    x: jax.Array,
+    w3x3: jax.Array,
+    b: jax.Array,
+    tile_h: int = 16,
+    relu: bool = True,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Double-buffered variant of ``conv3x3_same_acc`` (same contract)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    N, H, W, Cin = x.shape
+    Cout = w3x3.shape[-1]
+    assert H % tile_h == 0 and W % 8 == 0
+    dtype = x.dtype
+    sublane = {4: 8, 2: 16, 1: 32}[jnp.dtype(dtype).itemsize]
+    w_total = W + 2
+    w_align = (-w_total) % sublane
+    c_align = (-Cin) % 128
+    x_pad = jnp.pad(x, ((0, 0), (1, 1), (1, 1 + w_align), (0, c_align)))
+    w_k = (
+        jnp.pad(w3x3, ((0, 0), (0, 0), (0, c_align), (0, 0)))
+        .reshape(9, Cin + c_align, Cout)
+        .astype(dtype)
+    )
+    Cin_p = Cin + c_align
+
+    return pl.pallas_call(
+        partial(_conv3x3_db_kernel, tile_h=tile_h, W=W, Cin=Cin_p, Cout=Cout, relu=relu),
+        out_shape=jax.ShapeDtypeStruct((N, H, W, Cout), dtype),
+        grid=(N, H // tile_h),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((9, Cin_p, Cout), lambda n, h: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Cout), lambda n, h: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile_h, W, Cout), lambda n, h: (n, h, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, tile_h + 2, w_total + w_align, Cin_p), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * N * H * W * 9 * Cin_p * Cout,
+            bytes_accessed=x.dtype.itemsize * (N * H * W * (Cin + Cout)),
+            transcendentals=0,
+        ),
+    )(x_pad, w_k, b.astype(dtype)[None])

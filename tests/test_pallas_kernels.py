@@ -174,3 +174,18 @@ def test_pallas_conv3x3_acc_matches_lax(rng):
     ref = jnp.maximum(ref, 0.0)
     out = conv3x3_same_acc(x, w, b, tile_h=4, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_pallas_conv3x3_db_matches_lax(rng):
+    from mmbidaf_tpu.ops.pallas.conv_kernel import conv3x3_same_db
+
+    N, H, W, Cin, Cout = 2, 12, 16, 5, 7
+    x = jnp.asarray(rng.standard_normal((N, H, W, Cin)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, Cin, Cout)).astype(np.float32) * 0.2)
+    b = jnp.asarray(rng.standard_normal(Cout).astype(np.float32))
+    ref = jax.lax.conv_general_dilated(
+        x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    ) + b
+    ref = jnp.maximum(ref, 0.0)
+    out = conv3x3_same_db(x, w, b, tile_h=4, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
