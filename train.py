@@ -100,7 +100,12 @@ def main():
     from mmbidaf_tpu.models.mmbidaf import mmbidaf_init
     from mmbidaf_tpu.parallel import make_mesh, shard_batch, shard_params
     from mmbidaf_tpu.train import checkpoint as ckpt
-    from mmbidaf_tpu.train.loop import init_train_state, make_eval_step, make_train_step
+    from mmbidaf_tpu.train.loop import (
+        init_train_state,
+        make_eval_step,
+        make_lr_schedule,
+        make_train_step,
+    )
     from mmbidaf_tpu.train.metrics import (
         AverageMeter,
         JsonlLogger,
@@ -193,7 +198,11 @@ def main():
         meter.update(loss)
         step = int(state.step)
         if step % 50 == 0:
-            scalars = {"loss": meter.avg, "grad_norm": float(metrics["grad_norm"])}
+            scalars = {
+                "loss": meter.avg,
+                "grad_norm": float(metrics["grad_norm"]),
+                "lr": float(make_lr_schedule(cfg)(step)),
+            }
             logger.log(step, scalars)
             tb.log(step, scalars)
             print(f"step {step}: loss {meter.avg:.4f}")
