@@ -151,8 +151,11 @@ def bench_jax(cfg, batch_size: int, iters: int, vgg_spec) -> dict:
     n_chips = jax.device_count()
     return {
         "videos_per_sec_per_chip": batch_size / per_batch / n_chips,
+        # One batch = one program: all `batch_size` videos finish together
+        # after `per_batch` seconds, so batch latency IS each video's p50
+        # completion latency; amortized time-per-video is a separate number.
         "p50_batch_latency_s": per_batch,
-        "p50_per_video_latency_s": per_batch,  # one batch = one program; all videos finish together
+        "amortized_s_per_video": per_batch / batch_size,
         "compile_s": compile_s,
         "fixed_overhead_s": max(t_lo - per_batch, 0.0),
         "n_chips": n_chips,
@@ -253,7 +256,8 @@ def main():
             if baseline_vps
             else None
         ),
-        "p50_per_video_latency_s": round(jax_res["p50_per_video_latency_s"], 4),
+        "p50_batch_latency_s": round(jax_res["p50_batch_latency_s"], 4),
+        "amortized_s_per_video": round(jax_res["amortized_s_per_video"], 5),
         "baseline_videos_per_sec_cpu": round(baseline_vps, 3) if baseline_vps else None,
         "batch_size": batch,
         "backend": jax_res["backend"],

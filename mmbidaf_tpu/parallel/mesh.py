@@ -57,18 +57,29 @@ def shard_batch(batch: Mapping[str, Any], mesh: Mesh) -> dict:
 
     Arrays whose leading dim doesn't divide the mesh (e.g. a tiny debug
     batch on an 8-device mesh) are replicated instead — correct, just not
-    parallel; size the batch as a multiple of the mesh for real runs.
+    parallel; size the batch as a multiple of the mesh for real runs. A
+    replicated array with leading dim > mesh size is almost certainly a
+    typo'd batch size silently running ``n``× slower, so that case warns.
     """
+    import warnings
+
     sh = batch_sharding(mesh)
     rep = replicated_sharding(mesh)
     n = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
 
-    def place(v):
+    def place(k, v):
         v = jnp.asarray(v) if not hasattr(v, "shape") else v
         ok = len(v.shape) > 0 and v.shape[0] % n == 0
+        if not ok and len(v.shape) > 0 and v.shape[0] > n:
+            warnings.warn(
+                f"shard_batch: '{k}' leading dim {v.shape[0]} does not divide "
+                f"the {n}-device mesh; replicating (runs {n}x slower). Size "
+                f"the batch as a multiple of {n}.",
+                stacklevel=3,
+            )
         return jax.device_put(v, sh if ok else rep)
 
-    return {k: place(v) for k, v in batch.items()}
+    return {k: place(k, v) for k, v in batch.items()}
 
 
 def shard_params(params: Any, mesh: Mesh) -> Any:

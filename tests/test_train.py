@@ -52,12 +52,11 @@ def test_frozen_embedding_table():
     np.testing.assert_array_equal(
         np.asarray(state.params["embedding"]["table"]), table_before
     )
-    # but other params moved
-    assert not np.allclose(
-        np.asarray(state.params["fuse_w"]),
-        np.asarray(state.ema_params["fuse_w"]),
-        atol=0,
-    ) or True  # ema close at step 1; just check fuse_w changed vs init is implicit
+    # but other params moved: fuse_w must differ from its EMA shadow, which
+    # still sits at the init value after one step (decay keeps it ~there).
+    assert not np.array_equal(
+        np.asarray(state.params["fuse_w"]), np.asarray(state.ema_params["fuse_w"])
+    ), "fuse_w did not move after a train step"
 
 
 def test_eval_step_and_rouge():
