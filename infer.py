@@ -26,23 +26,48 @@ def main():
     ap.add_argument("--seed", type=int, default=224)
     ap.add_argument("--mode", default="greedy", choices=["greedy", "topk"])
     ap.add_argument("--topk", type=int, default=4)
+    ap.add_argument("--data_dir", default=None,
+                    help="real corpus root (per-video dirs); decodes every "
+                         "video, prints its summary text, and scores ROUGE "
+                         "against summary.txt golds")
+    ap.add_argument("--vgg", default="vgg16", choices=["vgg16", "tiny"])
+    ap.add_argument("--config_json", default=None, help="full Config overlay")
+    ap.add_argument("--print_summaries", action="store_true")
     a = ap.parse_args()
 
-    from mmbidaf_tpu.config import Config
+    from mmbidaf_tpu.config import Config, config_from_json
     from mmbidaf_tpu.data.synthetic import batch_stream, random_word_vectors
     from mmbidaf_tpu.models.mmbidaf import mmbidaf_init
     from mmbidaf_tpu.parallel import make_mesh, shard_batch, shard_params
     from mmbidaf_tpu.train.loop import init_train_state, make_eval_step
-    from mmbidaf_tpu.train.metrics import rouge_scores, summary_from_picks
+    from mmbidaf_tpu.train.metrics import batch_rouge, rouge_scores, summary_from_picks
 
-    cfg = Config()
-    cfg = dataclasses.replace(
-        cfg, model=dataclasses.replace(cfg.model, hidden_size=a.hidden_size)
-    )
+    if a.config_json:
+        cfg = config_from_json(a.config_json)
+    else:
+        cfg = Config()
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, hidden_size=a.hidden_size)
+        )
 
     mesh = make_mesh()
     np_rng = np.random.default_rng(a.seed)
-    wv = random_word_vectors(np_rng, cfg.data.vocab_size, cfg.model.emb_dim)
+    corpus = fe_params = vgg_spec = None
+    if a.data_dir:
+        # Real corpus: rebuild the deterministic training vocabulary so ids
+        # match the checkpoint, and featurize raw assets on device.
+        from mmbidaf_tpu.data.frontend import frontend_init
+        from mmbidaf_tpu.data.pipeline import VideoCorpus
+        from mmbidaf_tpu.data.vocab import vocab_from_corpus_dir
+        from mmbidaf_tpu.ops.vgg import TINY_SPEC, VGG16_SPEC
+
+        vgg_spec = TINY_SPEC if a.vgg == "tiny" else VGG16_SPEC
+        w2i = vocab_from_corpus_dir(a.data_dir, max_size=cfg.data.vocab_size)
+        corpus = VideoCorpus(a.data_dir, cfg, w2i)
+        fe_params = frontend_init(jax.random.key(a.seed + 2), cfg, vgg_spec=vgg_spec)
+        wv = random_word_vectors(np_rng, len(w2i), cfg.model.emb_dim)
+    else:
+        wv = random_word_vectors(np_rng, cfg.data.vocab_size, cfg.model.emb_dim)
     params = shard_params(
         mmbidaf_init(jax.random.key(a.seed), cfg, jnp.asarray(wv)), mesh
     )
@@ -67,6 +92,42 @@ def main():
             return {"picks": picks}
     else:
         eval_step = make_eval_step(cfg)
+
+    if corpus is not None:
+        # Real-corpus decode: every video once, sequential order; picks map
+        # back to the on-disk transcript sentences (SURVEY §4.3).
+        from mmbidaf_tpu.data.frontend import apply_frontend
+        from mmbidaf_tpu.data.pipeline import collate
+
+        featurize = jax.jit(lambda r: apply_frontend(fe_params, r, cfg, vgg_spec))
+        agg = {"ROUGE-1": 0.0, "ROUGE-2": 0.0, "ROUGE-L": 0.0}
+        n_scored = 0
+        for start in range(0, len(corpus), a.batch_size):
+            idxs = [min(start + j, len(corpus) - 1) for j in range(a.batch_size)]
+            n_real = min(a.batch_size, len(corpus) - start)  # tail wraps for static shape
+            raw = {k: jnp.asarray(v) for k, v in collate([corpus[i] for i in idxs]).items()}
+            feat = featurize(raw)
+            # eval_step's teacher-forced loss needs targets; corpora without
+            # summary.txt golds still decode (zero targets, unused picks path)
+            K = cfg.model.max_decode_steps
+            feat["targets"] = raw.get("targets", jnp.zeros((a.batch_size, K), jnp.int32))
+            feat["target_mask"] = raw.get("target_mask", jnp.ones((a.batch_size, K), jnp.float32))
+            batch = shard_batch(feat, mesh)
+            out = eval_step(state.ema_params, batch)
+            picks = np.asarray(out["picks"])[:n_real]
+            texts = [corpus.example_text(i) for i in idxs[:n_real]]
+            scores, n_b = batch_rouge(picks, [t[0] for t in texts], [t[1] for t in texts])
+            for k in agg:
+                agg[k] += scores[k] * n_b
+            n_scored += n_b
+            if a.print_summaries:
+                for j in range(n_real):
+                    vid = corpus.video_ids[idxs[j]]
+                    print(f"{vid}: {summary_from_picks(picks[j], texts[j][0])}")
+        agg = {k: v / max(n_scored, 1) for k, v in agg.items()}
+        print({k: round(v, 4) for k, v in agg.items()}, f"({n_scored} videos scored)")
+        return
+
     stream = batch_stream(a.seed, cfg, a.batch_size)
 
     # Synthetic "sentences" for summary assembly.

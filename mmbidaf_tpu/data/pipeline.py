@@ -78,6 +78,27 @@ class VideoCorpus:
         return ex
 
 
+    def example_text(self, idx: int) -> tuple[list[str], str | None]:
+        """The idx-th video's real transcript sentences (truncated/ordered
+        exactly like ``__getitem__``'s token ids) and its gold summary text,
+        for host-side summary assembly + ROUGE (SURVEY.md §4.3: decode →
+        indices → sentences → summary string → ROUGE vs gold).
+
+        Reads only transcript.txt / summary.txt — no frame or audio decode.
+        """
+        from mmbidaf_tpu.data.text import sent_tokenize
+
+        vdir = os.path.join(self.root, self.video_ids[idx])
+        with open(os.path.join(vdir, "transcript.txt")) as f:
+            sentences = sent_tokenize(f.read())[: self.cfg.data.max_sentences]
+        summary = None
+        spath = os.path.join(vdir, "summary.txt")
+        if os.path.isfile(spath):
+            with open(spath) as f:
+                summary = f.read().strip()
+        return sentences, summary
+
+
 def collate(examples: Sequence[dict]) -> dict[str, np.ndarray]:
     """Stack fixed-shape examples into one padded batch."""
     keys = examples[0].keys()

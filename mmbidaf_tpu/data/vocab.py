@@ -37,6 +37,25 @@ def build_vocab(
     return word2idx
 
 
+def vocab_from_corpus_dir(data_dir: str, max_size: int | None = None) -> dict[str, int]:
+    """Deterministic word2idx over every transcript under ``data_dir`` (the
+    VideoCorpus layout: ``<root>/<video_id>/transcript.txt``). train.py and
+    infer.py both use this so an inference process reconstructs the exact
+    vocabulary the checkpoint was trained with."""
+    import os
+
+    from mmbidaf_tpu.data.text import sent_tokenize, word_tokenize
+
+    corpus_tokens = []
+    for vid in sorted(os.listdir(data_dir)):
+        tpath = os.path.join(data_dir, vid, "transcript.txt")
+        if os.path.isfile(tpath):
+            with open(tpath) as f:
+                for sline in sent_tokenize(f.read()):
+                    corpus_tokens.append(word_tokenize(sline))
+    return build_vocab(corpus_tokens, max_size=max_size)
+
+
 def load_glove(
     glove_path: str,
     word2idx: dict[str, int],

@@ -59,6 +59,17 @@ def restore_latest(manager: ocp.CheckpointManager, template: TrainState) -> Trai
         "rng": template.rng,
     }
     restored = manager.restore(step, args=ocp.args.StandardRestore(target))
+    # Orbax lands restored arrays on the default device; re-place each leaf
+    # on its template's sharding so resume works on a sharded mesh (restored
+    # single-device-committed params alongside mesh-placed batches otherwise
+    # fail jit's device check).
+    import jax
+
+    restored = jax.tree.map(
+        lambda r, t: jax.device_put(r, t.sharding) if hasattr(t, "sharding") else r,
+        restored,
+        target,
+    )
     return TrainState(**restored)
 
 

@@ -66,6 +66,30 @@ def summary_from_picks(picks, sentences: list[str]) -> str:
     return " ".join(sentences[i] for i in sorted(seen))
 
 
+def batch_rouge(
+    picks, sentences_list: list[list[str]], golds: list[str | None]
+) -> tuple[dict[str, float], int]:
+    """Average ROUGE over a batch of decoded sentence-index picks.
+
+    ``picks[b]`` are the decode-step indices for example b,
+    ``sentences_list[b]`` its REAL transcript sentences, ``golds[b]`` its
+    gold summary text (examples with no gold are skipped). Returns
+    (mean scores, number of scored examples). This is the reference's eval
+    metric (SURVEY.md §4.3): the hypothesis is assembled from on-disk
+    transcript text, not fabricated strings.
+    """
+    agg = {"ROUGE-1": 0.0, "ROUGE-2": 0.0, "ROUGE-L": 0.0}
+    n = 0
+    for b in range(min(len(sentences_list), len(golds))):
+        if golds[b] is None or not sentences_list[b]:
+            continue
+        hyp = summary_from_picks(picks[b], sentences_list[b])
+        for k, v in rouge_scores(hyp, golds[b]).items():
+            agg[k] += v
+        n += 1
+    return {k: v / max(n, 1) for k, v in agg.items()}, n
+
+
 class TensorboardWriter:
     """Optional tensorboard scalars (the reference logs loss/ROUGE/LR curves
     to tensorboardX). Uses tf.summary if tensorflow is importable; silently

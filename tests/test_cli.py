@@ -50,6 +50,69 @@ def test_infer_cli_smoke():
     assert "ROUGE-L" in res.stdout
 
 
+@pytest.fixture(scope="module")
+def synthetic_corpus(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("corpus"))
+    res = subprocess.run(
+        [sys.executable, "examples/make_synthetic_corpus.py", "--out", out,
+         "--videos", "4", "--sentences", "8", "--frames", "4", "--seconds", "1.2"],
+        cwd=REPO, env=_cpu_env(), capture_output=True, text=True, timeout=300,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    return out
+
+
+@pytest.mark.slow
+def test_train_cli_real_corpus_rouge(tmp_path, synthetic_corpus):
+    """--data_dir training logs eval ROUGE computed from the on-disk
+    transcript sentences and summary.txt golds (SURVEY §4.3, VERDICT #3)."""
+    res = subprocess.run(
+        [
+            sys.executable, "train.py",
+            "--data_dir", synthetic_corpus, "--vgg", "tiny",
+            "--config_json", "examples/tiny_config.json",
+            "--num_steps", "20",
+            "--save_dir", str(tmp_path),
+        ],
+        cwd=REPO, env=_cpu_env(), capture_output=True, text=True, timeout=900,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    run_dir = tmp_path / "mmbidaf"
+    logs = [json.loads(l) for l in (run_dir / "log.jsonl").read_text().splitlines()]
+    rouge_logs = [l for l in logs if "ROUGE-L" in l]
+    assert rouge_logs, f"no eval ROUGE logged: {logs}"
+    for l in rouge_logs:
+        assert 0.0 <= l["ROUGE-L"] <= 1.0
+
+
+@pytest.mark.slow
+def test_infer_cli_real_corpus(synthetic_corpus):
+    """infer.py --data_dir decodes every video, assembles summaries from the
+    real transcript text, and scores ROUGE against summary.txt."""
+    res = subprocess.run(
+        [
+            sys.executable, "infer.py",
+            "--data_dir", synthetic_corpus, "--vgg", "tiny",
+            "--config_json", "examples/tiny_config.json",
+            "--batch_size", "2", "--print_summaries",
+        ],
+        cwd=REPO, env=_cpu_env(), capture_output=True, text=True, timeout=900,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "(4 videos scored)" in res.stdout
+    # printed summaries are assembled from on-disk transcript sentences
+    import os as _os
+
+    with open(_os.path.join(synthetic_corpus, "video000", "transcript.txt")) as f:
+        transcript = f.read()
+    summary_lines = [l for l in res.stdout.splitlines() if l.startswith("video000:")]
+    assert summary_lines
+    text = summary_lines[0].split(":", 1)[1].strip()
+    if text:  # untrained model may pick nothing valid, but any text is real
+        first_sent = text.split(".")[0] + "."
+        assert first_sent in transcript
+
+
 @pytest.mark.slow
 def test_bench_cli_quick_cpu():
     res = subprocess.run(

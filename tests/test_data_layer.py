@@ -206,6 +206,42 @@ def test_train_on_raw_disk_corpus(disk_corpus):
     assert np.isfinite(losses).all()
 
 
+def test_real_text_rouge(disk_corpus):
+    """Eval ROUGE is computed from the REAL on-disk transcript sentences
+    (SURVEY §4.3): picking exactly the gold sentences scores ROUGE-L = 1.0
+    against summary.txt, and example_text returns the on-disk strings."""
+    from mmbidaf_tpu.data.pipeline import VideoCorpus
+    from mmbidaf_tpu.data.vocab import vocab_from_corpus_dir
+    from mmbidaf_tpu.train.metrics import batch_rouge, summary_from_picks
+
+    root, cfg = disk_corpus
+    w2i = vocab_from_corpus_dir(root)
+    corpus = VideoCorpus(root, cfg, w2i)
+
+    sentences, gold = corpus.example_text(0)
+    # the fixture writes "Sentence j of video 0 ..." and gold = sents 1 + 3
+    assert sentences[2].startswith("Sentence 2 of video 0")
+    assert gold == sentences[1] + " " + sentences[3]
+
+    # gold picks → assembled summary is exactly the gold text → ROUGE 1.0
+    picks = np.array([[1, 3, 1]])  # duplicate pick is deduped
+    assert summary_from_picks(picks[0], sentences) == gold
+    scores, n = batch_rouge(picks, [sentences], [gold])
+    assert n == 1
+    assert scores["ROUGE-L"] == pytest.approx(1.0)
+    assert scores["ROUGE-1"] == pytest.approx(1.0)
+
+    # wrong picks score strictly less
+    bad, _ = batch_rouge(np.array([[0, 2, 4]]), [sentences], [gold])
+    assert bad["ROUGE-L"] < 1.0
+
+    # examples with no gold are skipped, not scored as zero
+    scores2, n2 = batch_rouge(
+        np.array([[1, 3, 1], [0, 0, 0]]), [sentences, sentences], [gold, None]
+    )
+    assert n2 == 1 and scores2["ROUGE-L"] == pytest.approx(1.0)
+
+
 def test_grain_loader(disk_corpus):
     """grain DataLoader over VideoCorpus yields batched raw examples."""
     import dataclasses

@@ -51,14 +51,41 @@ def parse_args():
     ap.add_argument("--vgg", default="vgg16", choices=["vgg16", "tiny"],
                     help="frontend conv spec (tiny = fast CPU demos)")
     ap.add_argument("--config_json", default=None, help="full Config overlay")
-    return ap.parse_args()
+    a = ap.parse_args()
+    defaults = {act.dest: act.default for act in ap._actions}
+    return a, defaults
 
 
-def build_config(a):
+_MODEL_KEYS = ("hidden_size", "drop_prob", "max_decode_steps")
+_DATA_KEYS = ("max_sentences", "max_words")
+_TRAIN_KEYS = (
+    "batch_size", "lr", "optimizer", "max_grad_norm", "ema_decay", "l2_wd",
+    "eval_steps", "seed", "save_dir", "name", "max_checkpoints", "metric_name",
+)
+
+
+def build_config(a, defaults):
     from mmbidaf_tpu.config import Config, config_from_json
 
     if a.config_json:
-        return config_from_json(a.config_json)
+        # JSON is the base; CLI flags set to non-default values override it
+        # (so e.g. `--config_json tiny.json --save_dir /tmp/x` does not
+        # silently write into the JSON's save_dir).
+        def over(keys):
+            return {k: getattr(a, k) for k in keys if getattr(a, k) != defaults.get(k)}
+
+        cfg = config_from_json(a.config_json)
+        m = over(_MODEL_KEYS)
+        if a.no_images:
+            m["use_images"] = False
+        if a.no_audio:
+            m["use_audio"] = False
+        return dataclasses.replace(
+            cfg,
+            model=dataclasses.replace(cfg.model, **m),
+            data=dataclasses.replace(cfg.data, **over(_DATA_KEYS)),
+            train=dataclasses.replace(cfg.train, **over(_TRAIN_KEYS)),
+        )
     cfg = Config()
     cfg = dataclasses.replace(
         cfg,
@@ -93,8 +120,8 @@ def build_config(a):
 
 
 def main():
-    a = parse_args()
-    cfg = build_config(a)
+    a, defaults = parse_args()
+    cfg = build_config(a, defaults)
 
     from mmbidaf_tpu.data.synthetic import batch_stream, random_word_vectors
     from mmbidaf_tpu.models.mmbidaf import mmbidaf_init
@@ -110,8 +137,7 @@ def main():
         AverageMeter,
         JsonlLogger,
         TensorboardWriter,
-        rouge_scores,
-        summary_from_picks,
+        batch_rouge,
     )
 
     run_dir = os.path.join(cfg.train.save_dir, cfg.train.name)
@@ -128,18 +154,10 @@ def main():
         # Real corpus: vocab from transcripts (+ optional GloVe), raw batches,
         # device-side frontend inside the train step.
         from mmbidaf_tpu.data.frontend import frontend_init
-        from mmbidaf_tpu.data.pipeline import VideoCorpus, batched_iterator
-        from mmbidaf_tpu.data.text import sent_tokenize, word_tokenize
-        from mmbidaf_tpu.data.vocab import build_vocab, load_glove
+        from mmbidaf_tpu.data.pipeline import VideoCorpus, batched_iterator, collate
+        from mmbidaf_tpu.data.vocab import load_glove, vocab_from_corpus_dir
 
-        corpus_tokens = []
-        for vid in sorted(os.listdir(a.data_dir)):
-            tpath = os.path.join(a.data_dir, vid, "transcript.txt")
-            if os.path.isfile(tpath):
-                with open(tpath) as f:
-                    for sline in sent_tokenize(f.read()):
-                        corpus_tokens.append(word_tokenize(sline))
-        w2i = build_vocab(corpus_tokens, max_size=cfg.data.vocab_size)
+        w2i = vocab_from_corpus_dir(a.data_dir, max_size=cfg.data.vocab_size)
         if a.glove_path:
             wv = load_glove(a.glove_path, w2i, cfg.model.emb_dim)
         else:
@@ -149,13 +167,24 @@ def main():
         vgg_spec = TINY_SPEC if a.vgg == "tiny" else VGG16_SPEC
         corpus = VideoCorpus(a.data_dir, cfg, w2i)
         stream_raw = batched_iterator(corpus, cfg.train.batch_size, cfg.train.seed)
-        fe_params = frontend_init(jax.random.key(cfg.train.seed + 2), cfg, vgg_spec=vgg_spec)
+        # Replicate the frozen frontend over the mesh: as a jit closure
+        # constant it must live on the same device set as the params, or
+        # jit rejects the mixed placement.
+        fe_params = shard_params(
+            frontend_init(jax.random.key(cfg.train.seed + 2), cfg, vgg_spec=vgg_spec),
+            mesh,
+        )
     else:
         wv = random_word_vectors(np_rng, cfg.data.vocab_size, cfg.model.emb_dim)
     params = shard_params(
         mmbidaf_init(jax.random.key(cfg.train.seed), cfg, jnp.asarray(wv)), mesh
     )
-    state = init_train_state(jax.random.key(cfg.train.seed + 1), params, cfg)
+    # Replicate the WHOLE train state over the mesh (step/rng/opt scalars
+    # included): a restored checkpoint re-places onto these shardings, and
+    # jit rejects mixed committed placements otherwise.
+    state = shard_params(
+        init_train_state(jax.random.key(cfg.train.seed + 1), params, cfg), mesh
+    )
 
     ckpt.save_config(run_dir, cfg)
     manager = ckpt.make_manager(
@@ -176,11 +205,21 @@ def main():
     eval_step = make_eval_step(cfg)
     meter = AverageMeter()
 
+    eval_texts = None  # real (sentences, gold) per eval example in data_dir mode
     if a.data_dir:
         from mmbidaf_tpu.data.frontend import apply_frontend
 
         stream = stream_raw
-        raw_eval = {k: jnp.asarray(v) for k, v in next(stream).items()}
+        # Fixed eval slice with KNOWN corpus indices so decoded picks map
+        # back to the real on-disk transcript sentences (SURVEY §4.3); short
+        # corpora wrap to fill the static batch shape.
+        n_eval = cfg.train.batch_size
+        eval_idxs = [i % len(corpus) for i in range(n_eval)]
+        raw_eval = {
+            k: jnp.asarray(v)
+            for k, v in collate([corpus[i] for i in eval_idxs]).items()
+        }
+        eval_texts = [corpus.example_text(i) for i in eval_idxs]
         feat = jax.jit(lambda r: apply_frontend(fe_params, r, cfg, vgg_spec))(raw_eval)
         feat["targets"] = raw_eval["targets"]
         feat["target_mask"] = raw_eval["target_mask"]
@@ -210,17 +249,24 @@ def main():
         if step % cfg.train.eval_steps == 0:
             ev = eval_step(state.ema_params, eval_batch)
             ev_loss = float(ev["loss"])
-            # dev ROUGE against the synthetic gold (sentence-index overlap)
             picks = np.asarray(ev["picks"])
-            sentences = [f"transcript sentence {i}." for i in range(cfg.data.max_sentences)]
-            targets_np = np.asarray(jax.device_get(eval_batch["targets"]))
-            r_sum = {"ROUGE-1": 0.0, "ROUGE-2": 0.0, "ROUGE-L": 0.0}
-            n_ev = min(8, picks.shape[0])
-            for b in range(n_ev):
-                hyp = summary_from_picks(picks[b], sentences)
-                gold = " ".join(sentences[i] for i in targets_np[b])
-                for k, v in rouge_scores(hyp, gold).items():
-                    r_sum[k] += v / n_ev
+            if eval_texts is not None:
+                # dev ROUGE from the REAL on-disk transcript sentences and
+                # gold summary.txt (SURVEY §4.3: indices → sentences →
+                # summary string → ROUGE vs gold).
+                r_sum, _ = batch_rouge(
+                    picks,
+                    [t[0] for t in eval_texts],
+                    [t[1] for t in eval_texts],
+                )
+            else:
+                # synthetic corpus has no text: ROUGE over placeholder
+                # sentence strings = a pick-vs-target overlap proxy.
+                sentences = [f"transcript sentence {i}." for i in range(cfg.data.max_sentences)]
+                targets_np = np.asarray(jax.device_get(eval_batch["targets"]))
+                n_ev = min(8, picks.shape[0])
+                golds = [" ".join(sentences[i] for i in targets_np[b]) for b in range(n_ev)]
+                r_sum, _ = batch_rouge(picks[:n_ev], [sentences] * n_ev, golds)
             scalars = {"eval_loss": ev_loss, **{k: v for k, v in r_sum.items()}}
             logger.log(step, scalars)
             tb.log(step, scalars)
