@@ -129,8 +129,20 @@ def batched_iterator(
             yield collate([corpus[int(i)] for i in idxs])
 
 
-def make_grain_loader(corpus: VideoCorpus, batch_size: int, seed: int = 0):
-    """grain-backed loader (parallel workers, reproducible shuffling)."""
+def make_grain_loader(
+    corpus: VideoCorpus,
+    batch_size: int,
+    seed: int = 0,
+    worker_count: int = 0,
+    num_epochs: int | None = None,
+):
+    """grain-backed loader: the reference's DataLoader-worker parallelism.
+
+    ``worker_count>0`` decodes examples (PNG frames, WAV) in that many
+    subprocesses, overlapping host IO with device steps; ``num_epochs=None``
+    repeats forever (epoch-based runs pass the real count and the loader
+    stops when exhausted).
+    """
     import grain.python as grain
 
     sampler = grain.IndexSampler(
@@ -138,11 +150,11 @@ def make_grain_loader(corpus: VideoCorpus, batch_size: int, seed: int = 0):
         shuffle=True,
         seed=seed,
         shard_options=grain.NoSharding(),
-        num_epochs=None,
+        num_epochs=num_epochs,
     )
     return grain.DataLoader(
         data_source=corpus,
         sampler=sampler,
         operations=[grain.Batch(batch_size=batch_size, drop_remainder=True)],
-        worker_count=0,
+        worker_count=worker_count,
     )

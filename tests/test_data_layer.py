@@ -265,3 +265,37 @@ def test_grain_loader(disk_corpus):
     assert batch["text_ids"].shape[0] == 2
     assert batch["frames"].shape[0] == 2
     assert batch["targets"].shape == (2, cfg.model.max_decode_steps)
+
+
+def test_grain_loader_parallel_workers(disk_corpus):
+    """worker_count>0 decodes in subprocesses (the reference's DataLoader
+    num_workers equivalent) and yields byte-identical batches to the
+    in-process loader under the same sampler seed; num_epochs bounds the
+    stream."""
+    import dataclasses
+
+    from mmbidaf_tpu.data.pipeline import VideoCorpus, make_grain_loader
+
+    root, cfg = disk_corpus
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, img_feat_dim=32)
+    )
+    w2i = vocab.build_vocab(
+        [text.word_tokenize(s) for s in ["sentence video topic talks about"]]
+    )
+    corpus = VideoCorpus(root, cfg, w2i)
+
+    # batch_size=1: grain's round-robin worker interleaving reproduces the
+    # sampler order exactly, so serial and parallel streams are identical.
+    serial = list(make_grain_loader(corpus, 1, seed=0, worker_count=0, num_epochs=2))
+    parallel = list(make_grain_loader(corpus, 1, seed=0, worker_count=2, num_epochs=2))
+    assert len(serial) == len(parallel) == 6  # 3 videos x 2 epochs
+    for bs, bp in zip(serial, parallel):
+        for k in bs:
+            np.testing.assert_array_equal(bs[k], np.asarray(bp[k]))
+
+    # batching happens inside each worker (per-worker drop_remainder): 2
+    # workers x 3 records -> one full batch-of-2 each
+    batched = list(make_grain_loader(corpus, 2, seed=0, worker_count=2, num_epochs=2))
+    assert len(batched) == 2
+    assert all(b["text_ids"].shape[0] == 2 for b in batched)

@@ -29,7 +29,15 @@ def parse_args():
     ap.add_argument("--no_audio", action="store_true")
     # train
     ap.add_argument("--batch_size", type=int, default=32)
-    ap.add_argument("--num_steps", type=int, default=1000)
+    ap.add_argument("--num_steps", type=int, default=None,
+                    help="total train steps; default: num_epochs epochs over "
+                         "the corpus (--data_dir), else 1000")
+    ap.add_argument("--num_epochs", type=int, default=None,
+                    help="with --data_dir and no --num_steps: train this many "
+                         "epochs (default TrainConfig.num_epochs)")
+    ap.add_argument("--loader_workers", type=int, default=0,
+                    help="grain DataLoader worker processes for --data_dir "
+                         "(0 = decode in-process)")
     ap.add_argument("--lr", type=float, default=0.5)
     ap.add_argument("--optimizer", default="adadelta", choices=["adadelta", "adam"])
     ap.add_argument("--max_grad_norm", type=float, default=5.0)
@@ -166,7 +174,19 @@ def main():
 
         vgg_spec = TINY_SPEC if a.vgg == "tiny" else VGG16_SPEC
         corpus = VideoCorpus(a.data_dir, cfg, w2i)
-        stream_raw = batched_iterator(corpus, cfg.train.batch_size, cfg.train.seed)
+        if a.loader_workers > 0:
+            # grain DataLoader: PNG/WAV decode in worker subprocesses
+            # (reference DataLoader num_workers equivalent, SURVEY §4.2).
+            from mmbidaf_tpu.data.pipeline import make_grain_loader
+
+            stream_raw = iter(
+                make_grain_loader(
+                    corpus, cfg.train.batch_size, cfg.train.seed,
+                    worker_count=a.loader_workers, num_epochs=None,
+                )
+            )
+        else:
+            stream_raw = batched_iterator(corpus, cfg.train.batch_size, cfg.train.seed)
         # Replicate the frozen frontend over the mesh: as a jit closure
         # constant it must live on the same device set as the params, or
         # jit rejects the mixed placement.
@@ -230,7 +250,18 @@ def main():
             {k: jnp.asarray(v) for k, v in next(stream).items()}, mesh
         )
 
-    for _ in range(a.num_steps):
+    if a.num_steps is not None:
+        num_steps = a.num_steps
+    elif a.data_dir:
+        # Epoch-based budget (the reference trains --num_epochs epochs).
+        epochs = a.num_epochs or cfg.train.num_epochs
+        steps_per_epoch = max(1, len(corpus) // cfg.train.batch_size)
+        num_steps = epochs * steps_per_epoch
+        print(f"training {epochs} epochs x {steps_per_epoch} steps/epoch = {num_steps} steps")
+    else:
+        num_steps = 1000
+
+    for _ in range(num_steps):
         batch = shard_batch({k: jnp.asarray(v) for k, v in next(stream).items()}, mesh)
         state, metrics = train_step(state, batch)
         loss = float(metrics["loss"])
