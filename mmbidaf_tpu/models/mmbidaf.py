@@ -104,12 +104,21 @@ def fuse_and_model(
 
 
 def _bidaf(att_params, c, q, c_mask, q_mask, drop, rng, cfg: Config):
-    """Dispatch to the fused Pallas attention kernel on the inference path
-    (no dropout/grad) when ``use_pallas_attention`` is set (SURVEY §8 ph. 6)."""
-    if cfg.model.use_pallas_attention and rng is None:
-        from mmbidaf_tpu.ops.pallas.bidaf_kernel import bidaf_attention_fused
+    """Dispatch to the fused Pallas attention kernel when
+    ``use_pallas_attention`` is set (SURVEY §8 ph. 6): the plain kernel on
+    the inference path, the custom-VJP variant (fused Pallas backward) on
+    the dropout-free training path."""
+    if cfg.model.use_pallas_attention:
+        if rng is None:
+            from mmbidaf_tpu.ops.pallas.bidaf_kernel import bidaf_attention_fused
 
-        return bidaf_attention_fused(att_params, c, q, c_mask, q_mask)
+            return bidaf_attention_fused(att_params, c, q, c_mask, q_mask)
+        if drop == 0.0:
+            from mmbidaf_tpu.ops.pallas.bidaf_kernel import (
+                bidaf_attention_fused_trainable,
+            )
+
+            return bidaf_attention_fused_trainable(att_params, c, q, c_mask, q_mask)
     return bidaf_apply(att_params, c, q, c_mask, q_mask, drop, rng)
 
 
@@ -138,11 +147,17 @@ def mmbidaf_fused_reps(
     drop = m.drop_prob if rng is not None else 0.0
     rngs = jax.random.split(rng, 4) if rng is not None else [None] * 4
 
-    # Pallas LSTM kernel on the inference path (no VJP defined for it yet).
-    if m.use_pallas_lstm and rng is None:
-        from mmbidaf_tpu.ops.pallas.lstm_kernel import bilstm_pallas
+    # Pallas LSTM kernel: plain on the inference path, the custom-VJP
+    # variant (fused Pallas BPTT backward) on the training path.
+    if m.use_pallas_lstm:
+        if rng is None:
+            from mmbidaf_tpu.ops.pallas.lstm_kernel import bilstm_pallas
 
-        bilstm_fn = bilstm_pallas
+            bilstm_fn = bilstm_pallas
+        else:
+            from mmbidaf_tpu.ops.pallas.lstm_kernel import bilstm_pallas_trainable
+
+            bilstm_fn = bilstm_pallas_trainable
     else:
         bilstm_fn = bilstm_apply
 

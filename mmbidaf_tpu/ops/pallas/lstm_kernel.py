@@ -123,3 +123,238 @@ def bilstm_pallas(
         jnp.concatenate([h_f, h_b], axis=-1),
         jnp.concatenate([c_f, c_b], axis=-1),
     )
+
+
+# ---------------------------------------------------------------------------
+# Trainable variant: forward kernel that also emits the carried (h, c)
+# sequences as BPTT residuals, plus a sequential-grid BACKWARD kernel that
+# walks t = T-1 → 0, recomputes each step's gates from the carried state,
+# and accumulates dW_h in VMEM across grid steps (SURVEY §3.2 row 1 —
+# training-path fused LSTM; the round-1 kernel was inference-only).
+# The big GEMMs (x→gates in fwd, dgates→dx / dW_x in bwd) stay outside.
+# ---------------------------------------------------------------------------
+
+
+def _lstm_fwd_train_kernel(gates_ref, mask_ref, wh_ref,
+                           out_ref, hseq_ref, cseq_ref, state):
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        state[...] = jnp.zeros_like(state)
+
+    h = state[0]
+    c = state[1]
+    hdim = h.shape[-1]
+
+    z = gates_ref[0] + jnp.dot(h, wh_ref[:], preferred_element_type=jnp.float32)
+    i = jax.nn.sigmoid(z[:, 0 * hdim:1 * hdim])
+    f = jax.nn.sigmoid(z[:, 1 * hdim:2 * hdim])
+    g = jnp.tanh(z[:, 2 * hdim:3 * hdim])
+    o = jax.nn.sigmoid(z[:, 3 * hdim:4 * hdim])
+    c_new = f * c + i * g
+    h_new = o * jnp.tanh(c_new)
+
+    m = mask_ref[t, :][:, None]
+    state[0] = m * h_new + (1.0 - m) * h
+    state[1] = m * c_new + (1.0 - m) * c
+    out_ref[0] = h_new * m
+    hseq_ref[0] = state[0]
+    cseq_ref[0] = state[1]
+
+
+def _lstm_bwd_kernel(gates_ref, mask_ref, wh_ref, hprev_ref, cprev_ref,
+                     dout_ref, dhlast_ref, dclast_ref,
+                     dgates_ref, dwh_ref, state):
+    s = pl.program_id(0)
+    T = pl.num_programs(0)
+    t = T - 1 - s
+
+    @pl.when(s == 0)
+    def _():
+        state[0] = dhlast_ref[:]
+        state[1] = dclast_ref[:]
+
+    # Carried state entering step t (zeros at t == 0; the block loaded by
+    # the clamped index map is ignored via the scalar gate below).
+    not_first = jnp.where(s == T - 1, 0.0, 1.0)
+    h_prev = hprev_ref[0] * not_first
+    c_prev = cprev_ref[0] * not_first
+
+    hdim = h_prev.shape[-1]
+    z = gates_ref[0] + jnp.dot(h_prev, wh_ref[:], preferred_element_type=jnp.float32)
+    i = jax.nn.sigmoid(z[:, 0 * hdim:1 * hdim])
+    f = jax.nn.sigmoid(z[:, 1 * hdim:2 * hdim])
+    g = jnp.tanh(z[:, 2 * hdim:3 * hdim])
+    o = jax.nn.sigmoid(z[:, 3 * hdim:4 * hdim])
+    c_new = f * c_prev + i * g
+    tanh_c = jnp.tanh(c_new)
+
+    m = mask_ref[t, :][:, None]
+    dh_carry = state[0]
+    dc_carry = state[1]
+
+    dh_new = m * (dout_ref[0] + dh_carry)           # out_t = m·h_new; h_t = m·h_new + …
+    do = dh_new * tanh_c
+    dc_new = dh_new * o * (1.0 - tanh_c * tanh_c) + m * dc_carry
+    di = dc_new * g
+    df = dc_new * c_prev
+    dg = dc_new * i
+
+    dz = jnp.concatenate(
+        [di * i * (1.0 - i), df * f * (1.0 - f),
+         dg * (1.0 - g * g), do * o * (1.0 - o)], axis=-1
+    )
+    dgates_ref[0] = dz
+    state[0] = (1.0 - m) * dh_carry + jnp.dot(
+        dz, wh_ref[:].T, preferred_element_type=jnp.float32
+    )
+    state[1] = f * dc_new + (1.0 - m) * dc_carry
+
+    partial_wh = jnp.dot(h_prev.T, dz, preferred_element_type=jnp.float32)
+
+    @pl.when(s == 0)
+    def _():
+        dwh_ref[:] = partial_wh
+
+    @pl.when(s > 0)
+    def _():
+        dwh_ref[:] += partial_wh
+
+
+def _lstm_train_fwd_impl(params, x, mask, interpret):
+    """Forward with residuals. x/mask are already in processing order."""
+    B, T, _ = x.shape
+    h_dim = params["w_h"].shape[0]
+    f32 = jnp.float32
+    gates_all = (x @ params["w_x"] + params["b"]).astype(f32)
+    gates_all = jnp.swapaxes(gates_all, 0, 1)
+    mask_t = jnp.swapaxes(mask, 0, 1).astype(f32)
+
+    out, h_seq, c_seq = pl.pallas_call(
+        _lstm_fwd_train_kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B, h_dim), f32),
+            jax.ShapeDtypeStruct((T, B, h_dim), f32),
+            jax.ShapeDtypeStruct((T, B, h_dim), f32),
+        ],
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, B, 4 * h_dim), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, B), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((h_dim, 4 * h_dim), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, B, h_dim), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, h_dim), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, h_dim), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.VMEM((2, B, h_dim), f32)],
+        interpret=interpret,
+    )(gates_all, mask_t, params["w_h"].astype(f32))
+    return out, h_seq, c_seq
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def lstm_pallas_trainable(params, x, mask, reverse=False, interpret=None):
+    """``lstm_scan``-compatible Pallas LSTM with a fused Pallas BPTT VJP."""
+    out, _, _, h_last, c_last = _lstm_train_fwd(params, x, mask, reverse, interpret)
+    return out, (h_last, c_last)
+
+
+def _lstm_train_fwd(params, x, mask, reverse, interpret):
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    xp = jnp.flip(x, axis=1) if reverse else x
+    mp = jnp.flip(mask, axis=1) if reverse else mask
+    out, h_seq, c_seq = _lstm_train_fwd_impl(params, xp, mp, interpret)
+    out_b = jnp.swapaxes(out, 0, 1)
+    if reverse:
+        out_b = jnp.flip(out_b, axis=1)
+    return out_b, h_seq, c_seq, h_seq[-1], c_seq[-1]
+
+
+def _trainable_fwd(params, x, mask, reverse, interpret):
+    out_b, h_seq, c_seq, h_last, c_last = _lstm_train_fwd(
+        params, x, mask, reverse, interpret
+    )
+    return (out_b, (h_last, c_last)), (params, x, mask, h_seq, c_seq)
+
+
+def _trainable_bwd(reverse, interpret, res, cotangents):
+    params, x, mask, h_seq, c_seq = res
+    dout, (dh_last, dc_last) = cotangents
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, T, _ = x.shape
+    h_dim = params["w_h"].shape[0]
+    f32 = jnp.float32
+
+    xp = jnp.flip(x, axis=1) if reverse else x
+    mp = jnp.flip(mask, axis=1) if reverse else mask
+    doutp = jnp.flip(dout, axis=1) if reverse else dout
+
+    gates_all = (xp @ params["w_x"] + params["b"]).astype(f32)  # recompute
+    gates_all = jnp.swapaxes(gates_all, 0, 1)                   # [T, B, 4h]
+    mask_t = jnp.swapaxes(mp, 0, 1).astype(f32)
+    dout_t = jnp.swapaxes(doutp, 0, 1).astype(f32)
+
+    rev_idx = lambda s: (T - 1 - s, 0, 0)
+    prev_idx = lambda s: (jnp.maximum(T - 2 - s, 0), 0, 0)
+
+    dgates, dwh = pl.pallas_call(
+        _lstm_bwd_kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B, 4 * h_dim), f32),
+            jax.ShapeDtypeStruct((h_dim, 4 * h_dim), f32),
+        ],
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, B, 4 * h_dim), rev_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, B), lambda s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((h_dim, 4 * h_dim), lambda s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, h_dim), prev_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, h_dim), prev_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, h_dim), rev_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, h_dim), lambda s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, h_dim), lambda s: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, B, 4 * h_dim), rev_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((h_dim, 4 * h_dim), lambda s: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.VMEM((2, B, h_dim), f32)],
+        interpret=interpret,
+    )(
+        gates_all, mask_t, params["w_h"].astype(f32), h_seq, c_seq,
+        dout_t, dh_last.astype(f32), dc_last.astype(f32),
+    )
+
+    # Outside GEMMs: dgates → (dx, dW_x, db).
+    dgates_b = jnp.swapaxes(dgates, 0, 1)                       # [B, T, 4h]
+    dxp = dgates_b @ params["w_x"].T
+    dx = jnp.flip(dxp, axis=1) if reverse else dxp
+    d_wx = jnp.einsum("bti,btg->ig", xp.astype(f32), dgates_b)
+    d_b = dgates.sum(axis=(0, 1))
+    d_params = {
+        "w_x": d_wx.astype(params["w_x"].dtype),
+        "w_h": dwh.astype(params["w_h"].dtype),
+        "b": d_b.astype(params["b"].dtype),
+    }
+    return d_params, dx.astype(x.dtype), None
+
+
+lstm_pallas_trainable.defvjp(_trainable_fwd, _trainable_bwd)
+
+
+def bilstm_pallas_trainable(
+    params: dict, x: jax.Array, mask: jax.Array, interpret: bool | None = None
+) -> tuple[jax.Array, tuple[jax.Array, jax.Array]]:
+    """Bidirectional trainable wrapper matching ``ops.lstm.bilstm_apply``."""
+    out_f, (h_f, c_f) = lstm_pallas_trainable(params["fwd"], x, mask, False, interpret)
+    out_b, (h_b, c_b) = lstm_pallas_trainable(params["bwd"], x, mask, True, interpret)
+    out = jnp.concatenate([out_f, out_b], axis=-1)
+    return out, (
+        jnp.concatenate([h_f, h_b], axis=-1),
+        jnp.concatenate([c_f, c_b], axis=-1),
+    )

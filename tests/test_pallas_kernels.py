@@ -126,6 +126,80 @@ def test_fused_bidaf_trainable_grads_match_jnp(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-4)
 
 
+def test_pallas_lstm_trainable_grads_match_scan(rng):
+    """Fused Pallas BPTT VJP == jnp scan autodiff (ragged masks, both
+    directions, cotangents on outputs AND final states)."""
+    from mmbidaf_tpu.ops.lstm import bilstm_apply, bilstm_init
+    from mmbidaf_tpu.ops.pallas.lstm_kernel import bilstm_pallas_trainable
+
+    B, T, in_dim, h = 3, 9, 6, 8
+    params = bilstm_init(jax.random.key(7), in_dim, h)
+    x = jnp.asarray(rng.standard_normal((B, T, in_dim)).astype(np.float32))
+    lengths = np.array([9, 4, 7])
+    mask = jnp.asarray((np.arange(T)[None] < lengths[:, None]).astype(np.float32))
+
+    def loss_pl(p, xx):
+        out, (h_n, c_n) = bilstm_pallas_trainable(p, xx, mask, interpret=True)
+        return (out ** 2).sum() + (h_n * 0.3).sum() + (c_n ** 2).sum()
+
+    def loss_ref(p, xx):
+        out, (h_n, c_n) = bilstm_apply(p, xx, mask)
+        return (out ** 2).sum() + (h_n * 0.3).sum() + (c_n ** 2).sum()
+
+    # forward parity through the custom-vjp wrapper
+    np.testing.assert_allclose(loss_pl(params, x), loss_ref(params, x), rtol=1e-5)
+
+    gp = jax.grad(loss_pl, argnums=(0, 1))(params, x)
+    gr = jax.grad(loss_ref, argnums=(0, 1))(params, x)
+    flat_p, _ = jax.tree_util.tree_flatten_with_path(gp)
+    flat_r = jax.tree.leaves(gr)
+    for (path, a), b in zip(flat_p, flat_r):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}",
+        )
+
+
+def test_full_model_grads_with_pallas_kernels(rng):
+    """jax.grad through the FULL model with Pallas attention + LSTM kernels
+    (drop_prob=0 training path) == plain jnp grads (interpret mode)."""
+    import dataclasses
+
+    from mmbidaf_tpu.config import tiny_test_config
+    from mmbidaf_tpu.data.synthetic import random_word_vectors, synthetic_batch
+    from mmbidaf_tpu.models.mmbidaf import mmbidaf_apply, mmbidaf_init
+    from mmbidaf_tpu.train.loop import nll_loss
+
+    cfg = tiny_test_config()
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, drop_prob=0.0)
+    )
+    cfg_pl = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(
+            cfg.model, use_pallas_attention=True, use_pallas_lstm=True
+        ),
+    )
+    wv = random_word_vectors(rng, cfg.data.vocab_size, cfg.model.emb_dim)
+    params = mmbidaf_init(jax.random.key(2), cfg, jnp.asarray(wv))
+    batch = {k: jnp.asarray(v) for k, v in synthetic_batch(rng, cfg, batch_size=2).items()}
+    step_rng = jax.random.key(11)  # rng present => training path
+
+    def loss(p, c):
+        log_p = mmbidaf_apply(p, batch, c, rng=step_rng)
+        return nll_loss(log_p, batch["targets"], batch["target_mask"])
+
+    l_ref, g_ref = jax.value_and_grad(lambda p: loss(p, cfg))(params)
+    l_pl, g_pl = jax.value_and_grad(lambda p: loss(p, cfg_pl))(params)
+    np.testing.assert_allclose(float(l_pl), float(l_ref), rtol=1e-5)
+    flat_p, _ = jax.tree_util.tree_flatten_with_path(g_pl)
+    for (path, a), b in zip(flat_p, jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-5, rtol=1e-4,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}",
+        )
+
+
 def test_tiled_bidaf_matches_jnp(rng):
     """Blockwise two-pass BiDAF == reference jnp (incl. padding + ragged)."""
     from mmbidaf_tpu.ops.pallas.bidaf_tiled_kernel import bidaf_attention_tiled
