@@ -23,15 +23,17 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def slope_time(step, init_acc, lo=2, hi=8, reps=2):
-    """Seconds per call via chained-dispatch slope."""
-    jax.device_get(step(init_acc))  # compile
+def slope_time(step, init_acc, *args, lo=2, hi=8, reps=2):
+    """Seconds per call via chained-dispatch slope. Extra operands are passed
+    as ARGUMENTS (closure-captured device arrays get embedded as literal
+    constants in the remote-compile request body — CLAUDE.md)."""
+    jax.device_get(step(init_acc, *args))  # compile
 
     def run(m):
         t0 = time.perf_counter()
         acc = init_acc
         for _ in range(m):
-            acc = step(acc)
+            acc = step(acc, *args)
         jax.device_get(acc)
         return time.perf_counter() - t0
 
@@ -58,14 +60,14 @@ def time_conv_bf16(n, hw, cin, cout):
     x, w = make(0)
 
     @jax.jit
-    def step(acc):
+    def step(acc, x, w):
         xx = x + acc.astype(jnp.bfloat16)
         y = lax.conv_general_dilated(
             xx, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
         )
         return jnp.float32(y.mean())
 
-    s = slope_time(step, jnp.float32(0.0))
+    s = slope_time(step, jnp.float32(0.0), x, w)
     return s, conv_flops(n, hw, cin, cout) / s / 1e12
 
 
@@ -80,7 +82,7 @@ def time_conv_int8(n, hw, cin, cout):
     x, w = make(0)
 
     @jax.jit
-    def step(acc):
+    def step(acc, x, w):
         xx = x + (acc % 2).astype(jnp.int8)
         y = lax.conv_general_dilated(
             xx, w, (1, 1), "SAME",
@@ -89,7 +91,7 @@ def time_conv_int8(n, hw, cin, cout):
         )
         return jnp.int32(y.sum() % 1024) + acc
 
-    s = slope_time(step, jnp.int32(0))
+    s = slope_time(step, jnp.int32(0), x, w)
     return s, conv_flops(n, hw, cin, cout) / s / 1e12
 
 
@@ -109,21 +111,21 @@ def time_gemm(m, k, n_, dtype):
     if dtype == jnp.int8:
 
         @jax.jit
-        def step(acc):
+        def step(acc, a, b):
             aa = a + (acc % 2).astype(jnp.int8)
             y = jnp.dot(aa, b, preferred_element_type=jnp.int32)
             return jnp.int32(y.sum() % 1024) + acc
 
-        s = slope_time(step, jnp.int32(0))
+        s = slope_time(step, jnp.int32(0), a, b)
     else:
 
         @jax.jit
-        def step(acc):
+        def step(acc, a, b):
             aa = a + acc.astype(dtype)
             y = jnp.dot(aa, b, preferred_element_type=jnp.float32)
             return jnp.float32(y.mean())
 
-        s = slope_time(step, jnp.float32(0.0))
+        s = slope_time(step, jnp.float32(0.0), a, b)
     return s, 2.0 * m * k * n_ / s / 1e12
 
 
@@ -190,11 +192,11 @@ def main():
         imgs = make_imgs(0)
 
         @jax.jit
-        def step(acc):
+        def step(acc, params, imgs):
             y = vgg_features(params, imgs + acc.astype(jnp.bfloat16), VGG16_SPEC)
             return jnp.float32(y.mean())
 
-        s = slope_time(step, jnp.float32(0.0))
+        s = slope_time(step, jnp.float32(0.0), params, imgs)
         print(json.dumps({"op": "vgg_full_bf16", "s_per_call": round(s, 4),
                           "ms_at_512": round(s * args.scale_to / args.n * 1e3, 1)}), flush=True)
 

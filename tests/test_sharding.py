@@ -74,6 +74,32 @@ def test_sharded_train_step_runs(setup, eight_device_mesh):
     assert fuse_sh.is_fully_replicated
 
 
+def test_ring_bidaf_matches_local(eight_device_mesh):
+    """Ring-scheduled BiDAF over the 8-device mesh == local tiled kernel ==
+    jnp reference (SURVEY §3.3 ring row; ragged masks, padded seq axes)."""
+    from mmbidaf_tpu.ops.bidaf import bidaf_apply, bidaf_init
+    from mmbidaf_tpu.ops.pallas.bidaf_tiled_kernel import bidaf_attention_tiled
+    from mmbidaf_tpu.parallel.ring_attention import make_ring_bidaf
+
+    rng = np.random.default_rng(17)
+    B, T_c, T_q, D = 2, 32, 21, 16  # T_q=21 forces ring padding (21 % 8 != 0)
+    params = bidaf_init(jax.random.key(5), D)
+    c = jnp.asarray(rng.standard_normal((B, T_c, D)).astype(np.float32))
+    q = jnp.asarray(rng.standard_normal((B, T_q, D)).astype(np.float32))
+    lengths_c = np.array([32, 17])
+    lengths_q = np.array([21, 9])
+    c_mask = jnp.asarray((np.arange(T_c)[None] < lengths_c[:, None]).astype(np.float32))
+    q_mask = jnp.asarray((np.arange(T_q)[None] < lengths_q[:, None]).astype(np.float32))
+
+    ref = bidaf_apply(params, c, q, c_mask, q_mask)
+    tiled = bidaf_attention_tiled(params, c, q, c_mask, q_mask, tc_blk=8, tq_blk=8,
+                                  interpret=True)
+    ring = make_ring_bidaf(eight_device_mesh)(params, c, q, c_mask, q_mask)
+
+    np.testing.assert_allclose(np.asarray(tiled), np.asarray(ref), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(ring), np.asarray(ref), atol=3e-5)
+
+
 def test_two_level_dcn_mesh_factory():
     mesh = make_mesh(MeshConfig(num_dcn=2, num_data=4))
     assert mesh.axis_names == ("dcn", "data")
