@@ -31,6 +31,9 @@ def main():
     ap.add_argument("--out", required=True)
     ap.add_argument("--videos", type=int, default=8)
     ap.add_argument("--sentences", type=int, default=12)
+    ap.add_argument("--ragged", action="store_true",
+                    help="vary sentence count per video in [3, --sentences] "
+                         "(for bucketed-shape runs)")
     ap.add_argument("--frames", type=int, default=10)
     ap.add_argument("--seconds", type=float, default=4.0)
     ap.add_argument("--sample_rate", type=int, default=16000)
@@ -65,14 +68,15 @@ def main():
             w.setframerate(a.sample_rate)
             w.writeframes(pcm.tobytes())
 
-        topics = rng.choice(TOPICS, size=a.sentences)
+        n_sents = int(rng.integers(3, a.sentences + 1)) if a.ragged else a.sentences
+        topics = rng.choice(TOPICS, size=n_sents)
         sents = [
             f"Lecture segment {j} explains {topics[j]} with a worked example."
-            for j in range(a.sentences)
+            for j in range(n_sents)
         ]
         with open(os.path.join(vd, "transcript.txt"), "w") as f:
             f.write(" ".join(sents))
-        key = sorted(rng.choice(a.sentences, size=3, replace=False))
+        key = sorted(rng.choice(n_sents, size=min(3, n_sents), replace=False))
         with open(os.path.join(vd, "summary.txt"), "w") as f:
             f.write(" ".join(sents[k] for k in key))
     print(f"wrote {a.videos} videos under {a.out}")

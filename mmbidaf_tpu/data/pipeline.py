@@ -129,6 +129,62 @@ def batched_iterator(
             yield collate([corpus[int(i)] for i in idxs])
 
 
+def bucket_for(count: int, buckets: Sequence[int]) -> int:
+    """Smallest bucket holding ``count`` sentences (largest bucket caps)."""
+    for b in buckets:
+        if count <= b:
+            return b
+    return buckets[-1]
+
+
+def bucketed_iterator(
+    corpus: VideoCorpus,
+    batch_size: int,
+    buckets: Sequence[int],
+    seed: int = 0,
+    shuffle: bool = True,
+) -> Iterator[dict[str, np.ndarray]]:
+    """Bucketed-shape batched stream (SURVEY.md §8 ground rules / risk R3).
+
+    Examples are grouped by transcript sentence count into the smallest
+    fitting bucket; each batch's text arrays are trimmed to its bucket's
+    T_sent, so ragged corpora stop paying worst-case padding on every
+    batch. XLA compiles one program per bucket shape (jit caches by shape
+    — the per-bucket "jit cache" is free); frames/audio keep their static
+    shapes. Short buckets wrap-fill like ``batched_iterator``.
+    """
+    buckets = sorted({min(b, corpus.cfg.data.max_sentences) for b in buckets})
+    if not buckets:
+        raise ValueError("need at least one bucket")
+    counts = [len(corpus.example_text(i)[0]) for i in range(len(corpus))]
+    groups: dict[int, list[int]] = {}
+    for i, n in enumerate(counts):
+        groups.setdefault(bucket_for(n, buckets), []).append(i)
+
+    def trim(ex: dict, b: int) -> dict:
+        out = dict(ex)
+        for k in ("text_ids", "word_mask", "sent_mask"):
+            out[k] = ex[k][:b]
+        return out
+
+    rng = np.random.default_rng(seed)
+    while True:
+        # One epoch: per-bucket shuffled batches, bucket order interleaved.
+        epoch: list[tuple[int, np.ndarray]] = []
+        for b, idxs in groups.items():
+            order = rng.permutation(idxs) if shuffle else np.asarray(idxs)
+            for start in range(0, len(order), batch_size):
+                sel = order[start : start + batch_size]
+                if len(sel) < batch_size:
+                    fill = rng.choice(idxs, size=batch_size - len(sel))
+                    sel = np.concatenate([sel, fill])
+                epoch.append((b, sel))
+        if shuffle:
+            rng.shuffle(epoch)
+        for b, sel in epoch:
+            yield collate([trim(corpus[int(i)], b) for i in sel])
+
+
 def make_grain_loader(
     corpus: VideoCorpus,
     batch_size: int,

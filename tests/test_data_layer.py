@@ -242,6 +242,67 @@ def test_real_text_rouge(disk_corpus):
     assert n2 == 1 and scores2["ROUGE-L"] == pytest.approx(1.0)
 
 
+def test_bucketed_iterator(tmp_path, rng):
+    """Bucketed shapes (SURVEY §8 R3): batches are padded to the smallest
+    fitting T_sent bucket, real sentences survive, and measured padding
+    waste drops vs the single worst-case shape."""
+    import dataclasses
+
+    from PIL import Image
+
+    from mmbidaf_tpu.data.pipeline import VideoCorpus, batched_iterator, bucketed_iterator
+    from mmbidaf_tpu.data.vocab import vocab_from_corpus_dir
+
+    cfg = tiny_test_config()
+    cfg = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, max_sentences=16)
+    )
+    d = cfg.data
+    n_samples = d.max_audio_frames * d.hop_length + d.win_length
+    sent_counts = [2, 3, 7, 8, 13, 16]
+    for v, n_s in enumerate(sent_counts):
+        vd = tmp_path / f"video{v}"
+        (vd / "frames").mkdir(parents=True)
+        Image.fromarray((rng.random((16, 20, 3)) * 255).astype(np.uint8)).save(
+            vd / "frames" / "f000.png"
+        )
+        sig = (rng.standard_normal(n_samples // 4) * 8000).astype(np.int16)
+        with wave_mod.open(str(vd / "audio.wav"), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(d.sample_rate)
+            w.writeframes(sig.tobytes())
+        sents = [f"Video {v} sentence {j} covers topic {j}." for j in range(n_s)]
+        (vd / "transcript.txt").write_text(" ".join(sents))
+        (vd / "summary.txt").write_text(sents[0])
+
+    w2i = vocab_from_corpus_dir(str(tmp_path))
+    corpus = VideoCorpus(str(tmp_path), cfg, w2i)
+
+    buckets = (4, 8, 16)
+    it = bucketed_iterator(corpus, batch_size=2, buckets=buckets, seed=0)
+    seen_shapes = set()
+    pad_slots = real = 0
+    for _ in range(9):  # 3 buckets x up-to-2 batches, cycled
+        b = next(it)
+        T_s = b["text_ids"].shape[1]
+        assert T_s in buckets
+        assert b["sent_mask"].shape == (2, T_s)
+        assert b["word_mask"].shape[1] == T_s
+        # every example's real sentence count fits its bucket
+        n_real = b["sent_mask"].sum(axis=1)
+        assert (n_real <= T_s).all() and (n_real > 0).all()
+        seen_shapes.add(T_s)
+        pad_slots += b["sent_mask"].size
+        real += b["sent_mask"].sum()
+    assert seen_shapes == set(buckets), f"buckets unused: {seen_shapes}"
+    bucket_waste = 1 - real / pad_slots
+
+    flat = next(batched_iterator(corpus, batch_size=6, seed=0, shuffle=False))
+    flat_waste = 1 - flat["sent_mask"].mean()
+    assert bucket_waste < flat_waste, (bucket_waste, flat_waste)
+
+
 def test_grain_loader(disk_corpus):
     """grain DataLoader over VideoCorpus yields batched raw examples."""
     import dataclasses

@@ -38,6 +38,10 @@ def parse_args():
     ap.add_argument("--loader_workers", type=int, default=0,
                     help="grain DataLoader worker processes for --data_dir "
                          "(0 = decode in-process)")
+    ap.add_argument("--buckets", default=None,
+                    help="comma-separated T_sent buckets (e.g. 16,32,64) for "
+                         "--data_dir: batches are padded to the smallest "
+                         "fitting bucket instead of max_sentences")
     ap.add_argument("--lr", type=float, default=0.5)
     ap.add_argument("--optimizer", default="adadelta", choices=["adadelta", "adam"])
     ap.add_argument("--max_grad_norm", type=float, default=5.0)
@@ -174,7 +178,16 @@ def main():
 
         vgg_spec = TINY_SPEC if a.vgg == "tiny" else VGG16_SPEC
         corpus = VideoCorpus(a.data_dir, cfg, w2i)
-        if a.loader_workers > 0:
+        if a.buckets:
+            # Bucketed T_sent shapes: jit compiles one program per bucket;
+            # ragged corpora stop paying worst-case padding (SURVEY §8 R3).
+            from mmbidaf_tpu.data.pipeline import bucketed_iterator
+
+            buckets = tuple(int(b) for b in a.buckets.split(","))
+            stream_raw = bucketed_iterator(
+                corpus, cfg.train.batch_size, buckets, cfg.train.seed
+            )
+        elif a.loader_workers > 0:
             # grain DataLoader: PNG/WAV decode in worker subprocesses
             # (reference DataLoader num_workers equivalent, SURVEY §4.2).
             from mmbidaf_tpu.data.pipeline import make_grain_loader
@@ -261,8 +274,13 @@ def main():
     else:
         num_steps = 1000
 
+    pad_meter = AverageMeter()
     for _ in range(num_steps):
-        batch = shard_batch({k: jnp.asarray(v) for k, v in next(stream).items()}, mesh)
+        nb = next(stream)
+        # T_sent padding waste actually paid this step (bucketed shapes
+        # shrink this — SURVEY §8 R3).
+        pad_meter.update(1.0 - float(np.asarray(nb["sent_mask"]).mean()))
+        batch = shard_batch({k: jnp.asarray(v) for k, v in nb.items()}, mesh)
         state, metrics = train_step(state, batch)
         loss = float(metrics["loss"])
         meter.update(loss)
@@ -272,11 +290,13 @@ def main():
                 "loss": meter.avg,
                 "grad_norm": float(metrics["grad_norm"]),
                 "lr": float(make_lr_schedule(cfg)(step)),
+                "pad_frac": pad_meter.avg,
             }
             logger.log(step, scalars)
             tb.log(step, scalars)
-            print(f"step {step}: loss {meter.avg:.4f}")
+            print(f"step {step}: loss {meter.avg:.4f} pad_frac {pad_meter.avg:.3f}")
             meter.reset()
+            pad_meter.reset()
         if step % cfg.train.eval_steps == 0:
             ev = eval_step(state.ema_params, eval_batch)
             ev_loss = float(ev["loss"])
