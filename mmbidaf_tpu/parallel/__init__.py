@@ -1,4 +1,5 @@
 from mmbidaf_tpu.parallel.mesh import (  # noqa: F401
+    initialize_distributed,
     make_mesh,
     batch_sharding,
     replicated_sharding,

@@ -92,12 +92,26 @@ def initialize_distributed() -> bool:
     """Multi-host bring-up hook: call ``jax.distributed.initialize`` when the
     standard coordinator env vars are present (SURVEY §3.3 — multi-host is a
     config change, not a rewrite). Returns True if distributed mode started.
+
+    On cloud TPU pods the coordinates are auto-detected; elsewhere (e.g. the
+    CPU two-process smoke test) NUM_PROCESSES / PROCESS_ID are read from the
+    environment and passed explicitly.
     """
     import os
 
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
         "COORDINATOR_ADDRESS"
-    ):
-        jax.distributed.initialize()
-        return True
-    return False
+    )
+    if not addr:
+        return False
+    nproc = os.environ.get("NUM_PROCESSES") or os.environ.get("JAX_NUM_PROCESSES")
+    pid = os.environ.get("PROCESS_ID") or os.environ.get("JAX_PROCESS_ID")
+    if nproc is not None and pid is not None:
+        jax.distributed.initialize(
+            coordinator_address=addr,
+            num_processes=int(nproc),
+            process_id=int(pid),
+        )
+    else:
+        jax.distributed.initialize()  # cloud auto-detection path
+    return True
