@@ -22,6 +22,9 @@ def main():
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--batch", type=int, default=None)
+    ap.add_argument("--pallas", action="store_true",
+                    help="dropout-free training path with the fused Pallas "
+                         "attention-backward + LSTM-BPTT kernels")
     a = ap.parse_args()
 
     import jax
@@ -33,12 +36,15 @@ def main():
     from mmbidaf_tpu.train.loop import init_train_state, make_train_step
 
     cfg = build_bench_config(a.quick)
-    # Training runs fp32 + jnp kernels (autodiff path).
+    # Default: fp32 + jnp kernels (the reference-style autodiff path).
+    # --pallas: drop_prob=0 so the custom-VJP fused kernels dispatch.
     cfg = dataclasses.replace(
         cfg,
         model=dataclasses.replace(
-            cfg.model, compute_dtype="float32", use_pallas_attention=False,
-            drop_prob=0.2,
+            cfg.model, compute_dtype="float32",
+            use_pallas_attention=a.pallas,
+            use_pallas_lstm=a.pallas,
+            drop_prob=0.0 if a.pallas else 0.2,
         ),
         train=dataclasses.replace(cfg.train, optimizer="adadelta"),
     )

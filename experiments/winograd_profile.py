@@ -60,17 +60,16 @@ def main():
                           "ms_at_512": round(s * args.scale_to / args.n * 1e3, 2)}),
               flush=True)
 
-        for chunk in chunks:
-            @jax.jit
-            def win_step(acc, x, w, chunk=chunk):
-                y = winograd_conv3x3(x + acc.astype(jnp.bfloat16), w, chunk=chunk)
-                return jnp.float32(y.mean())
+        @jax.jit
+        def win_step(acc, x, w):
+            y = winograd_conv3x3(x + acc.astype(jnp.bfloat16), w)
+            return jnp.float32(y.mean())
 
-            s = slope_time(win_step, jnp.float32(0.0), x, w)
-            print(json.dumps({"op": f"{name}_win_c{chunk}",
-                              "tf_s_useful": round(useful / s / 1e12, 1),
-                              "ms_at_512": round(s * args.scale_to / args.n * 1e3, 2)}),
-                  flush=True)
+        s = slope_time(win_step, jnp.float32(0.0), x, w)
+        print(json.dumps({"op": f"{name}_win",
+                          "tf_s_useful": round(useful / s / 1e12, 1),
+                          "ms_at_512": round(s * args.scale_to / args.n * 1e3, 2)}),
+              flush=True)
 
 
 if __name__ == "__main__":

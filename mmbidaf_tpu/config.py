@@ -44,6 +44,10 @@ class ModelConfig:
     # custom-VJP wrapper, ops.pallas.bidaf_kernel.bidaf_attention_fused_trainable).
     use_pallas_attention: bool = False
     use_pallas_lstm: bool = False
+    # Winograd F(2x2,3x3) for the VGG conv stack (2.25x fewer MACs than the
+    # direct conv XLA emits; ~1e-2 rel. error in bf16 — ops/winograd.py).
+    # Off by default: exact-parity runs use the XLA conv.
+    use_winograd_conv: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -62,7 +62,9 @@ def apply_frontend(
             cast = lambda x: x.astype(compute_dtype) if x.dtype == jnp.float32 else x
             vgg_params = jax.tree.map(cast, vgg_params)
             imgs = imgs.astype(compute_dtype)
-        feats = vgg_ops.vgg_features(vgg_params, imgs, vgg_spec).astype(jnp.float32)
+        feats = vgg_ops.vgg_features(
+            vgg_params, imgs, vgg_spec, winograd=cfg.model.use_winograd_conv
+        ).astype(jnp.float32)
         out["images"] = feats.reshape(B, T_i, -1) * raw["img_mask"][:, :, None]
         out["img_mask"] = raw["img_mask"]
     if cfg.model.use_audio and "waveform" in raw:

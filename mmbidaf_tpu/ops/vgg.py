@@ -83,20 +83,34 @@ def _maxpool2(x: jax.Array) -> jax.Array:
     )
 
 
-@partial(jax.jit, static_argnames=("spec",))
-def vgg_features(params: dict, images: jax.Array, spec: Sequence = VGG16_SPEC) -> jax.Array:
+@partial(jax.jit, static_argnames=("spec", "winograd"))
+def vgg_features(
+    params: dict,
+    images: jax.Array,
+    spec: Sequence = VGG16_SPEC,
+    winograd: bool = False,
+) -> jax.Array:
     """``[N, H, W, 3] float images → [N, fc_dim]`` fc2-ReLU features.
 
     The flatten before fc1 uses torch's NCHW element order so ported
-    torchvision classifier weights line up.
+    torchvision classifier weights line up. ``winograd=True`` runs every
+    conv with C_in ≥ 32 via Winograd F(2x2,3x3) (ops/winograd.py — 2.25x
+    fewer MACs; the 3-channel stem stays on the direct conv).
     """
+    from mmbidaf_tpu.ops.winograd import winograd_conv3x3
+
     x = images
     ci = 0
     for item in spec:
         if item == "M":
             x = _maxpool2(x)
         else:
-            x = jax.nn.relu(_conv(x, params["convs"][ci]["w"], params["convs"][ci]["b"]))
+            w = params["convs"][ci]["w"]
+            b = params["convs"][ci]["b"]
+            if winograd and w.shape[2] >= 32:
+                x = jax.nn.relu(winograd_conv3x3(x, w, b))
+            else:
+                x = jax.nn.relu(_conv(x, w, b))
             ci += 1
     # NHWC → NCHW flatten order for torch classifier-weight compatibility.
     n = x.shape[0]

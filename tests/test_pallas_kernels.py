@@ -218,6 +218,34 @@ def test_tiled_bidaf_matches_jnp(rng):
     np.testing.assert_allclose(np.asarray(tiled), np.asarray(ref), atol=3e-5)
 
 
+def test_winograd_conv_matches_lax(rng):
+    """Winograd F(2x2,3x3) == lax.conv (f32, incl. odd H/W + batch chunking)."""
+    from mmbidaf_tpu.ops.winograd import winograd_conv3x3
+
+    for (N, H, W, Cin, Cout) in [(2, 8, 8, 5, 7), (3, 9, 11, 4, 6), (5, 14, 14, 32, 16)]:
+        x = jnp.asarray(rng.standard_normal((N, H, W, Cin)).astype(np.float32))
+        w = jnp.asarray((rng.standard_normal((3, 3, Cin, Cout)) * 0.2).astype(np.float32))
+        b = jnp.asarray(rng.standard_normal(Cout).astype(np.float32))
+        ref = jax.lax.conv_general_dilated(
+            x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        ) + b
+        out = winograd_conv3x3(x, w, b)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_vgg_winograd_features_close(rng):
+    """Full VGG forward with use_winograd_conv == direct-conv forward within
+    a feature-level tolerance (frozen featurizer; flag off by default)."""
+    from mmbidaf_tpu.ops.vgg import vgg_features, vgg_init
+
+    spec = (32, 32, "M", 64, "M")  # conv2+ have C_in >= 32 -> winograd path
+    params = vgg_init(jax.random.key(8), spec, image_size=32, fc_dim=64)
+    imgs = jnp.asarray(rng.standard_normal((4, 32, 32, 3)).astype(np.float32))
+    ref = vgg_features(params, imgs, spec, winograd=False)
+    win = vgg_features(params, imgs, spec, winograd=True)
+    np.testing.assert_allclose(np.asarray(win), np.asarray(ref), atol=1e-3, rtol=1e-3)
+
+
 def test_pallas_conv3x3_matches_lax(rng):
     """im2col conv kernel == lax.conv_general_dilated (SAME, 3x3, ReLU)."""
     from mmbidaf_tpu.ops.pallas.conv_kernel import conv3x3_same
