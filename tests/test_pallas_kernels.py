@@ -233,6 +233,27 @@ def test_winograd_conv_matches_lax(rng):
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+def test_winograd_fused_kernel_matches_lax(rng):
+    """Fused Pallas Winograd kernel (s2d layout, in-VMEM transforms, 16 MXU
+    GEMMs, fused bias+ReLU) == lax.conv, incl. odd H/W and K blocking."""
+    from mmbidaf_tpu.ops.pallas.winograd_kernel import winograd_conv3x3_fused
+
+    for (N, H, W, Cin, Cout, kblk) in [
+        (2, 8, 8, 128, 128, 128),
+        (1, 14, 14, 128, 256, 128),   # K blocked in 2
+        (2, 13, 9, 128, 128, 128),    # odd spatial → padded tiles
+    ]:
+        x = jnp.asarray(rng.standard_normal((N, H, W, Cin)).astype(np.float32))
+        w = jnp.asarray((rng.standard_normal((3, 3, Cin, Cout)) * 0.1).astype(np.float32))
+        b = jnp.asarray(rng.standard_normal(Cout).astype(np.float32))
+        ref = jax.lax.conv_general_dilated(
+            x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        ) + b
+        ref = jnp.maximum(ref, 0.0)
+        out = winograd_conv3x3_fused(x, w, b, relu=True, k_block=kblk, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
 def test_vgg_winograd_features_close(rng):
     """Full VGG forward with use_winograd_conv == direct-conv forward within
     a feature-level tolerance (frozen featurizer; flag off by default)."""
