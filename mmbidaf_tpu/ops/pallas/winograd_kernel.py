@@ -95,7 +95,7 @@ def _wino_kernel(x2_ref, u_ref, b_ref, out_ref, *, nh, nw, C, Kblk, relu):
                     elif coef == -1:
                         acc[y0][y1] = acc[y0][y1] - m
 
-    bias = b_ref[:].astype(jnp.float32)
+    bias = b_ref[0].astype(jnp.float32)
     for y0 in (0, 1):
         for y1 in (0, 1):
             y = acc[y0][y1] + bias
@@ -113,7 +113,7 @@ def winograd_conv3x3_fused(
     w: jax.Array,
     b: jax.Array | None = None,
     relu: bool = False,
-    k_block: int = 256,
+    k_block: int = 128,
     interpret: bool | None = None,
 ) -> jax.Array:
     """3x3/stride-1/SAME conv (+bias+ReLU) via the fused Winograd kernel.
@@ -151,7 +151,9 @@ def winograd_conv3x3_fused(
     U_nested = transform_weights(w)
     U = jnp.stack([U_nested[a][b] for a in range(4) for b in range(4)])
     U = U.astype(dtype)
-    bias = (b if b is not None else jnp.zeros((K,), jnp.float32)).astype(jnp.float32)
+    bias = (b if b is not None else jnp.zeros((K,), jnp.float32))
+    bias = bias.astype(jnp.float32).reshape(1, K)  # 2D: 1-D f32 operands hit
+    # Mosaic's T(512) layout rule when K-blocked below 512
 
     n_kb = K // Kblk
     grid_spec = pl.GridSpec(
@@ -161,7 +163,7 @@ def winograd_conv3x3_fused(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((16, C, Kblk), lambda n, kb: (0, 0, kb),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((Kblk,), lambda n, kb: (kb,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Kblk), lambda n, kb: (0, kb), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, nh, nw, 4 * Kblk), lambda n, kb: (n, 0, 0, kb),
                                memory_space=pltpu.VMEM),

@@ -89,9 +89,15 @@ class Summarizer:
         cfg: Config,
         vgg_spec=VGG16_SPEC,
         seed: int = 0,
+        use_ema: bool = True,
         **kw,
     ):
-        """Load EMA params from an orbax run + the corpus vocab."""
+        """Load params from an orbax run + the corpus vocab.
+
+        ``use_ema=True`` (default) serves the EMA shadow weights, matching
+        the reference's eval convention; ``use_ema=False`` loads the raw
+        trained params (debugging mismatched EMA states).
+        """
         from mmbidaf_tpu.train import checkpoint as ckpt
         from mmbidaf_tpu.train.loop import init_train_state
 
@@ -103,7 +109,8 @@ class Summarizer:
         if restored is None:
             raise FileNotFoundError(f"no checkpoint in {ckpt_dir}")
         fe = frontend_init(jax.random.key(seed + 2), cfg, vgg_spec=vgg_spec)
-        return cls(restored.ema_params, fe, word2idx, cfg, vgg_spec, **kw)
+        served = restored.ema_params if use_ema else restored.params
+        return cls(served, fe, word2idx, cfg, vgg_spec, **kw)
 
     @classmethod
     def from_torch_state_dict(

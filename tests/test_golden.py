@@ -1,6 +1,11 @@
 """Golden-file regression (SURVEY.md §5 item 5): fixed seed + fixed tiny
 config → checked-in output statistics, to catch silent numerical drift
 across JAX upgrades. Regenerate with ``python tests/test_golden.py``.
+
+The goldens are pinned on the CPU backend only (the conftest test mesh):
+TPU numerics legitimately differ (MXU accumulation order, bf16 paths), so
+an on-TPU golden would pin noise, not correctness — TPU behavior is
+covered by the parity and kernel tests instead.
 """
 
 import json
