@@ -193,10 +193,27 @@ def _bidaf_bwd_kernel(c_ref, q_ref, cmask_ref, qmask_ref, wc_ref, wq_ref,
 
     dc_ref[0] = d_c
     dq_ref[0] = d_q
-    dwc_ref[0] = (c * d_s0).sum(axis=0)
-    dwq_ref[0] = (q * d_s1.T).sum(axis=0)
-    dwcq_ref[0] = (dSq * c).sum(axis=0)
-    dbias_ref[0, 0] = dS.sum()
+    # Parameter grads accumulate ACROSS the sequential batch grid into
+    # constant-index full blocks — per-program (1, D) row blocks violate
+    # the Mosaic (8, 128) block-tiling rule on real TPUs.
+    p_wc = (c * d_s0).sum(axis=0, keepdims=True)
+    p_wq = (q * d_s1.T).sum(axis=0, keepdims=True)
+    p_wcq = (dSq * c).sum(axis=0, keepdims=True)
+    p_bias = dS.sum()
+
+    @pl.when(b_idx == 0)
+    def _():
+        dwc_ref[:] = p_wc
+        dwq_ref[:] = p_wq
+        dwcq_ref[:] = p_wcq
+        dbias_ref[0, 0] = p_bias
+
+    @pl.when(b_idx > 0)
+    def _():
+        dwc_ref[:] += p_wc
+        dwq_ref[:] += p_wq
+        dwcq_ref[:] += p_wcq
+        dbias_ref[0, 0] += p_bias
 
 
 @partial(jax.jit, static_argnames=("interpret",))
@@ -225,10 +242,10 @@ def bidaf_attention_fused_bwd(params, c, q, c_mask, q_mask, g,
         out_specs=[
             pl.BlockSpec((1, T_c, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, T_q, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D), lambda b: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D), lambda b: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D), lambda b: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda b: (b, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, D), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda b: (0, 0), memory_space=pltpu.SMEM),
         ],
     )
 
@@ -237,10 +254,10 @@ def bidaf_attention_fused_bwd(params, c, q, c_mask, q_mask, g,
         out_shape=[
             jax.ShapeDtypeStruct((B, T_c, D), f32),
             jax.ShapeDtypeStruct((B, T_q, D), f32),
-            jax.ShapeDtypeStruct((B, D), f32),
-            jax.ShapeDtypeStruct((B, D), f32),
-            jax.ShapeDtypeStruct((B, D), f32),
-            jax.ShapeDtypeStruct((B, 1), f32),
+            jax.ShapeDtypeStruct((1, D), f32),
+            jax.ShapeDtypeStruct((1, D), f32),
+            jax.ShapeDtypeStruct((1, D), f32),
+            jax.ShapeDtypeStruct((1, 1), f32),
         ],
         grid_spec=grid_spec,
         interpret=interpret,
@@ -256,10 +273,10 @@ def bidaf_attention_fused_bwd(params, c, q, c_mask, q_mask, g,
         g.astype(f32),
     )
     d_params = {
-        "w_c": d_wc.sum(axis=0).astype(params["w_c"].dtype),
-        "w_q": d_wq.sum(axis=0).astype(params["w_q"].dtype),
-        "w_cq": d_wcq.sum(axis=0).astype(params["w_cq"].dtype),
-        "bias": d_bias.sum().reshape(params["bias"].shape).astype(params["bias"].dtype),
+        "w_c": d_wc[0].astype(params["w_c"].dtype),
+        "w_q": d_wq[0].astype(params["w_q"].dtype),
+        "w_cq": d_wcq[0].astype(params["w_cq"].dtype),
+        "bias": d_bias[0, 0].reshape(params["bias"].shape).astype(params["bias"].dtype),
     }
     return d_params, d_c.astype(c.dtype), d_q.astype(q.dtype)
 

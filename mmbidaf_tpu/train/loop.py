@@ -66,7 +66,11 @@ def make_lr_schedule(cfg: Config) -> optax.Schedule:
     return main
 
 
-def make_optimizer(cfg: Config, params: Any) -> optax.GradientTransformation:
+def make_optimizer(cfg: Config, params: Any = None) -> optax.GradientTransformation:
+    """Build the optimizer for ``cfg``. ``params`` is unused (kept for API
+    compatibility): the frozen-GloVe mask is passed as a callable, so the
+    transformation needs no parameter pytree at construction time."""
+    del params
     t = cfg.train
     schedule = make_lr_schedule(cfg)
     if t.optimizer == "adadelta":
@@ -81,7 +85,7 @@ def make_optimizer(cfg: Config, params: Any) -> optax.GradientTransformation:
     # Zero the final updates for frozen params (GloVe table). Note
     # optax.masked applies its inner transform where mask is True and passes
     # everything else through UNCHANGED — so freezing must zero, not skip.
-    chain.append(optax.masked(optax.set_to_zero(), _frozen_mask(params)))
+    chain.append(optax.masked(optax.set_to_zero(), _frozen_mask))
     return optax.chain(*chain)
 
 
@@ -104,13 +108,9 @@ def make_train_step(cfg: Config, fe_params: Any = None, vgg_spec=None) -> Callab
     (the reference also trains on frozen VGG/MFCC features — SURVEY §3.1).
     """
     decay = cfg.train.ema_decay
-    # tx is rebuilt per call-site from cfg; its state lives in TrainState.
-    tx_holder: dict = {}
-
-    def get_tx(params):
-        if "tx" not in tx_holder:
-            tx_holder["tx"] = make_optimizer(cfg, params)
-        return tx_holder["tx"]
+    # Built eagerly from THIS cfg (a lazily-cached closure would silently
+    # pin the first call's cfg); the optimizer state lives in TrainState.
+    tx = make_optimizer(cfg)
 
     if fe_params is not None:
         from mmbidaf_tpu.data.frontend import apply_frontend
@@ -134,7 +134,6 @@ def make_train_step(cfg: Config, fe_params: Any = None, vgg_spec=None) -> Callab
             return nll_loss(log_p, batch_f["targets"], batch_f["target_mask"])
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
-        tx = get_tx(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         # EMA with bias correction by step (starter variant, SURVEY §9).
