@@ -42,8 +42,17 @@ def main():
     from mmbidaf_tpu.train.loop import init_train_state, make_eval_step
     from mmbidaf_tpu.train.metrics import batch_rouge, rouge_scores, summary_from_picks
 
+    run_config = (
+        os.path.join(os.path.dirname(a.load_dir.rstrip("/")), "config.json")
+        if a.load_dir else None
+    )
     if a.config_json:
         cfg = config_from_json(a.config_json)
+    elif run_config and os.path.isfile(run_config):
+        # train.py saves the full Config next to the checkpoints — use it so
+        # inference reconstructs the exact trained architecture.
+        cfg = config_from_json(run_config)
+        print(f"loaded config from {run_config}")
     else:
         cfg = Config()
         cfg = dataclasses.replace(
@@ -62,8 +71,15 @@ def main():
         from mmbidaf_tpu.ops.vgg import TINY_SPEC, VGG16_SPEC
 
         vgg_spec = TINY_SPEC if a.vgg == "tiny" else VGG16_SPEC
-        w2i = vocab_from_corpus_dir(a.data_dir, max_size=cfg.data.vocab_size)
-        corpus = VideoCorpus(a.data_dir, cfg, w2i)
+        # Split corpora: vocabulary comes from train/ (matching training);
+        # decoding runs over dev/ when present, else the whole root.
+        vocab_dir = decode_dir = a.data_dir
+        if os.path.isdir(os.path.join(a.data_dir, "train")):
+            vocab_dir = os.path.join(a.data_dir, "train")
+            dev = os.path.join(a.data_dir, "dev")
+            decode_dir = dev if os.path.isdir(dev) else vocab_dir
+        w2i = vocab_from_corpus_dir(vocab_dir, max_size=cfg.data.vocab_size)
+        corpus = VideoCorpus(decode_dir, cfg, w2i)
         fe_params = frontend_init(jax.random.key(a.seed + 2), cfg, vgg_spec=vgg_spec)
         wv = random_word_vectors(np_rng, len(w2i), cfg.model.emb_dim)
     else:

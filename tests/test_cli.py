@@ -114,6 +114,41 @@ def test_infer_cli_real_corpus(synthetic_corpus):
 
 
 @pytest.mark.slow
+def test_train_dev_split_and_infer_autoconfig(tmp_path):
+    """train/dev split corpora: vocab+training from train/, eval ROUGE on
+    dev/; infer.py auto-loads the run's saved config and scores the same
+    dev set."""
+    root = tmp_path / "corpus"
+    for split, n, seed in (("train", 4, 0), ("dev", 2, 9)):
+        res = subprocess.run(
+            [sys.executable, "examples/make_synthetic_corpus.py",
+             "--out", str(root / split), "--videos", str(n),
+             "--sentences", "8", "--frames", "4", "--seconds", "1.2",
+             "--seed", str(seed)],
+            cwd=REPO, env=_cpu_env(), capture_output=True, text=True, timeout=300,
+        )
+        assert res.returncode == 0, res.stderr[-2000:]
+
+    save = tmp_path / "run"
+    res = subprocess.run(
+        [sys.executable, "train.py", "--data_dir", str(root), "--vgg", "tiny",
+         "--config_json", "examples/tiny_config.json", "--num_steps", "20",
+         "--save_dir", str(save)],
+        cwd=REPO, env=_cpu_env(), capture_output=True, text=True, timeout=900,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+
+    res = subprocess.run(
+        [sys.executable, "infer.py", "--data_dir", str(root), "--vgg", "tiny",
+         "--load_dir", str(save / "mmbidaf" / "ckpts"), "--batch_size", "2"],
+        cwd=REPO, env=_cpu_env(), capture_output=True, text=True, timeout=900,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "loaded config from" in res.stdout
+    assert "(2 videos scored)" in res.stdout  # dev/ has 2 videos
+
+
+@pytest.mark.slow
 def test_bench_cli_quick_cpu():
     res = subprocess.run(
         [sys.executable, "bench.py", "--quick", "--iters", "3",

@@ -169,7 +169,19 @@ def main():
         from mmbidaf_tpu.data.pipeline import VideoCorpus, batched_iterator, collate
         from mmbidaf_tpu.data.vocab import load_glove, vocab_from_corpus_dir
 
-        w2i = vocab_from_corpus_dir(a.data_dir, max_size=cfg.data.vocab_size)
+        # train/dev split: if the corpus root has train/ and dev/ subdirs
+        # (reference convention), train on train/ and eval on dev/; flat
+        # corpora train and eval on the same directory.
+        train_dir = a.data_dir
+        dev_dir = a.data_dir
+        if os.path.isdir(os.path.join(a.data_dir, "train")):
+            train_dir = os.path.join(a.data_dir, "train")
+            dev_dir = (
+                os.path.join(a.data_dir, "dev")
+                if os.path.isdir(os.path.join(a.data_dir, "dev"))
+                else train_dir
+            )
+        w2i = vocab_from_corpus_dir(train_dir, max_size=cfg.data.vocab_size)
         if a.glove_path:
             wv = load_glove(a.glove_path, w2i, cfg.model.emb_dim)
         else:
@@ -177,7 +189,8 @@ def main():
         from mmbidaf_tpu.ops.vgg import TINY_SPEC, VGG16_SPEC
 
         vgg_spec = TINY_SPEC if a.vgg == "tiny" else VGG16_SPEC
-        corpus = VideoCorpus(a.data_dir, cfg, w2i)
+        corpus = VideoCorpus(train_dir, cfg, w2i)
+        eval_corpus = corpus if dev_dir == train_dir else VideoCorpus(dev_dir, cfg, w2i)
         if a.buckets:
             # Bucketed T_sent shapes: jit compiles one program per bucket;
             # ragged corpora stop paying worst-case padding (SURVEY §8 R3).
@@ -247,12 +260,12 @@ def main():
         # back to the real on-disk transcript sentences (SURVEY §4.3); short
         # corpora wrap to fill the static batch shape.
         n_eval = cfg.train.batch_size
-        eval_idxs = [i % len(corpus) for i in range(n_eval)]
+        eval_idxs = [i % len(eval_corpus) for i in range(n_eval)]
         raw_eval = {
             k: jnp.asarray(v)
-            for k, v in collate([corpus[i] for i in eval_idxs]).items()
+            for k, v in collate([eval_corpus[i] for i in eval_idxs]).items()
         }
-        eval_texts = [corpus.example_text(i) for i in eval_idxs]
+        eval_texts = [eval_corpus.example_text(i) for i in eval_idxs]
         feat = jax.jit(lambda r: apply_frontend(fe_params, r, cfg, vgg_spec))(raw_eval)
         feat["targets"] = raw_eval["targets"]
         feat["target_mask"] = raw_eval["target_mask"]
