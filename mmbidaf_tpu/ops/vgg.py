@@ -120,17 +120,22 @@ def vgg_features(
     return x
 
 
-def preprocess_frames(frames_uint8: jax.Array, image_size: int) -> jax.Array:
+def preprocess_frames(
+    frames_uint8: jax.Array, image_size: int, dtype=jnp.float32
+) -> jax.Array:
     """Raw ``[N, H, W, 3] uint8`` frames → normalized ``[N, S, S, 3]`` floats.
 
     Device-side resize (jax.image.resize, bilinear) + ImageNet normalization —
     the reference's host-side OpenCV/PIL resize moved into the jitted graph
-    [B:5 "keyframe resize … in JAX"].
+    [B:5 "keyframe resize … in JAX"]. ``dtype=bfloat16`` halves the resize's
+    HBM traffic (it is memory-bound: ~3.7 of the 115 ms batch in f32).
     """
-    x = frames_uint8.astype(jnp.float32) / 255.0
+    x = frames_uint8.astype(dtype) / jnp.asarray(255.0, dtype)
     n = x.shape[0]
     x = jax.image.resize(x, (n, image_size, image_size, 3), method="bilinear")
-    return (x - IMAGENET_MEAN) / IMAGENET_STD
+    mean = IMAGENET_MEAN.astype(dtype)
+    std = IMAGENET_STD.astype(dtype)
+    return (x - mean) / std
 
 
 def port_vgg(sd: Mapping[str, np.ndarray], spec: Sequence = VGG16_SPEC) -> dict:
