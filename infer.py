@@ -24,8 +24,9 @@ def main():
     ap.add_argument("--batch_size", type=int, default=8)
     ap.add_argument("--num_batches", type=int, default=1)
     ap.add_argument("--seed", type=int, default=224)
-    ap.add_argument("--mode", default="greedy", choices=["greedy", "topk"])
-    ap.add_argument("--topk", type=int, default=4)
+    ap.add_argument("--mode", default="greedy", choices=["greedy", "topk", "beam"])
+    ap.add_argument("--topk", type=int, default=4,
+                    help="top-k sample width / beam width")
     ap.add_argument("--data_dir", default=None,
                     help="real corpus root (per-video dirs); decodes every "
                          "video, prints its summary text, and scores ROUGE "
@@ -105,6 +106,12 @@ def main():
         def eval_step(params, batch, _rng=[jax.random.key(a.seed)]):
             _rng[0], k = jax.random.split(_rng[0])
             _, picks = mmbidaf_decode(params, batch, cfg, mode="topk", topk=a.topk, rng=k)
+            return {"picks": picks}
+    elif a.mode == "beam":
+        from mmbidaf_tpu.models.mmbidaf import mmbidaf_decode
+
+        def eval_step(params, batch):
+            _, picks = mmbidaf_decode(params, batch, cfg, mode="beam", topk=a.topk)
             return {"picks": picks}
     else:
         eval_step = make_eval_step(cfg)

@@ -113,3 +113,83 @@ def decoder_apply(
         step, init, (jnp.arange(num_steps), step_rngs)
     )
     return jnp.swapaxes(log_probs, 0, 1), jnp.swapaxes(picks, 0, 1)
+
+
+@partial(jax.jit, static_argnames=("num_steps", "beam_size", "mask_selected"))
+def decoder_beam_search(
+    params: dict,
+    M: jax.Array,
+    sent_mask: jax.Array,
+    num_steps: int = 4,
+    beam_size: int = 4,
+    mask_selected: bool = True,
+) -> tuple[jax.Array, jax.Array]:
+    """Beam-search pointer decode (beyond the reference's greedy/top-k).
+
+    Beams ride the batch axis (``[B·Bm, ...]`` states); each step scores
+    all ``Bm·T_s`` continuations, keeps the global top ``Bm``, and reorders
+    the LSTM state / selected-mask / pick history by parent beam. Step 0
+    seeds only beam 0 so identical initial beams don't collapse the search.
+
+    Returns ``(seq_log_prob [B], picks [B, num_steps])`` for the best beam.
+    """
+    B, T_s, d = M.shape
+    Bm = beam_size
+    dtype = M.dtype
+    sent_mask = sent_mask.astype(dtype)
+
+    Mx = jnp.repeat(M, Bm, axis=0)                      # [B·Bm, T_s, d]
+    M_keys = Mx @ params["w_m"]
+    maskx = jnp.repeat(sent_mask, Bm, axis=0)           # [B·Bm, T_s]
+    batch_ar = jnp.arange(B * Bm)
+
+    def step(carry, k):
+        h, c, inp, selected, scores, hist = carry
+        h, c = lstm_cell(
+            inp @ params["lstm"]["w_x"] + params["lstm"]["b"], h, c,
+            params["lstm"]["w_h"],
+        )
+        att = jnp.tanh(M_keys + (h @ params["w_d"])[:, None, :]) @ params["v"]
+        avail = maskx * (1.0 - selected) if mask_selected else maskx
+        log_p = jax.nn.log_softmax(mask_logits(att, avail), axis=-1)  # [B·Bm, T_s]
+
+        total = scores.reshape(B * Bm, 1) + log_p
+        flat = total.reshape(B, Bm * T_s)
+        new_scores, idx = jax.lax.top_k(flat, Bm)       # [B, Bm]
+        parent = idx // T_s                              # beam index within B
+        pick = idx % T_s                                 # sentence index
+
+        # Reorder every per-beam state by parent beam.
+        src = (jnp.arange(B)[:, None] * Bm + parent).reshape(-1)  # [B·Bm]
+        h = h[src]
+        c = c[src]
+        selected = selected[src]
+        hist = hist[src]
+        pick_flat = pick.reshape(-1)
+        hist = jax.lax.dynamic_update_slice_in_dim(
+            hist, pick_flat[:, None], k, axis=1
+        )
+        if mask_selected:
+            selected = selected.at[batch_ar, pick_flat].set(1.0)
+        inp = Mx[batch_ar, pick_flat]
+        return (h, c, inp, selected, new_scores, hist), None
+
+    # Step-0 seed: only beam 0 is live.
+    init_scores = jnp.where(
+        jnp.arange(Bm)[None, :] == 0, 0.0, -jnp.inf
+    ) * jnp.ones((B, 1))
+    init = (
+        jnp.zeros((B * Bm, d), dtype),
+        jnp.zeros((B * Bm, d), dtype),
+        jnp.broadcast_to(params["start"], (B * Bm, d)),
+        jnp.zeros((B * Bm, T_s), dtype),
+        init_scores.astype(jnp.float32),
+        jnp.zeros((B * Bm, num_steps), jnp.int32),
+    )
+    (_, _, _, _, scores, hist), _ = jax.lax.scan(
+        step, init, jnp.arange(num_steps)
+    )
+    best = jnp.argmax(scores, axis=1)                   # [B]
+    hist = hist.reshape(B, Bm, num_steps)
+    picks = jnp.take_along_axis(hist, best[:, None, None], axis=1)[:, 0, :]
+    return jnp.take_along_axis(scores, best[:, None], axis=1)[:, 0], picks

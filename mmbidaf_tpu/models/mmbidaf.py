@@ -217,8 +217,19 @@ def mmbidaf_decode(
     rng: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Inference → ``(log_probs [B,K,T_s], picks [B,K])``; greedy or top-k
-    sampling (the reference's two decode modes)."""
+    sampling (the reference's two decode modes), or ``mode='beam'`` beam
+    search over sentence sequences (beam width = ``topk``; returns the
+    best beam's total log-prob broadcast in place of per-step log_probs)."""
     M = mmbidaf_fused_reps(params, batch, cfg, rng=None)
+    if mode == "beam":
+        from mmbidaf_tpu.models.decoder import decoder_beam_search
+
+        seq_lp, picks = decoder_beam_search(
+            params["decoder"], M, batch["sent_mask"],
+            num_steps=cfg.model.max_decode_steps, beam_size=topk,
+            mask_selected=cfg.model.mask_selected,
+        )
+        return seq_lp, picks
     return decoder_apply(
         params["decoder"],
         M,
