@@ -55,6 +55,16 @@ class Summarizer:
         self._num_audio_samples = d.max_audio_frames * d.hop_length + d.win_length
         if mode == "greedy":
             self._decode = make_end_to_end_decode(cfg, vgg_spec=vgg_spec)
+        elif mode == "beam":
+            from mmbidaf_tpu.data.frontend import apply_frontend
+            from mmbidaf_tpu.models.mmbidaf import mmbidaf_decode
+
+            @jax.jit
+            def decode_beam(params, fe, raw):
+                batch = apply_frontend(fe, raw, cfg, vgg_spec)
+                return mmbidaf_decode(params, batch, cfg, mode="beam", topk=topk)
+
+            self._decode = lambda params, fe, raw: decode_beam(params, fe, raw)
         else:
             from mmbidaf_tpu.data.frontend import apply_frontend
             from mmbidaf_tpu.models.mmbidaf import mmbidaf_decode
@@ -158,7 +168,7 @@ class Summarizer:
 
     def summarize_batch(self, video_dirs: Sequence[str]) -> list[str]:
         raw, sentences = self._raw_batch(video_dirs)
-        if self.mode == "greedy":
+        if self.mode in ("greedy", "beam"):
             _, picks = self._decode(self.params, self.fe_params, raw)
         else:
             self._rng, k = jax.random.split(self._rng)
