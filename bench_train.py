@@ -23,8 +23,10 @@ def main():
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--pallas", action="store_true",
-                    help="dropout-free training path with the fused Pallas "
-                         "attention-backward + LSTM-BPTT kernels")
+                    help="fused Pallas attention-backward + LSTM-BPTT kernels "
+                         "(supports dropout: similarity-only cd/qd operands)")
+    ap.add_argument("--drop", type=float, default=0.2,
+                    help="dropout prob (reference default 0.2; both paths)")
     a = ap.parse_args()
 
     import jax
@@ -37,14 +39,15 @@ def main():
 
     cfg = build_bench_config(a.quick)
     # Default: fp32 + jnp kernels (the reference-style autodiff path).
-    # --pallas: drop_prob=0 so the custom-VJP fused kernels dispatch.
+    # --pallas dispatches the custom-VJP fused kernels; same drop_prob both
+    # ways (the dropout variant feeds similarity-only cd/qd operands).
     cfg = dataclasses.replace(
         cfg,
         model=dataclasses.replace(
             cfg.model, compute_dtype="float32",
             use_pallas_attention=a.pallas,
             use_pallas_lstm=a.pallas,
-            drop_prob=0.0 if a.pallas else 0.2,
+            drop_prob=a.drop,
         ),
         train=dataclasses.replace(cfg.train, optimizer="adadelta"),
     )

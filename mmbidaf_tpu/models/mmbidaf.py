@@ -119,6 +119,17 @@ def _bidaf(att_params, c, q, c_mask, q_mask, drop, rng, cfg: Config):
             )
 
             return bidaf_attention_fused_trainable(att_params, c, q, c_mask, q_mask)
+        # Dropout training path: dropout hits c/q only inside the
+        # similarity (reference semantics) — apply the masks here with the
+        # SAME rng consumption as ops.bidaf.similarity_matrix (parity),
+        # and feed dropped + undropped operands to the fused kernel.
+        from mmbidaf_tpu.ops.pallas.bidaf_kernel import bidaf_attention_fused_dropout
+
+        rc, rq = jax.random.split(rng)
+        keep = 1.0 - drop
+        cd = c * jax.random.bernoulli(rc, keep, c.shape) / keep
+        qd = q * jax.random.bernoulli(rq, keep, q.shape) / keep
+        return bidaf_attention_fused_dropout(att_params, c, q, cd, qd, c_mask, q_mask)
     return bidaf_apply(att_params, c, q, c_mask, q_mask, drop, rng)
 
 

@@ -303,3 +303,227 @@ def _fused_bwd(res, g):
 
 
 bidaf_attention_fused_trainable.defvjp(_fused_fwd, _fused_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Dropout-training variant. Reference semantics (ops/bidaf.py): dropout hits
+# c and q ONLY inside the similarity products — the attention outputs
+# a = s_row·q, qc = s_colᵀ·c and the [c; a; c∘a; c∘b] concat use the
+# UNDROPPED tensors. So the kernels take (c, q) and (cd, qd) separately;
+# the dropout masks themselves are applied OUTSIDE in jnp (cd = c·m/keep),
+# and autodiff composes d_c_total = d_c_direct + d_cd·m/keep through the
+# custom VJP below. This extends the fused training path to the default
+# drop_prob=0.2 configuration.
+# ---------------------------------------------------------------------------
+
+
+def _bidaf_drop_kernel(c_ref, q_ref, cd_ref, qd_ref, cmask_ref, qmask_ref,
+                       wc_ref, wq_ref, wcq_ref, bias_ref, out_ref):
+    b_idx = pl.program_id(0)
+    c = c_ref[0]
+    q = q_ref[0]
+    cd = cd_ref[0]
+    qd = qd_ref[0]
+    c_mask = cmask_ref[b_idx, :]
+    q_mask = qmask_ref[b_idx, :]
+    w_c = wc_ref[0]
+    w_q = wq_ref[0]
+    w_cq = wcq_ref[0]
+    bias = bias_ref[0, 0]
+
+    # Similarity from the DROPPED operands.
+    s0 = (cd * w_c).sum(axis=-1, keepdims=True)
+    s1v = (qd * w_q).sum(axis=-1, keepdims=True)
+    S = s0 + s1v.T + jnp.dot(cd * w_cq, qd.T, preferred_element_type=jnp.float32) + bias
+
+    qm = q_mask[None, :]
+    cm = c_mask[:, None]
+    s_row = jax.nn.softmax(qm * S + (1.0 - qm) * NEG_INF, axis=1)
+    s_col = jax.nn.softmax(cm * S + (1.0 - cm) * NEG_INF, axis=0)
+
+    # Outputs from the UNDROPPED operands.
+    a = jnp.dot(s_row, q, preferred_element_type=jnp.float32)
+    qc = jnp.dot(s_col.T, c, preferred_element_type=jnp.float32)
+    b = jnp.dot(s_row, qc, preferred_element_type=jnp.float32)
+
+    D = c.shape[-1]
+    out_ref[0, :, 0 * D:1 * D] = c
+    out_ref[0, :, 1 * D:2 * D] = a
+    out_ref[0, :, 2 * D:3 * D] = c * a
+    out_ref[0, :, 3 * D:4 * D] = c * b
+
+
+def _bidaf_drop_bwd_kernel(c_ref, q_ref, cd_ref, qd_ref, cmask_ref, qmask_ref,
+                           wc_ref, wq_ref, wcq_ref, bias_ref, g_ref,
+                           dc_ref, dq_ref, dcd_ref, dqd_ref,
+                           dwc_ref, dwq_ref, dwcq_ref, dbias_ref):
+    b_idx = pl.program_id(0)
+    c = c_ref[0]
+    q = q_ref[0]
+    cd = cd_ref[0]
+    qd = qd_ref[0]
+    c_mask = cmask_ref[b_idx, :]
+    q_mask = qmask_ref[b_idx, :]
+    w_c = wc_ref[0]
+    w_q = wq_ref[0]
+    w_cq = wcq_ref[0]
+    bias = bias_ref[0, 0]
+    D = c.shape[-1]
+    dot = partial(jnp.dot, preferred_element_type=jnp.float32)
+
+    # --- recompute the forward ---
+    s0 = (cd * w_c).sum(axis=-1, keepdims=True)
+    s1v = (qd * w_q).sum(axis=-1, keepdims=True)
+    cw = cd * w_cq
+    S = s0 + s1v.T + dot(cw, qd.T) + bias
+    qm = q_mask[None, :]
+    cm = c_mask[:, None]
+    s_row = jax.nn.softmax(qm * S + (1.0 - qm) * NEG_INF, axis=1)
+    s_col = jax.nn.softmax(cm * S + (1.0 - cm) * NEG_INF, axis=0)
+    a = dot(s_row, q)
+    qc = dot(s_col.T, c)
+    b = dot(s_row, qc)
+
+    g0 = g_ref[0, :, 0 * D:1 * D]
+    g1 = g_ref[0, :, 1 * D:2 * D]
+    g2 = g_ref[0, :, 2 * D:3 * D]
+    g3 = g_ref[0, :, 3 * D:4 * D]
+    # direct (undropped) paths
+    d_c = g0 + g2 * a + g3 * b
+    d_a = g1 + g2 * c
+    d_b = g3 * c
+
+    d_s_row = dot(d_b, qc.T) + dot(d_a, q.T)
+    d_qc = dot(s_row.T, d_b)
+    d_s_col = dot(c, d_qc.T)
+    d_c = d_c + dot(s_col, d_qc)
+    d_q = dot(s_row.T, d_a)
+
+    dS = qm * (s_row * (d_s_row - (d_s_row * s_row).sum(axis=1, keepdims=True)))
+    dS = dS + cm * (s_col * (d_s_col - (d_s_col * s_col).sum(axis=0, keepdims=True)))
+
+    # similarity (dropped) paths
+    d_s0 = dS.sum(axis=1, keepdims=True)
+    d_s1 = dS.sum(axis=0, keepdims=True)
+    dSq = dot(dS, qd)
+    d_cd = d_s0 * w_c[None, :] + dSq * w_cq[None, :]
+    d_qd = d_s1.T * w_q[None, :] + dot(dS.T, cw)
+
+    dc_ref[0] = d_c
+    dq_ref[0] = d_q
+    dcd_ref[0] = d_cd
+    dqd_ref[0] = d_qd
+
+    p_wc = (cd * d_s0).sum(axis=0, keepdims=True)
+    p_wq = (qd * d_s1.T).sum(axis=0, keepdims=True)
+    p_wcq = (dSq * cd).sum(axis=0, keepdims=True)
+    p_bias = dS.sum()
+
+    @pl.when(b_idx == 0)
+    def _():
+        dwc_ref[:] = p_wc
+        dwq_ref[:] = p_wq
+        dwcq_ref[:] = p_wcq
+        dbias_ref[0, 0] = p_bias
+
+    @pl.when(b_idx > 0)
+    def _():
+        dwc_ref[:] += p_wc
+        dwq_ref[:] += p_wq
+        dwcq_ref[:] += p_wcq
+        dbias_ref[0, 0] += p_bias
+
+
+def _drop_specs(B, T_c, T_q, D):
+    seq = lambda T: pl.BlockSpec((1, T, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+    vec = pl.BlockSpec((1, D), lambda b: (0, 0), memory_space=pltpu.VMEM)
+    return [
+        seq(T_c), seq(T_q), seq(T_c), seq(T_q),
+        pl.BlockSpec((B, T_c), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((B, T_q), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        vec, vec, vec,
+        pl.BlockSpec((1, 1), lambda b: (0, 0), memory_space=pltpu.SMEM),
+    ]
+
+
+def _drop_operands(params, c, q, cd, qd, c_mask, q_mask):
+    f32 = jnp.float32
+    return (
+        c.astype(f32), q.astype(f32), cd.astype(f32), qd.astype(f32),
+        c_mask.astype(f32), q_mask.astype(f32),
+        params["w_c"].astype(f32)[None], params["w_q"].astype(f32)[None],
+        params["w_cq"].astype(f32)[None], params["bias"].astype(f32).reshape(1, 1),
+    )
+
+
+@jax.custom_vjp
+def bidaf_attention_fused_dropout(params, c, q, cd, qd, c_mask, q_mask):
+    """Fused BiDAF with similarity-only dropout operands (``cd``/``qd``)."""
+    interpret = jax.default_backend() != "tpu"
+    B, T_c, D = c.shape
+    T_q = q.shape[1]
+    grid_spec = pl.GridSpec(
+        grid=(B,),
+        in_specs=_drop_specs(B, T_c, T_q, D),
+        out_specs=pl.BlockSpec((1, T_c, 4 * D), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        _bidaf_drop_kernel,
+        out_shape=jax.ShapeDtypeStruct((B, T_c, 4 * D), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(*_drop_operands(params, c, q, cd, qd, c_mask, q_mask))
+
+
+def _drop_fwd(params, c, q, cd, qd, c_mask, q_mask):
+    out = bidaf_attention_fused_dropout(params, c, q, cd, qd, c_mask, q_mask)
+    return out, (params, c, q, cd, qd, c_mask, q_mask)
+
+
+def _drop_bwd(res, g):
+    params, c, q, cd, qd, c_mask, q_mask = res
+    interpret = jax.default_backend() != "tpu"
+    B, T_c, D = c.shape
+    T_q = q.shape[1]
+    f32 = jnp.float32
+    seq_out = lambda T: pl.BlockSpec((1, T, D), lambda b: (b, 0, 0),
+                                     memory_space=pltpu.VMEM)
+    vec_out = pl.BlockSpec((1, D), lambda b: (0, 0), memory_space=pltpu.VMEM)
+    grid_spec = pl.GridSpec(
+        grid=(B,),
+        in_specs=_drop_specs(B, T_c, T_q, D) + [
+            pl.BlockSpec((1, T_c, 4 * D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            seq_out(T_c), seq_out(T_q), seq_out(T_c), seq_out(T_q),
+            vec_out, vec_out, vec_out,
+            pl.BlockSpec((1, 1), lambda b: (0, 0), memory_space=pltpu.SMEM),
+        ],
+    )
+    d_c, d_q, d_cd, d_qd, d_wc, d_wq, d_wcq, d_bias = pl.pallas_call(
+        _bidaf_drop_bwd_kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, T_c, D), f32),
+            jax.ShapeDtypeStruct((B, T_q, D), f32),
+            jax.ShapeDtypeStruct((B, T_c, D), f32),
+            jax.ShapeDtypeStruct((B, T_q, D), f32),
+            jax.ShapeDtypeStruct((1, D), f32),
+            jax.ShapeDtypeStruct((1, D), f32),
+            jax.ShapeDtypeStruct((1, D), f32),
+            jax.ShapeDtypeStruct((1, 1), f32),
+        ],
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(*_drop_operands(params, c, q, cd, qd, c_mask, q_mask), g.astype(f32))
+    d_params = {
+        "w_c": d_wc[0].astype(params["w_c"].dtype),
+        "w_q": d_wq[0].astype(params["w_q"].dtype),
+        "w_cq": d_wcq[0].astype(params["w_cq"].dtype),
+        "bias": d_bias[0, 0].reshape(params["bias"].shape).astype(params["bias"].dtype),
+    }
+    return (d_params, d_c.astype(c.dtype), d_q.astype(q.dtype),
+            d_cd.astype(cd.dtype), d_qd.astype(qd.dtype), None, None)
+
+
+bidaf_attention_fused_dropout.defvjp(_drop_fwd, _drop_bwd)

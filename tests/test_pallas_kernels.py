@@ -160,6 +160,79 @@ def test_pallas_lstm_trainable_grads_match_scan(rng):
         )
 
 
+def test_fused_bidaf_dropout_grads_match_jnp(rng):
+    """Dropout-training fused kernel (similarity-only dropout via cd/qd
+    operands) == jnp bidaf_apply with dropout, forward and grads, given
+    identical rng consumption."""
+    from mmbidaf_tpu.ops.pallas.bidaf_kernel import bidaf_attention_fused_dropout
+
+    B, T_c, T_q, D = 2, 6, 5, 8
+    drop = 0.3
+    keep = 1.0 - drop
+    params = bidaf_init(jax.random.key(14), D)
+    c = jnp.asarray(rng.standard_normal((B, T_c, D)).astype(np.float32))
+    q = jnp.asarray(rng.standard_normal((B, T_q, D)).astype(np.float32))
+    c_mask = jnp.asarray(_ragged_mask(rng, B, T_c))
+    q_mask = jnp.asarray(_ragged_mask(rng, B, T_q))
+    key = jax.random.key(99)
+
+    def loss_pl(p, cc, qq):
+        rc, rq = jax.random.split(key)
+        cd = cc * jax.random.bernoulli(rc, keep, cc.shape) / keep
+        qd = qq * jax.random.bernoulli(rq, keep, qq.shape) / keep
+        return (bidaf_attention_fused_dropout(p, cc, qq, cd, qd, c_mask, q_mask) ** 2).sum()
+
+    def loss_ref(p, cc, qq):
+        return (bidaf_apply(p, cc, qq, c_mask, q_mask, drop, key) ** 2).sum()
+
+    np.testing.assert_allclose(
+        float(loss_pl(params, c, q)), float(loss_ref(params, c, q)), rtol=1e-5
+    )
+    gf = jax.grad(loss_pl, argnums=(0, 1, 2))(params, c, q)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(params, c, q)
+    for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-4)
+
+
+def test_full_model_dropout_grads_with_pallas_kernels(rng):
+    """Full-model grads with Pallas kernels at the DEFAULT drop_prob=0.2 ==
+    plain jnp path given the same step rng (dropout rng consumption must
+    line up exactly across the dispatch)."""
+    import dataclasses
+
+    from mmbidaf_tpu.config import tiny_test_config
+    from mmbidaf_tpu.data.synthetic import random_word_vectors, synthetic_batch
+    from mmbidaf_tpu.models.mmbidaf import mmbidaf_apply, mmbidaf_init
+    from mmbidaf_tpu.train.loop import nll_loss
+
+    cfg = tiny_test_config()
+    cfg = dataclasses.replace(cfg, model=dataclasses.replace(cfg.model, drop_prob=0.2))
+    cfg_pl = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(
+            cfg.model, use_pallas_attention=True, use_pallas_lstm=True
+        ),
+    )
+    wv = random_word_vectors(rng, cfg.data.vocab_size, cfg.model.emb_dim)
+    params = mmbidaf_init(jax.random.key(3), cfg, jnp.asarray(wv))
+    batch = {k: jnp.asarray(v) for k, v in synthetic_batch(rng, cfg, batch_size=2).items()}
+    step_rng = jax.random.key(21)
+
+    def loss(p, c):
+        log_p = mmbidaf_apply(p, batch, c, rng=step_rng)
+        return nll_loss(log_p, batch["targets"], batch["target_mask"])
+
+    l_ref, g_ref = jax.value_and_grad(lambda p: loss(p, cfg))(params)
+    l_pl, g_pl = jax.value_and_grad(lambda p: loss(p, cfg_pl))(params)
+    np.testing.assert_allclose(float(l_pl), float(l_ref), rtol=1e-5)
+    flat_p, _ = jax.tree_util.tree_flatten_with_path(g_pl)
+    for (path, a), b in zip(flat_p, jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-5, rtol=1e-4,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}",
+        )
+
+
 def test_full_model_grads_with_pallas_kernels(rng):
     """jax.grad through the FULL model with Pallas attention + LSTM kernels
     (drop_prob=0 training path) == plain jnp grads (interpret mode)."""
