@@ -149,6 +149,31 @@ def test_train_dev_split_and_infer_autoconfig(tmp_path):
 
 
 @pytest.mark.slow
+def test_train_resume_on_mesh(tmp_path):
+    """Auto-resume from the latest checkpoint works on a multi-device mesh
+    (regression: restored arrays used to land committed on device 0 and jit
+    rejected the mixed placement), and explicit CLI flags override
+    --config_json (regression: --save_dir was silently discarded)."""
+    env = _cpu_env()
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    args = [
+        sys.executable, "train.py",
+        "--config_json", "examples/tiny_config.json",
+        "--num_steps", "20", "--save_dir", str(tmp_path),  # overrides JSON
+    ]
+    res = subprocess.run(args, cwd=REPO, env=env, capture_output=True,
+                         text=True, timeout=900)
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "devices: 8" in res.stdout
+    assert (tmp_path / "mmbidaf" / "ckpts").exists()  # --save_dir honored
+
+    res = subprocess.run(args, cwd=REPO, env=env, capture_output=True,
+                         text=True, timeout=900)
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "resumed from step 20" in res.stdout
+
+
+@pytest.mark.slow
 def test_bench_cli_quick_cpu():
     res = subprocess.run(
         [sys.executable, "bench.py", "--quick", "--iters", "3",
