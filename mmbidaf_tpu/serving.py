@@ -42,6 +42,7 @@ class Summarizer:
         mode: str = "greedy",
         topk: int = 4,
         seed: int = 0,
+        serve_batch_size: int | None = None,
     ):
         self.params = params
         self.fe_params = fe_params
@@ -50,6 +51,9 @@ class Summarizer:
         self.vgg_spec = vgg_spec
         self.mode = mode
         self.topk = topk
+        # Static serving batch: requests are padded up (and chunked) to this
+        # size so XLA compiles ONE program instead of one per request size.
+        self.serve_batch_size = serve_batch_size
         self._rng = jax.random.key(seed)
         d = cfg.data
         self._num_audio_samples = d.max_audio_frames * d.hop_length + d.win_length
@@ -166,15 +170,33 @@ class Summarizer:
         batch = {k: jnp.asarray(np.stack([r[k] for r in rows])) for k in rows[0]}
         return batch, sentences
 
-    def summarize_batch(self, video_dirs: Sequence[str]) -> list[str]:
-        raw, sentences = self._raw_batch(video_dirs)
+    def _decode_batch(self, raw):
         if self.mode in ("greedy", "beam"):
             _, picks = self._decode(self.params, self.fe_params, raw)
         else:
             self._rng, k = jax.random.split(self._rng)
             _, picks = self._decode_topk(self.params, self.fe_params, raw, k)
-        picks = np.asarray(picks)
-        return [summary_from_picks(picks[i], sentences[i]) for i in range(len(video_dirs))]
+        return np.asarray(picks)
+
+    def summarize_batch(self, video_dirs: Sequence[str]) -> list[str]:
+        sb = self.serve_batch_size
+        if sb is None:
+            raw, sentences = self._raw_batch(video_dirs)
+            picks = self._decode_batch(raw)
+            return [summary_from_picks(picks[i], sentences[i])
+                    for i in range(len(video_dirs))]
+        # Static-shape serving: chunk the request into full batches of sb
+        # (tail padded by repeating the last video, sliced off after).
+        out: list[str] = []
+        for start in range(0, len(video_dirs), sb):
+            chunk = list(video_dirs[start:start + sb])
+            n_real = len(chunk)
+            chunk += [chunk[-1]] * (sb - n_real)
+            raw, sentences = self._raw_batch(chunk)
+            picks = self._decode_batch(raw)
+            out.extend(summary_from_picks(picks[i], sentences[i])
+                       for i in range(n_real))
+        return out
 
     def summarize(self, video_dir: str) -> str:
         return self.summarize_batch([video_dir])[0]

@@ -52,6 +52,16 @@ def test_summarize_greedy(corpus_dirs):
         assert "sentence" in out  # assembled from real transcript sentences
 
 
+def test_summarize_static_serve_batch(corpus_dirs):
+    """serve_batch_size pads+chunks requests to ONE static shape: results
+    match the dynamic path for any request size (1, 2, 3 over batch 2)."""
+    dirs, cfg = corpus_dirs
+    dyn = Summarizer.init_random(cfg, seed=0, vgg_spec=TINY_SPEC)
+    stat = Summarizer.init_random(cfg, seed=0, vgg_spec=TINY_SPEC, serve_batch_size=2)
+    for req in ([dirs[0]], dirs, [dirs[0], dirs[1], dirs[0]]):
+        assert stat.summarize_batch(req) == dyn.summarize_batch(req)
+
+
 def test_summarize_topk(corpus_dirs):
     dirs, cfg = corpus_dirs
     s = Summarizer.init_random(cfg, seed=0, vgg_spec=TINY_SPEC, mode="topk", topk=3)
