@@ -126,183 +126,17 @@ def bidaf_attention_fused(
 
 
 # ---------------------------------------------------------------------------
-# Fused Pallas BACKWARD kernel (SURVEY §3.2 row 2 — training path).
-# Flash-style full recompute: each program re-derives S/softmaxes/a/b for its
-# batch element in VMEM (nothing but (c, q, masks, params, g) is read from
-# HBM) and emits d_c, d_q plus per-program partial parameter grads that are
-# summed outside. Replaces the round-1 remat-jnp VJP, whose XLA backward
-# materialized three [B, T_c, T_q] tensors in HBM.
+# Trainable wrapper: the no-dropout training path is the dropout kernel's
+# cd=c, qd=q special case (one kernel pair to maintain; the grad identity
+# d_c_total = d_c_direct + d_cd holds exactly). Replaces the round-1
+# remat-jnp VJP, whose XLA backward materialized three [B, T_c, T_q]
+# tensors in HBM.
 # ---------------------------------------------------------------------------
 
 
-def _bidaf_bwd_kernel(c_ref, q_ref, cmask_ref, qmask_ref, wc_ref, wq_ref,
-                      wcq_ref, bias_ref, g_ref,
-                      dc_ref, dq_ref, dwc_ref, dwq_ref, dwcq_ref, dbias_ref):
-    b_idx = pl.program_id(0)
-    c = c_ref[0]
-    q = q_ref[0]
-    c_mask = cmask_ref[b_idx, :]
-    q_mask = qmask_ref[b_idx, :]
-    w_c = wc_ref[0]
-    w_q = wq_ref[0]
-    w_cq = wcq_ref[0]
-    bias = bias_ref[0, 0]
-    D = c.shape[-1]
-    dot = partial(jnp.dot, preferred_element_type=jnp.float32)
-
-    # --- recompute the forward (identical op order to _bidaf_kernel) ---
-    s0 = (c * w_c).sum(axis=-1, keepdims=True)
-    s1v = (q * w_q).sum(axis=-1, keepdims=True)
-    cw = c * w_cq
-    S = s0 + s1v.T + dot(cw, q.T) + bias
-    qm = q_mask[None, :]
-    cm = c_mask[:, None]
-    s_row = jax.nn.softmax(qm * S + (1.0 - qm) * NEG_INF, axis=1)
-    s_col = jax.nn.softmax(cm * S + (1.0 - cm) * NEG_INF, axis=0)
-    a = dot(s_row, q)
-    qc = dot(s_col.T, c)
-    b = dot(s_row, qc)
-
-    # --- output-concat backward: g = [g0; g1; g2; g3] along the last dim ---
-    g0 = g_ref[0, :, 0 * D:1 * D]
-    g1 = g_ref[0, :, 1 * D:2 * D]
-    g2 = g_ref[0, :, 2 * D:3 * D]
-    g3 = g_ref[0, :, 3 * D:4 * D]
-    d_c = g0 + g2 * a + g3 * b
-    d_a = g1 + g2 * c
-    d_b = g3 * c
-
-    # b = s_row @ qc ; qc = s_colᵀ @ c
-    d_s_row = dot(d_b, qc.T) + dot(d_a, q.T)   # (+ a = s_row @ q path)
-    d_qc = dot(s_row.T, d_b)
-    d_s_col = dot(c, d_qc.T)
-    d_c = d_c + dot(s_col, d_qc)
-    d_q = dot(s_row.T, d_a)
-
-    # softmax backwards (row over axis 1, col over axis 0), then the
-    # multiplicative-mask chain rule.
-    dS = qm * (s_row * (d_s_row - (d_s_row * s_row).sum(axis=1, keepdims=True)))
-    dS = dS + cm * (s_col * (d_s_col - (d_s_col * s_col).sum(axis=0, keepdims=True)))
-
-    # S = s0 + s1vᵀ + (c∘w_cq) @ qᵀ + bias
-    d_s0 = dS.sum(axis=1, keepdims=True)        # [T_c, 1]
-    d_s1 = dS.sum(axis=0, keepdims=True)        # [1, T_q]
-    dSq = dot(dS, q)                            # [T_c, D]
-    d_c = d_c + d_s0 * w_c[None, :] + dSq * w_cq[None, :]
-    d_q = d_q + d_s1.T * w_q[None, :] + dot(dS.T, cw)
-
-    dc_ref[0] = d_c
-    dq_ref[0] = d_q
-    # Parameter grads accumulate ACROSS the sequential batch grid into
-    # constant-index full blocks — per-program (1, D) row blocks violate
-    # the Mosaic (8, 128) block-tiling rule on real TPUs.
-    p_wc = (c * d_s0).sum(axis=0, keepdims=True)
-    p_wq = (q * d_s1.T).sum(axis=0, keepdims=True)
-    p_wcq = (dSq * c).sum(axis=0, keepdims=True)
-    p_bias = dS.sum()
-
-    @pl.when(b_idx == 0)
-    def _():
-        dwc_ref[:] = p_wc
-        dwq_ref[:] = p_wq
-        dwcq_ref[:] = p_wcq
-        dbias_ref[0, 0] = p_bias
-
-    @pl.when(b_idx > 0)
-    def _():
-        dwc_ref[:] += p_wc
-        dwq_ref[:] += p_wq
-        dwcq_ref[:] += p_wcq
-        dbias_ref[0, 0] += p_bias
-
-
-@partial(jax.jit, static_argnames=("interpret",))
-def bidaf_attention_fused_bwd(params, c, q, c_mask, q_mask, g,
-                              interpret: bool | None = None):
-    """Fused backward: returns (d_params, d_c, d_q)."""
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    B, T_c, D = c.shape
-    T_q = q.shape[1]
-    f32 = jnp.float32
-
-    grid_spec = pl.GridSpec(
-        grid=(B,),
-        in_specs=[
-            pl.BlockSpec((1, T_c, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T_q, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, T_c), lambda b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, T_q), lambda b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D), lambda b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D), lambda b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D), lambda b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda b: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, T_c, 4 * D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, T_c, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T_q, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D), lambda b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D), lambda b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D), lambda b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda b: (0, 0), memory_space=pltpu.SMEM),
-        ],
-    )
-
-    d_c, d_q, d_wc, d_wq, d_wcq, d_bias = pl.pallas_call(
-        _bidaf_bwd_kernel,
-        out_shape=[
-            jax.ShapeDtypeStruct((B, T_c, D), f32),
-            jax.ShapeDtypeStruct((B, T_q, D), f32),
-            jax.ShapeDtypeStruct((1, D), f32),
-            jax.ShapeDtypeStruct((1, D), f32),
-            jax.ShapeDtypeStruct((1, D), f32),
-            jax.ShapeDtypeStruct((1, 1), f32),
-        ],
-        grid_spec=grid_spec,
-        interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=2 * B * T_c * T_q * D * 8,
-            bytes_accessed=4 * B * (T_c * D * 6 + T_q * D * 3 + T_c * T_q),
-            transcendentals=2 * B * T_c * T_q,
-        ),
-    )(
-        c.astype(f32), q.astype(f32), c_mask.astype(f32), q_mask.astype(f32),
-        params["w_c"].astype(f32)[None], params["w_q"].astype(f32)[None],
-        params["w_cq"].astype(f32)[None], params["bias"].astype(f32).reshape(1, 1),
-        g.astype(f32),
-    )
-    d_params = {
-        "w_c": d_wc[0].astype(params["w_c"].dtype),
-        "w_q": d_wq[0].astype(params["w_q"].dtype),
-        "w_cq": d_wcq[0].astype(params["w_cq"].dtype),
-        "bias": d_bias[0, 0].reshape(params["bias"].shape).astype(params["bias"].dtype),
-    }
-    return d_params, d_c.astype(c.dtype), d_q.astype(q.dtype)
-
-
-# ---------------------------------------------------------------------------
-# Trainable wrapper: fused Pallas forward + fused Pallas backward, so the
-# kernel is usable under jax.grad on the dropout-free training path.
-# ---------------------------------------------------------------------------
-
-@jax.custom_vjp
 def bidaf_attention_fused_trainable(params, c, q, c_mask, q_mask):
-    return bidaf_attention_fused(params, c, q, c_mask, q_mask)
-
-
-def _fused_fwd(params, c, q, c_mask, q_mask):
-    out = bidaf_attention_fused(params, c, q, c_mask, q_mask)
-    return out, (params, c, q, c_mask, q_mask)
-
-
-def _fused_bwd(res, g):
-    params, c, q, c_mask, q_mask = res
-    d_params, d_c, d_q = bidaf_attention_fused_bwd(params, c, q, c_mask, q_mask, g)
-    return d_params, d_c, d_q, None, None
-
-
-bidaf_attention_fused_trainable.defvjp(_fused_fwd, _fused_bwd)
+    """Fused forward+backward BiDAF for the dropout-free training path."""
+    return bidaf_attention_fused_dropout(params, c, q, c, q, c_mask, q_mask)
 
 
 # ---------------------------------------------------------------------------
