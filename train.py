@@ -38,6 +38,8 @@ def parse_args():
     ap.add_argument("--loader_workers", type=int, default=0,
                     help="grain DataLoader worker processes for --data_dir "
                          "(0 = decode in-process)")
+    ap.add_argument("--max_eval_videos", type=int, default=256,
+                    help="cap on dev videos kept featurized for eval")
     ap.add_argument("--buckets", default=None,
                     help="comma-separated T_sent buckets (e.g. 16,32,64) for "
                          "--data_dir: batches are padded to the smallest "
@@ -251,30 +253,38 @@ def main():
     eval_step = make_eval_step(cfg)
     meter = AverageMeter()
 
-    eval_texts = None  # real (sentences, gold) per eval example in data_dir mode
     if a.data_dir:
         from mmbidaf_tpu.data.frontend import apply_frontend
 
         stream = stream_raw
-        # Fixed eval slice with KNOWN corpus indices so decoded picks map
-        # back to the real on-disk transcript sentences (SURVEY §4.3); short
-        # corpora wrap to fill the static batch shape.
-        n_eval = cfg.train.batch_size
-        eval_idxs = [i % len(eval_corpus) for i in range(n_eval)]
-        raw_eval = {
-            k: jnp.asarray(v)
-            for k, v in collate([eval_corpus[i] for i in eval_idxs]).items()
-        }
-        eval_texts = [eval_corpus.example_text(i) for i in eval_idxs]
-        feat = jax.jit(lambda r: apply_frontend(fe_params, r, cfg, vgg_spec))(raw_eval)
-        feat["targets"] = raw_eval["targets"]
-        feat["target_mask"] = raw_eval["target_mask"]
-        eval_batch = shard_batch(feat, mesh)
+        # FULL dev-set eval (reference §4.3: evaluate() iterates the dev
+        # loader): featurize every dev video ONCE up front (VGG is the
+        # expensive stage — ~100 MB of features per 256 videos, cheap to
+        # keep resident), batched at the static train batch shape with
+        # wrap-padded tails; picks map back to the real on-disk transcript
+        # sentences. --max_eval_videos caps the resident features.
+        featurize = jax.jit(lambda r: apply_frontend(fe_params, r, cfg, vgg_spec))
+        bs = cfg.train.batch_size
+        n_eval = min(len(eval_corpus), a.max_eval_videos)
+        eval_batches = []  # (sharded feat batch, texts for the real rows)
+        for start in range(0, n_eval, bs):
+            idxs = [min(start + j, len(eval_corpus) - 1) for j in range(bs)]
+            n_real = min(bs, n_eval - start)
+            raw_eval = {
+                k: jnp.asarray(v)
+                for k, v in collate([eval_corpus[i] for i in idxs]).items()
+            }
+            feat = featurize(raw_eval)
+            feat["targets"] = raw_eval["targets"]
+            feat["target_mask"] = raw_eval["target_mask"]
+            texts = [eval_corpus.example_text(i) for i in idxs[:n_real]]
+            eval_batches.append((shard_batch(feat, mesh), texts))
     else:
         stream = batch_stream(cfg.train.seed, cfg)
-        eval_batch = shard_batch(
-            {k: jnp.asarray(v) for k, v in next(stream).items()}, mesh
-        )
+        eval_batches = [(
+            shard_batch({k: jnp.asarray(v) for k, v in next(stream).items()}, mesh),
+            None,
+        )]
 
     if a.num_steps is not None:
         num_steps = a.num_steps
@@ -311,26 +321,35 @@ def main():
             meter.reset()
             pad_meter.reset()
         if step % cfg.train.eval_steps == 0:
-            ev = eval_step(state.ema_params, eval_batch)
-            ev_loss = float(ev["loss"])
-            picks = np.asarray(ev["picks"])
-            if eval_texts is not None:
-                # dev ROUGE from the REAL on-disk transcript sentences and
-                # gold summary.txt (SURVEY §4.3: indices → sentences →
-                # summary string → ROUGE vs gold).
-                r_sum, _ = batch_rouge(
-                    picks,
-                    [t[0] for t in eval_texts],
-                    [t[1] for t in eval_texts],
-                )
-            else:
-                # synthetic corpus has no text: ROUGE over placeholder
-                # sentence strings = a pick-vs-target overlap proxy.
-                sentences = [f"transcript sentence {i}." for i in range(cfg.data.max_sentences)]
-                targets_np = np.asarray(jax.device_get(eval_batch["targets"]))
-                n_ev = min(8, picks.shape[0])
-                golds = [" ".join(sentences[i] for i in targets_np[b]) for b in range(n_ev)]
-                r_sum, _ = batch_rouge(picks[:n_ev], [sentences] * n_ev, golds)
+            # Full dev-set eval: EMA decode over every eval batch, ROUGE
+            # from the REAL on-disk transcript sentences vs summary.txt
+            # golds (SURVEY §4.3: indices → sentences → summary → ROUGE).
+            loss_sum = 0.0
+            r_sum = {"ROUGE-1": 0.0, "ROUGE-2": 0.0, "ROUGE-L": 0.0}
+            n_scored = 0
+            for eval_batch, texts in eval_batches:
+                ev = eval_step(state.ema_params, eval_batch)
+                loss_sum += float(ev["loss"])
+                picks = np.asarray(ev["picks"])
+                if texts is not None:
+                    scores, n_b = batch_rouge(
+                        picks, [t[0] for t in texts], [t[1] for t in texts]
+                    )
+                else:
+                    # synthetic corpus has no text: ROUGE over placeholder
+                    # sentence strings = a pick-vs-target overlap proxy.
+                    sentences = [f"transcript sentence {i}."
+                                 for i in range(cfg.data.max_sentences)]
+                    targets_np = np.asarray(jax.device_get(eval_batch["targets"]))
+                    n_b = min(8, picks.shape[0])
+                    golds = [" ".join(sentences[i] for i in targets_np[b])
+                             for b in range(n_b)]
+                    scores, n_b = batch_rouge(picks[:n_b], [sentences] * n_b, golds)
+                for k in r_sum:
+                    r_sum[k] += scores[k] * n_b
+                n_scored += n_b
+            ev_loss = loss_sum / max(len(eval_batches), 1)
+            r_sum = {k: v / max(n_scored, 1) for k, v in r_sum.items()}
             scalars = {"eval_loss": ev_loss, **{k: v for k, v in r_sum.items()}}
             logger.log(step, scalars)
             tb.log(step, scalars)
