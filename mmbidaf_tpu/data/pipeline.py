@@ -30,15 +30,33 @@ class VideoCorpus:
     protocol), so it plugs into ``grain.MapDataset.source(...)`` directly.
     """
 
-    def __init__(self, root: str, cfg: Config, word2idx: dict[str, int]):
+    def __init__(
+        self,
+        root: str,
+        cfg: Config,
+        word2idx: dict[str, int],
+        require_summary: bool = False,
+    ):
         self.root = root
         self.cfg = cfg
         self.word2idx = word2idx
         self.video_ids = sorted(
             d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d))
         )
+        if require_summary:
+            # Training needs gold labels (targets derive from summary.txt);
+            # unlabeled videos are skipped with a notice.
+            labeled = [
+                v for v in self.video_ids
+                if os.path.isfile(os.path.join(root, v, "summary.txt"))
+            ]
+            if len(labeled) < len(self.video_ids):
+                skipped = sorted(set(self.video_ids) - set(labeled))
+                print(f"VideoCorpus: skipping {len(skipped)} unlabeled "
+                      f"video(s) (no summary.txt): {skipped[:5]}...")
+            self.video_ids = labeled
         if not self.video_ids:
-            raise FileNotFoundError(f"no video dirs under {root}")
+            raise FileNotFoundError(f"no usable video dirs under {root}")
         d = cfg.data
         self.num_audio_samples = d.max_audio_frames * d.hop_length + d.win_length
 

@@ -122,16 +122,25 @@ def load_video_assets(
     ``frames.npy``; ``audio.wav`` OR ``audio.npy``; ``transcript.txt``;
     optional ``summary.txt`` (gold).
     """
+    fdir = os.path.join(video_dir, "frames")
     if os.path.exists(os.path.join(video_dir, "frames.npy")):
         frames = np.load(os.path.join(video_dir, "frames.npy"))
+        frames, img_mask = sample_keyframes(frames, max_keyframes)
+    elif os.path.isdir(fdir):
+        frames = load_image_dir(fdir)
+        frames, img_mask = sample_keyframes(frames, max_keyframes)
     else:
-        frames = load_image_dir(os.path.join(video_dir, "frames"))
-    frames, img_mask = sample_keyframes(frames, max_keyframes)
+        # Media-less (text-only) import: zero frames, fully-masked — the
+        # image tower sees nothing; --no_images configs skip it entirely.
+        frames = np.zeros((max_keyframes, 8, 8, 3), np.uint8)
+        img_mask = np.zeros((max_keyframes,), np.float32)
 
     if os.path.exists(os.path.join(video_dir, "audio.npy")):
         wave = np.load(os.path.join(video_dir, "audio.npy")).astype(np.float32)
-    else:
+    elif os.path.exists(os.path.join(video_dir, "audio.wav")):
         wave, _ = load_wav(os.path.join(video_dir, "audio.wav"))
+    else:
+        wave = np.zeros((num_audio_samples,), np.float32)  # silent track
     wave, _ = pad_waveform(wave, num_audio_samples)
 
     with open(os.path.join(video_dir, "transcript.txt")) as f:

@@ -191,8 +191,11 @@ def main():
         from mmbidaf_tpu.ops.vgg import TINY_SPEC, VGG16_SPEC
 
         vgg_spec = TINY_SPEC if a.vgg == "tiny" else VGG16_SPEC
-        corpus = VideoCorpus(train_dir, cfg, w2i)
-        eval_corpus = corpus if dev_dir == train_dir else VideoCorpus(dev_dir, cfg, w2i)
+        corpus = VideoCorpus(train_dir, cfg, w2i, require_summary=True)
+        eval_corpus = (
+            corpus if dev_dir == train_dir
+            else VideoCorpus(dev_dir, cfg, w2i, require_summary=True)
+        )
         if a.buckets:
             # Bucketed T_sent shapes: jit compiles one program per bucket;
             # ragged corpora stop paying worst-case padding (SURVEY §8 R3).
