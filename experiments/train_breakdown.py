@@ -56,33 +56,6 @@ def main():
         s = slope_time(step, init, *args)
         print(json.dumps({"op": tag, "ms": round(s * 1e3, 3)}), flush=True)
 
-    # full step (non-donated copy so the chained harness can reuse state)
-    train_step = make_train_step(cfg)
-    st = state
-
-    def full(acc, batch):
-        nonlocal st
-        st, m = train_step(st, batch)
-        return m["loss"]
-
-    # slope over the python closure: time via explicit loop
-    import time as _t
-    jax.device_get(full(jnp.float32(0), batch))
-
-    def run(m):
-        t0 = _t.perf_counter()
-        last = None
-        for _ in range(m):
-            last = full(None, batch)
-        jax.device_get(last)
-        return _t.perf_counter() - t0
-
-    run(1)
-    t_lo = min(run(2), run(2))
-    t_hi = min(run(10), run(10))
-    print(json.dumps({"op": "full_train_step", "ms": round((t_hi - t_lo) / 8 * 1e3, 3)}),
-          flush=True)
-
     key = jax.random.key(7)
 
     # forward-only loss
@@ -139,6 +112,35 @@ def main():
         )
 
     report("decoder_grad", dec, jnp.float32(0.0), params["decoder"], M, batch)
+
+    # Full step LAST: the donated train_step frees the params buffers.
+    # full step (non-donated copy so the chained harness can reuse state)
+    train_step = make_train_step(cfg)
+    st = state
+
+    def full(acc, batch):
+        nonlocal st
+        st, m = train_step(st, batch)
+        return m["loss"]
+
+    # slope over the python closure: time via explicit loop
+    import time as _t
+    jax.device_get(full(jnp.float32(0), batch))
+
+    def run(m):
+        t0 = _t.perf_counter()
+        last = None
+        for _ in range(m):
+            last = full(None, batch)
+        jax.device_get(last)
+        return _t.perf_counter() - t0
+
+    run(1)
+    t_lo = min(run(2), run(2))
+    t_hi = min(run(10), run(10))
+    print(json.dumps({"op": "full_train_step", "ms": round((t_hi - t_lo) / 8 * 1e3, 3)}),
+          flush=True)
+
 
 
 if __name__ == "__main__":

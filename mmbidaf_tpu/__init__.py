@@ -15,7 +15,7 @@ Reference provenance: the reference mount is empty (see SURVEY.md §0); the
 behavioral spec is SURVEY.md, which this package cites by section.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from mmbidaf_tpu.config import (  # noqa: F401
     Config,
