@@ -43,7 +43,9 @@ def embedding_apply(
     Dropout is applied to the raw GloVe vectors before projection (parity
     with the reference's ``Embedding.forward``).
     """
-    emb = params["table"][token_ids]
+    # The table is FROZEN (reference: requires_grad=False) — stop_gradient
+    # removes the [V, emb_dim] scatter-add from every backward pass.
+    emb = jax.lax.stop_gradient(params["table"])[token_ids]
     if drop_prob > 0.0 and rng is not None:
         keep = 1.0 - drop_prob
         emb = emb * jax.random.bernoulli(rng, keep, emb.shape) / keep

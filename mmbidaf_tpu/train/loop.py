@@ -46,6 +46,10 @@ def _frozen_mask(params: Any) -> Any:
     return jax.tree_util.tree_map_with_path(mask_fn, params)
 
 
+def _trainable_mask(params: Any) -> Any:
+    return jax.tree.map(lambda m: not m, _frozen_mask(params))
+
+
 def make_lr_schedule(cfg: Config) -> optax.Schedule:
     """Warmup + {constant, cosine, exponential} decay (reference LR-scheduler slot)."""
     t = cfg.train
@@ -79,12 +83,15 @@ def make_optimizer(cfg: Config, params: Any = None) -> optax.GradientTransformat
         opt = optax.adam(learning_rate=schedule)
     else:
         raise ValueError(f"unknown optimizer {t.optimizer!r}")
-    chain = [optax.clip_by_global_norm(t.max_grad_norm), opt]
+    # The optimizer runs ONLY on trainable leaves (optax.masked keeps no
+    # accumulator state for the frozen GloVe table — [V, 300] adadelta/adam
+    # moments and their per-step passes would be pure waste); the frozen
+    # leaf's passed-through "update" (its zero grad — embedding lookup is
+    # stop_gradient'ed) is then zeroed explicitly for safety.
+    chain = [optax.clip_by_global_norm(t.max_grad_norm),
+             optax.masked(opt, _trainable_mask)]
     if t.l2_wd > 0:
         chain.insert(0, optax.add_decayed_weights(t.l2_wd))
-    # Zero the final updates for frozen params (GloVe table). Note
-    # optax.masked applies its inner transform where mask is True and passes
-    # everything else through UNCHANGED — so freezing must zero, not skip.
     chain.append(optax.masked(optax.set_to_zero(), _frozen_mask))
     return optax.chain(*chain)
 
@@ -137,10 +144,14 @@ def make_train_step(cfg: Config, fe_params: Any = None, vgg_spec=None) -> Callab
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         # EMA with bias correction by step (starter variant, SURVEY §9).
+        # The frozen table's shadow is the table itself — skipping the blend
+        # saves two [V, 300] passes per step.
         step = state.step + 1
         d = jnp.minimum(decay, (1.0 + step) / (10.0 + step))
+        frozen = _frozen_mask(params)
         ema_params = jax.tree.map(
-            lambda e, p: d * e + (1.0 - d) * p, state.ema_params, params
+            lambda e, p, f: p if f else d * e + (1.0 - d) * p,
+            state.ema_params, params, frozen,
         )
         grad_norm = optax.global_norm(grads)
         metrics = {"loss": loss, "grad_norm": grad_norm}
