@@ -51,6 +51,14 @@ def apply_frontend(
     d = cfg.data
     compute_dtype = jnp.dtype(cfg.model.compute_dtype)
     out = {k: raw[k] for k in ("text_ids", "word_mask", "sent_mask") if k in raw}
+    # Precomputed-feature batches (tools/precompute_features.py) pass
+    # through untouched — the frontend only runs on raw media keys.
+    if cfg.model.use_images and "images" in raw and "frames" not in raw:
+        out["images"] = raw["images"]
+        out["img_mask"] = raw["img_mask"]
+    if cfg.model.use_audio and "audio" in raw and "waveform" not in raw:
+        out["audio"] = raw["audio"]
+        out["aud_mask"] = raw["aud_mask"]
     if cfg.model.use_images and "frames" in raw:
         B, T_i = raw["frames"].shape[:2]
         flat = raw["frames"].reshape((B * T_i,) + raw["frames"].shape[2:])

@@ -36,10 +36,16 @@ class VideoCorpus:
         cfg: Config,
         word2idx: dict[str, int],
         require_summary: bool = False,
+        use_precomputed: bool = True,
     ):
         self.root = root
         self.cfg = cfg
         self.word2idx = word2idx
+        # Serve features.npz (tools/precompute_features.py artifacts — the
+        # reference's preprocessed-.npy flow) when present: the train step
+        # then skips the VGG/MFCC frontend entirely (batch schema is keyed
+        # on frames/waveform presence).
+        self.use_precomputed = use_precomputed
         self.video_ids = sorted(
             d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d))
         )
@@ -65,25 +71,35 @@ class VideoCorpus:
 
     def __getitem__(self, idx: int) -> dict[str, np.ndarray]:
         d, m = self.cfg.data, self.cfg.model
+        vdir = os.path.join(self.root, self.video_ids[idx])
+        fpath = os.path.join(vdir, "features.npz")
+        precomputed = self.use_precomputed and os.path.exists(fpath)
         assets = load_video_assets(
-            os.path.join(self.root, self.video_ids[idx]),
+            vdir,
             d.max_keyframes,
             self.num_audio_samples,
+            media=not precomputed,
         )
         enc = encode_transcript(
             assets["transcript"], self.word2idx, d.max_sentences, d.max_words
         )
-        n_aud = d.max_audio_frames  # full waveform is padded to cover all frames
-        aud_mask = np.ones((n_aud,), np.float32)
         ex = {
             "text_ids": enc["text_ids"],
             "word_mask": enc["word_mask"],
             "sent_mask": enc["sent_mask"],
-            "frames": assets["frames"],
-            "img_mask": assets["img_mask"],
-            "waveform": assets["waveform"],
-            "aud_mask": aud_mask,
         }
+        if precomputed:
+            with np.load(fpath) as z:
+                ex["images"] = z["images"].astype(np.float32)
+                ex["audio"] = z["audio"].astype(np.float32)
+                ex["img_mask"] = z["img_mask"].astype(np.float32)
+                ex["aud_mask"] = z["aud_mask"].astype(np.float32)
+        else:
+            ex["frames"] = assets["frames"]
+            ex["img_mask"] = assets["img_mask"]
+            ex["waveform"] = assets["waveform"]
+            # full waveform is padded to cover all frames
+            ex["aud_mask"] = np.ones((d.max_audio_frames,), np.float32)
         if assets["summary"] is not None:
             sent_tokens = [word_tokenize(s) for s in enc["sentences"]]
             # pad token lists to T_s so indices line up with sent_mask

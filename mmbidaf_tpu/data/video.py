@@ -115,13 +115,25 @@ def load_video_assets(
     video_dir: str,
     max_keyframes: int,
     num_audio_samples: int,
+    media: bool = True,
 ) -> dict:
     """Per-video asset directory → raw arrays for the device frontend.
 
     Layout (corpus-agnostic, SURVEY §1): ``frames/`` image dir OR
     ``frames.npy``; ``audio.wav`` OR ``audio.npy``; ``transcript.txt``;
-    optional ``summary.txt`` (gold).
+    optional ``summary.txt`` (gold). ``media=False`` reads only the text
+    sidecars (precomputed-feature corpora skip the decode entirely).
     """
+    if not media:
+        with open(os.path.join(video_dir, "transcript.txt")) as f:
+            transcript = f.read()
+        summary = None
+        spath = os.path.join(video_dir, "summary.txt")
+        if os.path.exists(spath):
+            with open(spath) as f:
+                summary = f.read()
+        return {"frames": None, "img_mask": None, "waveform": None,
+                "transcript": transcript, "summary": summary}
     fdir = os.path.join(video_dir, "frames")
     if os.path.exists(os.path.join(video_dir, "frames.npy")):
         frames = np.load(os.path.join(video_dir, "frames.npy"))

@@ -303,6 +303,68 @@ def test_bucketed_iterator(tmp_path, rng):
     assert bucket_waste < flat_waste, (bucket_waste, flat_waste)
 
 
+def test_precomputed_features_roundtrip(disk_corpus):
+    """tools/precompute_features.py artifacts: VideoCorpus auto-serves
+    features.npz (no media decode), batches skip the frontend, and the
+    features equal a direct apply_frontend of the raw batch."""
+    import dataclasses
+    import subprocess
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+
+    from mmbidaf_tpu.data.frontend import apply_frontend, frontend_init
+    from mmbidaf_tpu.data.pipeline import VideoCorpus, collate
+    from mmbidaf_tpu.data.vocab import vocab_from_corpus_dir
+    from mmbidaf_tpu.ops.vgg import TINY_SPEC
+
+    root, cfg = disk_corpus
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, img_feat_dim=32,
+                                       audio_feat_dim=cfg.data.n_mfcc)
+    )
+    import json
+    cfg_path = os.path.join(root, "..", "cfg.json")
+    from mmbidaf_tpu.config import config_to_dict
+    with open(cfg_path, "w") as f:
+        json.dump(config_to_dict(cfg), f)
+
+    env = dict(os.environ)
+    env.update(JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    res = subprocess.run(
+        [sys.executable, "tools/precompute_features.py", "--data_dir", root,
+         "--config_json", cfg_path, "--vgg", "tiny", "--batch", "2"],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "wrote features.npz for 3 videos" in res.stdout
+
+    w2i = vocab_from_corpus_dir(root)
+    pre = VideoCorpus(root, cfg, w2i)            # auto-detects features.npz
+    raw = VideoCorpus(root, cfg, w2i, use_precomputed=False)
+    ex = pre[0]
+    assert "images" in ex and "frames" not in ex
+    assert ex["images"].shape == (cfg.data.max_keyframes, cfg.model.img_feat_dim)
+
+    # features == direct frontend of the raw example (same init seed)
+    fe = frontend_init(jax.random.key(224 + 2), cfg, vgg_spec=TINY_SPEC)
+    raw_b = {k: jnp.asarray(v) for k, v in collate([raw[0]]).items()}
+    feat = apply_frontend(fe, raw_b, cfg, TINY_SPEC)
+    np.testing.assert_allclose(
+        np.asarray(feat["images"][0]), ex["images"], rtol=2e-4, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(feat["audio"][0]), ex["audio"], rtol=2e-4, atol=2e-4
+    )
+
+    # featurized batches pass through apply_frontend untouched
+    pre_b = {k: jnp.asarray(v) for k, v in collate([pre[0]]).items()}
+    out = apply_frontend(fe, pre_b, cfg, TINY_SPEC)
+    np.testing.assert_array_equal(np.asarray(out["images"]), np.asarray(pre_b["images"]))
+
+
 def test_grain_loader(disk_corpus):
     """grain DataLoader over VideoCorpus yields batched raw examples."""
     import dataclasses
