@@ -70,6 +70,9 @@ class DataConfig:
     fmax: float | None = None     # None → sample_rate / 2
     # Image frontend
     image_size: int = 224
+    # Keyframe sampling policy: "every_n" (uniform) or "shot_change"
+    # (largest frame-difference peaks) — SURVEY §3.1 names both.
+    keyframe_policy: str = "every_n"
 
 
 @dataclasses.dataclass(frozen=True)

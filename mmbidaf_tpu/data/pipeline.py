@@ -79,6 +79,7 @@ class VideoCorpus:
             d.max_keyframes,
             self.num_audio_samples,
             media=not precomputed,
+            keyframe_policy=d.keyframe_policy,
         )
         enc = encode_transcript(
             assets["transcript"], self.word2idx, d.max_sentences, d.max_words

@@ -34,6 +34,36 @@ def sample_keyframes(frames: np.ndarray, max_keyframes: int) -> tuple[np.ndarray
     return out, mask
 
 
+def sample_keyframes_shot_change(
+    frames: np.ndarray, max_keyframes: int, min_gap: int = 2
+) -> tuple[np.ndarray, np.ndarray]:
+    """Shot-change sampling (the reference's other policy, SURVEY §3.1):
+    pick the frames with the largest content change from their predecessor
+    (mean |Δ| over downsampled pixels), at least ``min_gap`` apart, emitted
+    in temporal order. Falls back to every-N when fewer shots than slots.
+    """
+    T = frames.shape[0]
+    if T == 0:
+        raise ValueError("no frames to sample")
+    if T <= max_keyframes:
+        return sample_keyframes(frames, max_keyframes)
+    small = frames[:, ::4, ::4, :].astype(np.float32)
+    diff = np.abs(small[1:] - small[:-1]).mean(axis=(1, 2, 3))  # [T-1]
+    picked = [0]  # always anchor the first frame
+    for i in np.argsort(diff)[::-1]:  # largest scene change first
+        t = int(i) + 1
+        if all(abs(t - p) >= min_gap for p in picked):
+            picked.append(t)
+            if len(picked) == max_keyframes:
+                break
+    idx = np.sort(np.asarray(picked, np.int64))
+    n = len(idx)
+    out = np.zeros((max_keyframes,) + frames.shape[1:], frames.dtype)
+    out[:n] = frames[idx]
+    mask = (np.arange(max_keyframes) < n).astype(np.float32)
+    return out, mask
+
+
 def load_image_dir(path: str) -> np.ndarray:
     """Directory of image files (sorted) → ``[T, H, W, 3] uint8``."""
     from PIL import Image
@@ -116,6 +146,7 @@ def load_video_assets(
     max_keyframes: int,
     num_audio_samples: int,
     media: bool = True,
+    keyframe_policy: str = "every_n",
 ) -> dict:
     """Per-video asset directory → raw arrays for the device frontend.
 
@@ -134,13 +165,15 @@ def load_video_assets(
                 summary = f.read()
         return {"frames": None, "img_mask": None, "waveform": None,
                 "transcript": transcript, "summary": summary}
+    sampler = (sample_keyframes_shot_change if keyframe_policy == "shot_change"
+               else sample_keyframes)
     fdir = os.path.join(video_dir, "frames")
     if os.path.exists(os.path.join(video_dir, "frames.npy")):
         frames = np.load(os.path.join(video_dir, "frames.npy"))
-        frames, img_mask = sample_keyframes(frames, max_keyframes)
+        frames, img_mask = sampler(frames, max_keyframes)
     elif os.path.isdir(fdir):
         frames = load_image_dir(fdir)
-        frames, img_mask = sample_keyframes(frames, max_keyframes)
+        frames, img_mask = sampler(frames, max_keyframes)
     else:
         # Media-less (text-only) import: zero frames, fully-masked — the
         # image tower sees nothing; --no_images configs skip it entirely.

@@ -242,6 +242,28 @@ def test_real_text_rouge(disk_corpus):
     assert n2 == 1 and scores2["ROUGE-L"] == pytest.approx(1.0)
 
 
+def test_shot_change_keyframes(rng):
+    """Shot-change sampling picks the frames after the largest content
+    jumps (SURVEY §3.1 'every-N / shot change')."""
+    from mmbidaf_tpu.data.video import sample_keyframes_shot_change
+
+    T, H, W = 20, 16, 16
+    frames = np.zeros((T, H, W, 3), np.uint8)
+    frames[7:] = 120   # hard cut at t=7
+    frames[14:] = 240  # hard cut at t=14
+    frames += (rng.random((T, H, W, 3)) * 5).astype(np.uint8)  # mild noise
+
+    out, mask = sample_keyframes_shot_change(frames, max_keyframes=3)
+    assert mask.sum() == 3
+    means = out[:3].mean(axis=(1, 2, 3))
+    # anchored first frame + the two cut frames, in temporal order
+    assert means[0] < 20 and 100 < means[1] < 150 and means[2] > 220
+
+    # fewer frames than slots falls back to every-N
+    out2, mask2 = sample_keyframes_shot_change(frames[:2], max_keyframes=4)
+    assert mask2.tolist() == [1, 1, 0, 0]
+
+
 def test_bucketed_iterator(tmp_path, rng):
     """Bucketed shapes (SURVEY §8 R3): batches are padded to the smallest
     fitting T_sent bucket, real sentences survive, and measured padding
