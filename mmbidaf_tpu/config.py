@@ -38,10 +38,10 @@ class ModelConfig:
     use_audio: bool = True
     # Compute dtype for the accelerated path; params stay fp32.
     compute_dtype: str = "float32"
-    # Fused Pallas kernels (behind flags, SURVEY §8 phase 6). The model
-    # dispatches to them on the inference path; training defaults to the jnp
-    # versions whose autodiff XLA fuses well (the attention kernel also has a
-    # custom-VJP wrapper, ops.pallas.bidaf_kernel.bidaf_attention_fused_trainable).
+    # Fused Pallas kernels (behind flags, SURVEY §8 phase 6): inference
+    # kernels on the rng-free path, custom-VJP kernels (fused attention
+    # backward incl. dropout via similarity-only operands; LSTM BPTT) on
+    # the training path — 2.74x measured step throughput (BASELINE.md).
     use_pallas_attention: bool = False
     use_pallas_lstm: bool = False
     # Winograd F(2x2,3x3) for the VGG conv stack (2.25x fewer MACs than the
