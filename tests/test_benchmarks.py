@@ -1,0 +1,213 @@
+"""TVSum/SumMe benchmark adapters (data/benchmarks.py,
+tools/import_benchmark.py): annotation parsing, frame→cue importance
+alignment, budgeted gold-summary selection, and the end-to-end import
+into a VideoCorpus-loadable layout."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from mmbidaf_tpu.data import benchmarks
+from mmbidaf_tpu.data.subtitles import parse_cues
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+# ---------------------------------------------------------------- parsers
+
+def test_tvsum_anno_tsv(tmp_path):
+    """Rows per annotator are averaged; ragged rows truncate to shortest."""
+    p = tmp_path / "anno.tsv"
+    p.write_text(
+        "vidA\tVT\t1,1,5,5\n"
+        "vidA\tVT\t3,3,3,3,3\n"          # one frame longer — known artifact
+        "vidB\tGA\t2,2\n"
+    )
+    scores = benchmarks.load_tvsum_anno_tsv(str(p))
+    assert set(scores) == {"vidA", "vidB"}
+    np.testing.assert_allclose(scores["vidA"], [2.0, 2.0, 4.0, 4.0])
+    np.testing.assert_allclose(scores["vidB"], [2.0, 2.0])
+
+
+def test_tvsum_anno_tsv_malformed(tmp_path):
+    p = tmp_path / "bad.tsv"
+    p.write_text("vidA\tonly-two-fields\n")
+    with pytest.raises(ValueError):
+        benchmarks.load_tvsum_anno_tsv(str(p))
+
+
+def test_tvsum_mat_hdf5(tmp_path):
+    """Synthetic v7.3-layout .mat: object-reference arrays under /tvsum50."""
+    h5py = pytest.importorskip("h5py")
+    p = tmp_path / "tvsum.mat"
+    # [nframes, n_users]; frames axis longer, as in the real data
+    anno = {"vidA": np.arange(1.0, 7.0)[:, None] * np.ones((1, 2)),
+            "vidB": np.full((5, 2), 4.0)}
+    with h5py.File(p, "w") as f:
+        g = f.create_group("tvsum50")
+        refs_v, refs_a = [], []
+        for vid, arr in anno.items():
+            dv = f.create_dataset(
+                f"/refs/{vid}_name", data=np.array([[ord(c)] for c in vid], np.uint16)
+            )
+            # store [n_users, nframes] (transposed) for vidA to exercise the
+            # orientation fix-up; [nframes, n_users] for vidB
+            data = arr.T if vid == "vidA" else arr
+            da = f.create_dataset(f"/refs/{vid}_anno", data=data)
+            refs_v.append(dv.ref)
+            refs_a.append(da.ref)
+        dv = g.create_dataset("video", (len(refs_v), 1), dtype=h5py.ref_dtype)
+        da = g.create_dataset("user_anno", (len(refs_a), 1), dtype=h5py.ref_dtype)
+        for i, (rv, ra) in enumerate(zip(refs_v, refs_a)):
+            dv[i, 0] = rv
+            da[i, 0] = ra
+    scores = benchmarks.load_tvsum_mat(str(p))
+    assert set(scores) == {"vidA", "vidB"}
+    np.testing.assert_allclose(scores["vidA"], np.arange(1.0, 7.0))
+    np.testing.assert_allclose(scores["vidB"], np.full(5, 4.0))
+
+
+def test_summe_gt_mat(tmp_path):
+    pytest.importorskip("scipy.io")
+    from scipy.io import savemat
+
+    p1 = tmp_path / "Cooking.mat"
+    savemat(p1, {"gt_score": np.array([[0.1], [0.9], [0.5]]), "FPS": 25.0})
+    s, fps = benchmarks.load_summe_gt(str(p1))
+    np.testing.assert_allclose(s, [0.1, 0.9, 0.5])
+    assert fps == 25.0
+
+    # fallback: mean of binary user_score, default fps
+    p2 = tmp_path / "Jumps.mat"
+    savemat(p2, {"user_score": np.array([[1, 0], [1, 1], [0, 0]], np.float64)})
+    s, fps = benchmarks.load_summe_gt(str(p2))
+    np.testing.assert_allclose(s, [0.5, 1.0, 0.0])
+    assert fps == 30.0
+
+    p3 = tmp_path / "Empty.mat"
+    savemat(p3, {"unrelated": np.zeros(2)})
+    with pytest.raises(ValueError):
+        benchmarks.load_summe_gt(str(p3))
+
+
+# ------------------------------------------------------------- alignment
+
+CUES = [
+    (0.0, 2.0, "Low importance opening."),
+    (2.0, 4.0, "The key highlight moment."),
+    (4.0, 6.0, "Another dull stretch."),
+    (100.0, 102.0, "Overrun caption past the video end."),
+]
+
+
+def test_cue_importance_means_and_overrun():
+    fps = 2.0  # 12 annotated frames cover 6 s
+    scores = np.array([1, 1, 1, 1, 5, 5, 5, 5, 1, 1, 1, 1], np.float32)
+    imp = benchmarks.cue_importance(CUES, scores, fps)
+    np.testing.assert_allclose(imp[:3], [1.0, 5.0, 1.0])
+    # the overrun cue gets the global mean: neither wins nor loses
+    np.testing.assert_allclose(imp[3], scores.mean())
+
+
+def test_select_summary_cues_budget():
+    scores = np.array([1.0, 5.0, 1.0, 2.3], np.float32)
+    # total dur 8 s; 15% budget = 1.2 s < any single cue → exactly the top cue
+    picked = benchmarks.select_summary_cues(CUES, scores, budget_frac=0.15)
+    assert picked == [1]
+    # 60% budget = 4.8 s → top two cues, returned in time order
+    picked = benchmarks.select_summary_cues(CUES, scores, budget_frac=0.60)
+    assert picked == [1, 3]
+    assert benchmarks.select_summary_cues([], np.zeros(0), 0.15) == []
+
+
+def test_summary_from_importance_text():
+    fps = 2.0
+    scores = np.array([1, 1, 1, 1, 5, 5, 5, 5, 1, 1, 1, 1], np.float32)
+    summary = benchmarks.summary_from_importance(CUES, scores, fps, 0.15)
+    assert summary == "The key highlight moment."
+
+
+# ------------------------------------------------------- end-to-end CLI
+
+VTT = """WEBVTT
+
+00:00:00.000 --> 00:00:02.000
+Low importance opening remarks here.
+
+00:00:02.000 --> 00:00:04.000
+The key highlight moment everyone watches.
+
+00:00:04.000 --> 00:00:06.000
+Another dull stretch of filler content.
+"""
+
+
+def test_import_benchmark_cli_tvsum(tmp_path):
+    """tsv + vtt sidecar → VideoCorpus-loadable dirs with gold summaries
+    built from the high-importance cues."""
+    subs = tmp_path / "subs"
+    subs.mkdir()
+    (subs / "vidA.vtt").write_text(VTT)
+    # 12 frames over the 6 s subtitle span → derived fps = 2.0
+    anno = tmp_path / "anno.tsv"
+    anno.write_text("vidA\tVT\t" + ",".join("1 1 1 1 5 5 5 5 1 1 1 1".split()) + "\n")
+    out = tmp_path / "corpus"
+
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "import_benchmark.py"),
+         "--dataset", "tvsum", "--anno", str(anno), "--subs", str(subs),
+         "--out", str(out)],
+        capture_output=True, text=True, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "imported 1/1" in r.stdout
+
+    vdir = out / "vidA"
+    transcript = (vdir / "transcript.txt").read_text()
+    summary = (vdir / "summary.txt").read_text()
+    assert "key highlight moment" in summary
+    assert "dull stretch" not in summary
+    assert "Low importance opening" in transcript
+    np.testing.assert_allclose(np.load(vdir / "importance.npy")[4:8], 5.0)
+
+    # the emitted layout loads as a (media-less) training corpus
+    from mmbidaf_tpu.config import tiny_test_config
+    from mmbidaf_tpu.data import text, vocab
+    from mmbidaf_tpu.data.pipeline import VideoCorpus
+
+    cfg = tiny_test_config()
+    toks = [text.word_tokenize(s) for s in text.sent_tokenize(transcript)]
+    w2i = vocab.build_vocab(toks)
+    corpus = VideoCorpus(str(out), cfg, w2i, require_summary=True)
+    ex = corpus[0]
+    assert "targets" in ex
+    # the gold label points at the highlight sentence (index 1 of 3)
+    sents, gold = corpus.example_text(0)
+    assert "key highlight" in sents[int(ex["targets"][0])]
+
+
+def test_import_benchmark_cli_summe(tmp_path):
+    pytest.importorskip("scipy.io")
+    from scipy.io import savemat
+
+    subs = tmp_path / "subs"
+    gt = tmp_path / "GT"
+    subs.mkdir()
+    gt.mkdir()
+    (subs / "Cooking.vtt").write_text(VTT)
+    savemat(gt / "Cooking.mat",
+            {"gt_score": np.r_[np.ones(4), 5 * np.ones(4), np.ones(4)][:, None],
+             "FPS": 2.0})
+    out = tmp_path / "corpus"
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "import_benchmark.py"),
+         "--dataset", "summe", "--gt_dir", str(gt), "--subs", str(subs),
+         "--out", str(out)],
+        capture_output=True, text=True, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr
+    summary = (out / "Cooking" / "summary.txt").read_text()
+    assert "key highlight moment" in summary
