@@ -43,7 +43,20 @@ def encode_transcript(
 ) -> dict[str, np.ndarray]:
     """Transcript → padded ``text_ids [T_s, W]`` + ``word_mask`` + ``sent_mask``
     + the sentence strings (needed for summary assembly / ROUGE)."""
-    sentences = sent_tokenize(transcript)[:max_sentences]
+    return encode_sentences(
+        sent_tokenize(transcript), word2idx, max_sentences, max_words
+    )
+
+
+def encode_sentences(
+    sentences: list[str],
+    word2idx: dict[str, int],
+    max_sentences: int,
+    max_words: int,
+) -> dict[str, np.ndarray]:
+    """Pre-split sentence list → the same padded id/mask schema (used by the
+    long-video windowed decode, which slides over one sentence split)."""
+    sentences = sentences[:max_sentences]
     text_ids = np.zeros((max_sentences, max_words), np.int32)
     word_mask = np.zeros((max_sentences, max_words), np.float32)
     sent_mask = np.zeros((max_sentences,), np.float32)

@@ -23,12 +23,52 @@ import jax.numpy as jnp
 
 from mmbidaf_tpu.config import Config
 from mmbidaf_tpu.data.frontend import frontend_init, make_end_to_end_decode
-from mmbidaf_tpu.data.text import encode_transcript
+from mmbidaf_tpu.data.text import encode_sentences, encode_transcript, sent_tokenize
 from mmbidaf_tpu.data.video import load_video_assets
 from mmbidaf_tpu.data.vocab import load_vocab
 from mmbidaf_tpu.models.mmbidaf import mmbidaf_init
 from mmbidaf_tpu.ops.vgg import VGG16_SPEC
 from mmbidaf_tpu.train.metrics import summary_from_picks
+
+
+def transcript_windows(n_sents: int, window: int, stride: int) -> list[int]:
+    """Window start indices covering ``n_sents`` sentences: strided starts
+    plus a tail window so the last sentences are never dropped."""
+    if n_sents <= window:
+        return [0]
+    starts = list(range(0, n_sents - window, stride))
+    starts.append(n_sents - window)
+    return starts
+
+
+def merge_window_picks(
+    picks: np.ndarray,
+    scores: np.ndarray,
+    starts: Sequence[int],
+    window_lens: Sequence[int],
+    k: int,
+) -> list[int]:
+    """Merge per-window pointer picks into one global selection.
+
+    ``picks [W, K]`` are window-local sentence indices with per-pick
+    ``scores [W, K]`` (log-probs). Window-local indices map to global via
+    their window's start; picks landing on padded slots (≥ the window's
+    real length) are dropped; duplicates (overlapping windows select the
+    same sentence) keep their best score; the top ``k`` survivors are
+    returned in transcript order — the extractive-summary convention.
+    """
+    best: dict[int, float] = {}
+    for w, start in enumerate(starts):
+        for j in range(picks.shape[1]):
+            local = int(picks[w, j])
+            if local >= window_lens[w]:
+                continue
+            g = start + local
+            s = float(scores[w, j])
+            if g not in best or s > best[g]:
+                best[g] = s
+    top = sorted(best, key=lambda g: -best[g])[:k]
+    return sorted(top)
 
 
 class Summarizer:
@@ -170,13 +210,21 @@ class Summarizer:
         batch = {k: jnp.asarray(np.stack([r[k] for r in rows])) for k in rows[0]}
         return batch, sentences
 
-    def _decode_batch(self, raw):
+    def _decode_batch(self, raw, with_scores: bool = False):
         if self.mode in ("greedy", "beam"):
-            _, picks = self._decode(self.params, self.fe_params, raw)
+            log_p, picks = self._decode(self.params, self.fe_params, raw)
         else:
             self._rng, k = jax.random.split(self._rng)
-            _, picks = self._decode_topk(self.params, self.fe_params, raw, k)
-        return np.asarray(picks)
+            log_p, picks = self._decode_topk(self.params, self.fe_params, raw, k)
+        picks = np.asarray(picks)
+        if not with_scores:
+            return picks
+        # per-pick log-prob (beam mode broadcasts the sequence log-prob,
+        # which ranks whole windows — still a valid merge key)
+        scores = np.take_along_axis(
+            np.asarray(log_p), picks[:, :, None], axis=2
+        )[:, :, 0]
+        return picks, scores
 
     def summarize_batch(self, video_dirs: Sequence[str]) -> list[str]:
         sb = self.serve_batch_size
@@ -200,3 +248,59 @@ class Summarizer:
 
     def summarize(self, video_dir: str) -> str:
         return self.summarize_batch([video_dir])[0]
+
+    def summarize_long(self, video_dir: str, stride: int | None = None) -> str:
+        """Summarize a video whose transcript exceeds the ``max_sentences``
+        bucket (``summarize`` would truncate it): slide overlapping windows
+        of ``max_sentences`` sentences over the full transcript, decode each
+        window against the video's (global) keyframe/audio context, and
+        merge the per-window picks by log-prob (``merge_window_picks``).
+
+        ``stride`` defaults to half a window. Window batches run through
+        the same jitted decode program as ``summarize_batch``; when
+        ``serve_batch_size`` is set, window batches are padded/chunked to
+        that one static shape.
+        """
+        d, m = self.cfg.data, self.cfg.model
+        assets = load_video_assets(video_dir, d.max_keyframes, self._num_audio_samples)
+        sentences = sent_tokenize(assets["transcript"])
+        if len(sentences) <= d.max_sentences:
+            return self.summarize(video_dir)
+        stride = stride or max(d.max_sentences // 2, 1)
+        starts = transcript_windows(len(sentences), d.max_sentences, stride)
+
+        media = {
+            "frames": assets["frames"],
+            "img_mask": assets["img_mask"],
+            "waveform": assets["waveform"],
+            "aud_mask": np.ones((d.max_audio_frames,), np.float32),
+        }
+        rows = []
+        for start in starts:
+            enc = encode_sentences(
+                sentences[start:start + d.max_sentences],
+                self.word2idx, d.max_sentences, d.max_words,
+            )
+            rows.append({
+                "text_ids": enc["text_ids"],
+                "word_mask": enc["word_mask"],
+                "sent_mask": enc["sent_mask"],
+                **media,
+            })
+
+        sb = self.serve_batch_size or len(rows)
+        picks_l, scores_l = [], []
+        for i in range(0, len(rows), sb):
+            chunk = rows[i:i + sb]
+            n_real = len(chunk)
+            chunk = chunk + [chunk[-1]] * (sb - n_real)
+            raw = {k: jnp.asarray(np.stack([r[k] for r in chunk]))
+                   for k in chunk[0]}
+            p, s = self._decode_batch(raw, with_scores=True)
+            picks_l.append(p[:n_real])
+            scores_l.append(s[:n_real])
+        picks = np.concatenate(picks_l)
+        scores = np.concatenate(scores_l)
+        window_lens = [min(d.max_sentences, len(sentences) - st) for st in starts]
+        chosen = merge_window_picks(picks, scores, starts, window_lens, m.max_decode_steps)
+        return " ".join(sentences[g] for g in chosen)

@@ -89,3 +89,88 @@ def test_summarize_from_torch_state_dict(corpus_dirs):
     s = Summarizer.from_torch_state_dict(sd, w2i, cfg, vgg_spec=TINY_SPEC)
     out = s.summarize(dirs[0])
     assert isinstance(out, str) and len(out) > 0
+
+
+# --------------------------------------------------- long-video windowing
+
+def test_transcript_windows():
+    from mmbidaf_tpu.serving import transcript_windows
+
+    assert transcript_windows(5, 7, 3) == [0]          # fits one window
+    assert transcript_windows(7, 7, 3) == [0]
+    starts = transcript_windows(20, 7, 3)
+    assert starts[0] == 0 and starts[-1] == 13         # tail window covers end
+    # every sentence is inside at least one window
+    covered = set()
+    for s in starts:
+        covered.update(range(s, s + 7))
+    assert covered >= set(range(20))
+
+
+def test_merge_window_picks():
+    from mmbidaf_tpu.serving import merge_window_picks
+
+    # two windows (starts 0 and 3, window len 5/4): window 0 picks local
+    # 1, 4; window 1 picks local 1 (== global 4, duplicate, better score)
+    # and local 3 (== padded slot, dropped)
+    picks = np.array([[1, 4], [1, 3]])
+    scores = np.array([[-1.0, -5.0], [-2.0, -0.1]])
+    out = merge_window_picks(picks, scores, starts=[0, 3], window_lens=[5, 3], k=2)
+    assert out == [1, 4]
+    # k=1 keeps the single best-scoring global sentence
+    out = merge_window_picks(picks, scores, starts=[0, 3], window_lens=[5, 3], k=1)
+    assert out == [1]
+
+
+@pytest.fixture
+def long_video_dir(tmp_path, rng):
+    from PIL import Image
+
+    cfg = tiny_test_config()
+    d = cfg.data
+    n_samples = d.max_audio_frames * d.hop_length + d.win_length
+    vd = tmp_path / "longvid"
+    (vd / "frames").mkdir(parents=True)
+    for i in range(4):
+        arr = (rng.random((12, 16, 3)) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(vd / "frames" / f"f{i}.png")
+    sig = (rng.standard_normal(n_samples // 3) * 8000).astype(np.int16)
+    with wave_mod.open(str(vd / "audio.wav"), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(d.sample_rate)
+        w.writeframes(sig.tobytes())
+    # 20 sentences >> the max_sentences=7 bucket
+    sents = [f"Long video sentence {j} covers topic {j}." for j in range(20)]
+    (vd / "transcript.txt").write_text(" ".join(sents))
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, img_feat_dim=32,
+                                       audio_feat_dim=cfg.data.n_mfcc)
+    )
+    return str(vd), sents, cfg
+
+
+def test_summarize_long(long_video_dir):
+    vd, sents, cfg = long_video_dir
+    s = Summarizer.init_random(cfg, seed=0, vgg_spec=TINY_SPEC)
+    out = s.summarize_long(vd)
+    assert isinstance(out, str) and len(out) > 0
+    # assembled strictly from real transcript sentences, in transcript order
+    picked = [x.strip() + "." for x in out.split(".") if x.strip()]
+    assert all(p in sents for p in picked), picked
+    assert picked == sorted(picked, key=sents.index)
+    assert len(picked) <= cfg.model.max_decode_steps
+
+
+def test_summarize_long_static_batch_matches(long_video_dir):
+    """serve_batch_size chunking gives the same result as one dynamic batch."""
+    vd, _, cfg = long_video_dir
+    dyn = Summarizer.init_random(cfg, seed=0, vgg_spec=TINY_SPEC)
+    stat = Summarizer.init_random(cfg, seed=0, vgg_spec=TINY_SPEC, serve_batch_size=2)
+    assert dyn.summarize_long(vd) == stat.summarize_long(vd)
+
+
+def test_summarize_long_short_transcript_falls_back(corpus_dirs):
+    dirs, cfg = corpus_dirs
+    s = Summarizer.init_random(cfg, seed=0, vgg_spec=TINY_SPEC)
+    assert s.summarize_long(dirs[0]) == s.summarize(dirs[0])
