@@ -34,6 +34,10 @@ def main():
     ap.add_argument("--vgg", default="vgg16", choices=["vgg16", "tiny"])
     ap.add_argument("--config_json", default=None, help="full Config overlay")
     ap.add_argument("--print_summaries", action="store_true")
+    ap.add_argument("--long", action="store_true",
+                    help="windowed decode for transcripts beyond the "
+                         "max_sentences bucket (Summarizer.summarize_long); "
+                         "requires --data_dir")
     a = ap.parse_args()
 
     from mmbidaf_tpu.config import Config, config_from_json
@@ -115,6 +119,32 @@ def main():
             return {"picks": picks}
     else:
         eval_step = make_eval_step(cfg)
+
+    if a.long:
+        if corpus is None:
+            raise SystemExit("--long requires --data_dir")
+        # Windowed long-video decode: no truncation at max_sentences; each
+        # video's windows batch through one static-shape program.
+        from mmbidaf_tpu.serving import Summarizer
+
+        s = Summarizer(
+            state.ema_params, fe_params, w2i, cfg, vgg_spec,
+            mode=a.mode, topk=a.topk, serve_batch_size=a.batch_size,
+        )
+        agg = {"ROUGE-1": 0.0, "ROUGE-2": 0.0, "ROUGE-L": 0.0}
+        n_scored = 0
+        for i, vid in enumerate(corpus.video_ids):
+            summary = s.summarize_long(os.path.join(corpus.root, vid))
+            if a.print_summaries:
+                print(f"{vid}: {summary}")
+            _, gold = corpus.example_text(i)
+            if gold:
+                for k, v in rouge_scores(summary, gold).items():
+                    agg[k] += v
+                n_scored += 1
+        agg = {k: v / max(n_scored, 1) for k, v in agg.items()}
+        print({k: round(v, 4) for k, v in agg.items()}, f"({n_scored} videos scored)")
+        return
 
     if corpus is not None:
         # Real-corpus decode: every video once, sequential order; picks map

@@ -185,3 +185,35 @@ def test_bench_cli_quick_cpu():
     rec = json.loads(line)
     assert rec["metric"] == "videos_per_sec_per_chip"
     assert rec["value"] > 0 and rec["vs_baseline"] is not None
+
+
+@pytest.mark.slow
+def test_infer_cli_long_videos(tmp_path_factory):
+    """infer.py --long: transcripts beyond the max_sentences bucket decode
+    via windowed Summarizer.summarize_long; picks can land past the bucket."""
+    out = str(tmp_path_factory.mktemp("longcorpus"))
+    res = subprocess.run(
+        [sys.executable, "examples/make_synthetic_corpus.py", "--out", out,
+         "--videos", "2", "--sentences", "40", "--frames", "4", "--seconds", "1.2"],
+        cwd=REPO, env=_cpu_env(), capture_output=True, text=True, timeout=300,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    res = subprocess.run(
+        [
+            sys.executable, "infer.py",
+            "--data_dir", out, "--vgg", "tiny",
+            "--config_json", "examples/tiny_config.json",
+            "--batch_size", "2", "--long", "--print_summaries",
+        ],
+        cwd=REPO, env=_cpu_env(), capture_output=True, text=True, timeout=900,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "(2 videos scored)" in res.stdout
+    # every printed sentence is a real on-disk transcript sentence
+    with open(os.path.join(out, "video000", "transcript.txt")) as f:
+        transcript = f.read()
+    lines = [l for l in res.stdout.splitlines() if l.startswith("video000:")]
+    assert lines
+    for sent in lines[0].split(":", 1)[1].split("."):
+        if sent.strip():
+            assert sent.strip() + "." in transcript
