@@ -235,15 +235,28 @@ class Summarizer:
                     for i in range(len(video_dirs))]
         # Static-shape serving: chunk the request into full batches of sb
         # (tail padded by repeating the last video, sliced off after).
-        out: list[str] = []
+        # Host asset decode for chunk i+1 overlaps the device program for
+        # chunk i: JAX dispatch is async, so submitting the next _raw_batch
+        # before fetching picks keeps host PNG/WAV decode off the device's
+        # critical path.
+        from concurrent.futures import ThreadPoolExecutor
+
+        chunks = []
         for start in range(0, len(video_dirs), sb):
             chunk = list(video_dirs[start:start + sb])
             n_real = len(chunk)
-            chunk += [chunk[-1]] * (sb - n_real)
-            raw, sentences = self._raw_batch(chunk)
-            picks = self._decode_batch(raw)
-            out.extend(summary_from_picks(picks[i], sentences[i])
-                       for i in range(n_real))
+            chunks.append((chunk + [chunk[-1]] * (sb - n_real), n_real))
+
+        out: list[str] = []
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            pending = ex.submit(self._raw_batch, chunks[0][0])
+            for i, (_, n_real) in enumerate(chunks):
+                raw, sentences = pending.result()
+                if i + 1 < len(chunks):
+                    pending = ex.submit(self._raw_batch, chunks[i + 1][0])
+                picks = self._decode_batch(raw)
+                out.extend(summary_from_picks(picks[j], sentences[j])
+                           for j in range(n_real))
         return out
 
     def summarize(self, video_dir: str) -> str:
