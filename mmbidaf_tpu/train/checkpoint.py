@@ -46,6 +46,30 @@ def save(manager: ocp.CheckpointManager, state: TrainState, metrics: dict) -> No
     manager.wait_until_finished()
 
 
+def save_unranked(manager: ocp.CheckpointManager, state: TrainState) -> None:
+    """Save WITHOUT metrics: orbax's best-k retention only ranks checkpoints
+    that carry metrics (``keep_checkpoints_without_metrics`` defaults True),
+    so an unranked save survives eviction regardless of its quality — the
+    right semantics for preemption saves, which exist to resume from, not
+    to compete for best-k (verified empirically: a low-METRIC save at the
+    same point IS evicted immediately)."""
+    if manager.latest_step() == int(state.step):
+        return  # this step is already on disk (e.g. eval save just ran)
+    manager.save(
+        int(state.step),
+        args=ocp.args.StandardSave(
+            {
+                "step": state.step,
+                "params": state.params,
+                "opt_state": state.opt_state,
+                "ema_params": state.ema_params,
+                "rng": state.rng,
+            }
+        ),
+    )
+    manager.wait_until_finished()
+
+
 def restore_latest(manager: ocp.CheckpointManager, template: TrainState) -> TrainState | None:
     """Auto-resume: restore the newest checkpoint, or None if none exist."""
     step = manager.latest_step()

@@ -217,3 +217,48 @@ def test_infer_cli_long_videos(tmp_path_factory):
     for sent in lines[0].split(":", 1)[1].split("."):
         if sent.strip():
             assert sent.strip() + "." in transcript
+
+
+@pytest.mark.slow
+def test_train_cli_preemption_save_and_resume(tmp_path):
+    """SIGTERM mid-training → unranked checkpoint + clean exit; the next run
+    auto-resumes from the preemption step (SURVEY §6 failure recovery)."""
+    import signal
+    import time
+
+    args = [
+        sys.executable, "train.py",
+        "--hidden_size", "12", "--batch_size", "4", "--num_steps", "100000",
+        "--max_sentences", "6", "--max_words", "5", "--eval_steps", "100000",
+        "--optimizer", "adam", "--lr", "1e-3", "--drop_prob", "0.0",
+        "--save_dir", str(tmp_path),
+    ]
+    proc = subprocess.Popen(
+        args, cwd=REPO, env=_cpu_env(),
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+    )
+    # wait until training demonstrably progresses (first "step 50" log)
+    log = tmp_path / "mmbidaf" / "log.jsonl"
+    deadline = time.time() + 300
+    while time.time() < deadline:
+        if log.exists() and log.read_text().strip():
+            break
+        time.sleep(0.5)
+        assert proc.poll() is None, proc.stderr.read()[-2000:]
+    else:
+        proc.kill()
+        raise AssertionError("training never reached step 50")
+    proc.send_signal(signal.SIGTERM)
+    out, err = proc.communicate(timeout=300)
+    assert proc.returncode == 0, err[-2000:]
+    assert "preempted (signal 15): saved step" in out, out[-2000:]
+
+    # resume run picks up from the preemption step
+    res = subprocess.run(
+        args[:args.index("100000")] + ["5"] + args[args.index("100000") + 1:],
+        cwd=REPO, env=_cpu_env(), capture_output=True, text=True, timeout=600,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "resumed from step" in res.stdout
+    resumed = int(res.stdout.split("resumed from step")[1].split()[0])
+    assert resumed >= 50

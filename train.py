@@ -12,11 +12,22 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import os
+import signal
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+# Preemption handling (SURVEY.md §6 "Failure detection": the reference
+# restarts by hand from the last checkpoint; we save ON the way down).
+# SIGTERM/SIGINT set a flag; the train loop checkpoints and exits cleanly,
+# and the next run auto-resumes from that step.
+_PREEMPTED = {"sig": None}
+
+
+def _request_stop(signum, frame):
+    _PREEMPTED["sig"] = signum
 
 
 def parse_args():
@@ -300,8 +311,17 @@ def main():
     else:
         num_steps = 1000
 
+    signal.signal(signal.SIGTERM, _request_stop)
+    signal.signal(signal.SIGINT, _request_stop)
+
     pad_meter = AverageMeter()
     for _ in range(num_steps):
+        if _PREEMPTED["sig"] is not None:
+            ckpt.save_unranked(manager, state)
+            logger.close()
+            print(f"preempted (signal {_PREEMPTED['sig']}): saved step "
+                  f"{int(state.step)}; rerun with the same --save_dir to resume")
+            return
         nb = next(stream)
         # T_sent padding waste actually paid this step (bucketed shapes
         # shrink this — SURVEY §8 R3).
@@ -359,6 +379,10 @@ def main():
             print(f"step {step}: eval_loss {ev_loss:.4f} ROUGE-L {r_sum['ROUGE-L']:.3f}")
             ckpt.save(manager, state, {"loss": ev_loss, **r_sum})
 
+    if _PREEMPTED["sig"] is not None:
+        # signal landed during the final step: still leave a resume point
+        ckpt.save_unranked(manager, state)
+        print(f"preempted (signal {_PREEMPTED['sig']}): saved step {int(state.step)}")
     logger.close()
     print("done")
 
