@@ -90,6 +90,11 @@ class TrainConfig:
     decay_steps: int = 100_000    # horizon for cosine/exponential
     lr_min_ratio: float = 0.01    # floor as a fraction of peak lr
     max_grad_norm: float = 5.0
+    # >1: split each batch into this many microbatches inside the jitted
+    # step, summing unnormalized NLL grads and dividing by the total valid
+    # count once — exactly the full-batch gradient at ~1/accum the peak
+    # activation memory (batch_size must divide it).
+    grad_accum_steps: int = 1
     ema_decay: float = 0.999
     l2_wd: float = 0.0
     eval_steps: int = 500

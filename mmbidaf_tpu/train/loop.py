@@ -30,11 +30,22 @@ class TrainState:
     rng: jax.Array
 
 
-def nll_loss(log_probs: jax.Array, targets: jax.Array, target_mask: jax.Array) -> jax.Array:
-    """Mean per-step NLL against gold sentence indices (SURVEY §1)."""
+def nll_sum(
+    log_probs: jax.Array, targets: jax.Array, target_mask: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """Summed NLL + valid-step count (the unnormalized pieces — gradient
+    accumulation sums these across microbatches and divides once, which
+    keeps accumulated gradients EXACTLY equal to the full-batch gradient
+    even when microbatches carry unequal mask counts)."""
     gold_lp = jnp.take_along_axis(log_probs, targets[..., None], axis=-1)[..., 0]  # [B, K]
     target_mask = target_mask.astype(log_probs.dtype)
-    return -(gold_lp * target_mask).sum() / jnp.maximum(target_mask.sum(), 1.0)
+    return -(gold_lp * target_mask).sum(), target_mask.sum()
+
+
+def nll_loss(log_probs: jax.Array, targets: jax.Array, target_mask: jax.Array) -> jax.Array:
+    """Mean per-step NLL against gold sentence indices (SURVEY §1)."""
+    total, count = nll_sum(log_probs, targets, target_mask)
+    return total / jnp.maximum(count, 1.0)
 
 
 def _frozen_mask(params: Any) -> Any:
@@ -136,11 +147,49 @@ def make_train_step(cfg: Config, fe_params: Any = None, vgg_spec=None) -> Callab
         else:
             batch_f = batch
 
-        def loss_fn(params):
-            log_p = mmbidaf_apply(params, batch_f, cfg, rng=step_rng)
-            return nll_loss(log_p, batch_f["targets"], batch_f["target_mask"])
+        accum = cfg.train.grad_accum_steps
+        if accum == 1:
+            def loss_fn(params):
+                log_p = mmbidaf_apply(params, batch_f, cfg, rng=step_rng)
+                return nll_loss(log_p, batch_f["targets"], batch_f["target_mask"])
 
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        else:
+            # Gradient accumulation: scan over microbatches summing the
+            # UNNORMALIZED nll and its grads, divide by the total valid-step
+            # count once — bitwise the full-batch gradient semantics (modulo
+            # fp reassociation) even with ragged target masks. Peak
+            # activation memory shrinks by ~accum.
+            def sum_loss_fn(params, mb, rng):
+                log_p = mmbidaf_apply(params, mb, cfg, rng=rng)
+                total, count = nll_sum(log_p, mb["targets"], mb["target_mask"])
+                return total, count
+
+            mbs = jax.tree.map(
+                lambda a: a.reshape(accum, a.shape[0] // accum, *a.shape[1:]),
+                batch_f,
+            )
+            mb_rngs = jax.random.split(step_rng, accum)
+
+            def acc_body(carry, xs):
+                g_acc, l_acc, c_acc = carry
+                mb, rng_i = xs
+                (total, count), g = jax.value_and_grad(sum_loss_fn, has_aux=True)(
+                    state.params, mb, rng_i
+                )
+                return (
+                    jax.tree.map(jnp.add, g_acc, g),
+                    l_acc + total,
+                    c_acc + count,
+                ), None
+
+            g0 = jax.tree.map(jnp.zeros_like, state.params)
+            (grads, loss_sum, count_sum), _ = jax.lax.scan(
+                acc_body, (g0, jnp.zeros(()), jnp.zeros(())), (mbs, mb_rngs)
+            )
+            denom = jnp.maximum(count_sum, 1.0)
+            grads = jax.tree.map(lambda g: g / denom, grads)
+            loss = loss_sum / denom
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         # EMA with bias correction by step (starter variant, SURVEY §9).

@@ -146,3 +146,92 @@ def test_config_saved_with_checkpoints(tmp_path):
     ckpt.save_config(str(tmp_path), cfg)
     cfg2 = ckpt.load_config(str(tmp_path))
     assert cfg2 == cfg
+
+
+def test_grad_accumulation_matches_full_batch():
+    """grad_accum_steps=4 produces the same updated params and loss as the
+    single-pass step — exact full-batch gradient semantics, including with
+    ragged target masks (unequal valid counts per microbatch)."""
+    cfg, rng, state = _setup(seed=3)
+    batch = {k: jnp.asarray(v) for k, v in synthetic_batch(rng, cfg, batch_size=8).items()}
+    # make masks ragged ACROSS microbatch boundaries
+    tm = np.asarray(batch["target_mask"]).copy()
+    tm[0, 1:] = 0.0
+    tm[3, :] = 1.0
+    tm[5, 2:] = 0.0
+    batch["target_mask"] = jnp.asarray(tm)
+
+    cfg_acc = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, grad_accum_steps=4)
+    )
+    s1, m1 = make_train_step(cfg)(state, batch)
+    _, _, state2 = _setup(seed=3)
+    s2, m2 = make_train_step(cfg_acc)(state2, batch)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
+    np.testing.assert_allclose(
+        float(m1["grad_norm"]), float(m2["grad_norm"]), rtol=1e-5
+    )
+    # Post-adam params: microbatch vs full-batch forwards reassociate fp
+    # differently (different GEMM shapes), and adam's g/(sqrt(g^2)+eps)
+    # blows those ~1e-7 grad deltas up to O(lr) on near-zero-grad elements —
+    # so params are bounded by a fraction of lr (5e-3), while the gradient
+    # MATH itself is pinned tightly by the companion test below.
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=6e-4
+        ),
+        s1.params, s2.params,
+    )
+
+
+def test_grad_accumulation_gradient_math():
+    """The sum-unnormalized-then-divide recipe == the full-batch gradient
+    of the mean NLL, with ragged masks (tight tolerance: same forward
+    shapes, so only the accumulation order differs)."""
+    from mmbidaf_tpu.models.mmbidaf import mmbidaf_apply
+    from mmbidaf_tpu.train.loop import nll_sum
+
+    cfg, rng, state = _setup(seed=5)
+    batch = {k: jnp.asarray(v) for k, v in synthetic_batch(rng, cfg, batch_size=8).items()}
+    tm = np.asarray(batch["target_mask"]).copy()
+    tm[1, 1:] = 0.0
+    tm[6, 2:] = 0.0
+    batch["target_mask"] = jnp.asarray(tm)
+    accum = 4
+    params = state.params
+
+    def sum_fn(p, mb):
+        log_p = mmbidaf_apply(p, mb, cfg, rng=None)
+        return nll_sum(log_p, mb["targets"], mb["target_mask"])
+
+    # accumulate per-microbatch unnormalized grads, divide once
+    mbs = [
+        {k: v[i * 2:(i + 1) * 2] for k, v in batch.items()} for i in range(accum)
+    ]
+    g_acc = None
+    count = 0.0
+    for mb in mbs:
+        (_, c), g = jax.value_and_grad(sum_fn, has_aux=True)(params, mb)
+        count += float(c)
+        g_acc = g if g_acc is None else jax.tree.map(jnp.add, g_acc, g)
+    g_acc = jax.tree.map(lambda x: x / count, g_acc)
+
+    # full-batch mean-NLL gradient, identical microbatch forward shapes:
+    # sum of per-microbatch totals / total count
+    def full_fn(p):
+        total = 0.0
+        cnt = 0.0
+        for mb in mbs:
+            t, c = sum_fn(p, mb)
+            total = total + t
+            cnt = cnt + c
+        return total / cnt
+
+    g_full = jax.grad(full_fn)(params)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7
+        ),
+        g_acc, g_full,
+    )

@@ -58,6 +58,9 @@ def parse_args():
     ap.add_argument("--lr", type=float, default=0.5)
     ap.add_argument("--optimizer", default="adadelta", choices=["adadelta", "adam"])
     ap.add_argument("--max_grad_norm", type=float, default=5.0)
+    ap.add_argument("--grad_accum_steps", type=int, default=1,
+                    help=">1: microbatch gradient accumulation inside the "
+                         "jitted step (exact full-batch gradient semantics)")
     ap.add_argument("--ema_decay", type=float, default=0.999)
     ap.add_argument("--l2_wd", type=float, default=0.0)
     ap.add_argument("--eval_steps", type=int, default=200)
@@ -84,7 +87,8 @@ def parse_args():
 _MODEL_KEYS = ("hidden_size", "drop_prob", "max_decode_steps")
 _DATA_KEYS = ("max_sentences", "max_words")
 _TRAIN_KEYS = (
-    "batch_size", "lr", "optimizer", "max_grad_norm", "ema_decay", "l2_wd",
+    "batch_size", "lr", "optimizer", "max_grad_norm", "grad_accum_steps",
+    "ema_decay", "l2_wd",
     "eval_steps", "seed", "save_dir", "name", "max_checkpoints", "metric_name",
 )
 
@@ -131,6 +135,7 @@ def build_config(a, defaults):
             lr=a.lr,
             optimizer=a.optimizer,
             max_grad_norm=a.max_grad_norm,
+            grad_accum_steps=a.grad_accum_steps,
             ema_decay=a.ema_decay,
             l2_wd=a.l2_wd,
             eval_steps=a.eval_steps,
