@@ -165,6 +165,11 @@ def make_train_step(cfg: Config, fe_params: Any = None, vgg_spec=None) -> Callab
                 total, count = nll_sum(log_p, mb["targets"], mb["target_mask"])
                 return total, count
 
+            b_dim = jax.tree.leaves(batch_f)[0].shape[0]
+            if b_dim % accum:
+                raise ValueError(
+                    f"batch size {b_dim} must divide grad_accum_steps {accum}"
+                )
             mbs = jax.tree.map(
                 lambda a: a.reshape(accum, a.shape[0] // accum, *a.shape[1:]),
                 batch_f,
