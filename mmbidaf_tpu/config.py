@@ -93,7 +93,7 @@ class TrainConfig:
     # >1: split each batch into this many microbatches inside the jitted
     # step, summing unnormalized NLL grads and dividing by the total valid
     # count once — exactly the full-batch gradient at ~1/accum the peak
-    # activation memory (batch_size must divide it).
+    # activation memory (must divide batch_size).
     grad_accum_steps: int = 1
     ema_decay: float = 0.999
     l2_wd: float = 0.0

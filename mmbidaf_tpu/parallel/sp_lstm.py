@@ -60,8 +60,8 @@ def _local_scan(w_h, gates, mask, state):
 def make_sp_bilstm(mesh: Mesh, axis: str | None = None, microbatches: int | None = None):
     """Build a jitted ``(params, x [B,T,Din], mask [B,T]) → out [B,T,2h]``
     BiLSTM whose time axis lives sharded over ``axis``. ``params`` is a
-    `bilstm_init` pytree (replicated). ``T`` must divide the mesh axis;
-    the batch must divide ``microbatches`` (default ``min(D, B)``).
+    `bilstm_init` pytree (replicated). The mesh axis size must divide
+    ``T``, and ``microbatches`` (default ``min(D, B)``) must divide ``B``.
 
     Parity: identical outputs to ``ops.lstm.bilstm_apply`` (same masked
     scan, same torch output layout ``[fwd; bwd]``).
@@ -73,7 +73,7 @@ def make_sp_bilstm(mesh: Mesh, axis: str | None = None, microbatches: int | None
         d = jax.lax.axis_index(axis)
         B, Tc, _ = x.shape  # local chunk shapes
         M = microbatches or min(D, B)
-        assert B % M == 0, f"batch {B} must divide microbatches {M}"
+        assert B % M == 0, f"microbatches {M} must divide batch {B}"
         Bm = B // M
         h_dim = params["fwd"]["w_h"].shape[0]
         dtype = x.dtype

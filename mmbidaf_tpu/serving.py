@@ -95,6 +95,7 @@ class Summarizer:
         # size so XLA compiles ONE program instead of one per request size.
         self.serve_batch_size = serve_batch_size
         self._rng = jax.random.key(seed)
+        self._featurize = None  # lazy jitted frontend for summarize_long
         d = cfg.data
         self._num_audio_samples = d.max_audio_frames * d.hop_length + d.win_length
         if mode == "greedy":
@@ -219,11 +220,13 @@ class Summarizer:
         picks = np.asarray(picks)
         if not with_scores:
             return picks
-        # per-pick log-prob (beam mode broadcasts the sequence log-prob,
-        # which ranks whole windows — still a valid merge key)
-        scores = np.take_along_axis(
-            np.asarray(log_p), picks[:, :, None], axis=2
-        )[:, :, 0]
+        log_p = np.asarray(log_p)
+        if log_p.ndim == 1:
+            # beam mode returns the best beam's TOTAL sequence log-prob [B];
+            # broadcast it per pick — it ranks whole windows, a valid merge key
+            scores = np.broadcast_to(log_p[:, None], picks.shape)
+        else:
+            scores = np.take_along_axis(log_p, picks[:, :, None], axis=2)[:, :, 0]
         return picks, scores
 
     def summarize_batch(self, video_dirs: Sequence[str]) -> list[str]:
@@ -241,6 +244,8 @@ class Summarizer:
         # critical path.
         from concurrent.futures import ThreadPoolExecutor
 
+        if not video_dirs:
+            return []
         chunks = []
         for start in range(0, len(video_dirs), sb):
             chunk = list(video_dirs[start:start + sb])
@@ -277,29 +282,52 @@ class Summarizer:
         d, m = self.cfg.data, self.cfg.model
         assets = load_video_assets(video_dir, d.max_keyframes, self._num_audio_samples)
         sentences = sent_tokenize(assets["transcript"])
-        if len(sentences) <= d.max_sentences:
-            return self.summarize(video_dir)
-        stride = stride or max(d.max_sentences // 2, 1)
-        starts = transcript_windows(len(sentences), d.max_sentences, stride)
-
         media = {
             "frames": assets["frames"],
             "img_mask": assets["img_mask"],
             "waveform": assets["waveform"],
             "aud_mask": np.ones((d.max_audio_frames,), np.float32),
         }
-        rows = []
-        for start in starts:
-            enc = encode_sentences(
-                sentences[start:start + d.max_sentences],
-                self.word2idx, d.max_sentences, d.max_words,
-            )
-            rows.append({
+
+        def window_row(sents, media_row):
+            enc = encode_sentences(sents, self.word2idx, d.max_sentences, d.max_words)
+            return {
                 "text_ids": enc["text_ids"],
                 "word_mask": enc["word_mask"],
                 "sent_mask": enc["sent_mask"],
-                **media,
-            })
+                **media_row,
+            }
+
+        if len(sentences) <= d.max_sentences:
+            # short transcript: one "window" over the already-loaded assets
+            # (no second asset decode)
+            raw = {k: jnp.asarray(np.stack([v]))
+                   for k, v in window_row(sentences, media).items()}
+            picks = self._decode_batch(raw)
+            return summary_from_picks(picks[0], sentences)
+
+        # Featurize the media ONCE (batch-1 frontend) — every window shares
+        # the video's global visual/audio context, and shipping the 4096-d
+        # features per window instead of raw frames cuts the per-chunk H2D
+        # bytes ~30x (the relay link is slow — CLAUDE.md). apply_frontend
+        # passes feature batches through untouched.
+        if self._featurize is None:
+            from mmbidaf_tpu.data.frontend import apply_frontend
+
+            cfg, spec = self.cfg, self.vgg_spec
+            self._featurize = jax.jit(
+                lambda fe, raw: apply_frontend(fe, raw, cfg, spec)
+            )
+        feat = self._featurize(
+            self.fe_params,
+            {k: jnp.asarray(np.stack([v])) for k, v in media.items()},
+        )
+        media = {k: np.asarray(v)[0] for k, v in feat.items()}
+
+        stride = stride or max(d.max_sentences // 2, 1)
+        starts = transcript_windows(len(sentences), d.max_sentences, stride)
+        rows = [window_row(sentences[start:start + d.max_sentences], media)
+                for start in starts]
 
         sb = self.serve_batch_size or len(rows)
         picks_l, scores_l = [], []

@@ -139,16 +139,20 @@ def make_train_step(cfg: Config, fe_params: Any = None, vgg_spec=None) -> Callab
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch: Mapping[str, jax.Array]):
         rng, step_rng = jax.random.split(state.rng)
-        if fe_params is not None and ("frames" in batch or "waveform" in batch):
-            feat = apply_frontend(fe_params, batch, cfg, spec)
-            feat["targets"] = batch["targets"]
-            feat["target_mask"] = batch["target_mask"]
-            batch_f = feat
-        else:
-            batch_f = batch
+        raw_mode = fe_params is not None and ("frames" in batch or "waveform" in batch)
+
+        def featurize(b):
+            if not raw_mode:
+                return b
+            feat = apply_frontend(fe_params, b, cfg, spec)
+            feat["targets"] = b["targets"]
+            feat["target_mask"] = b["target_mask"]
+            return feat
 
         accum = cfg.train.grad_accum_steps
         if accum == 1:
+            batch_f = featurize(batch)
+
             def loss_fn(params):
                 log_p = mmbidaf_apply(params, batch_f, cfg, rng=step_rng)
                 return nll_loss(log_p, batch_f["targets"], batch_f["target_mask"])
@@ -158,21 +162,23 @@ def make_train_step(cfg: Config, fe_params: Any = None, vgg_spec=None) -> Callab
             # Gradient accumulation: scan over microbatches summing the
             # UNNORMALIZED nll and its grads, divide by the total valid-step
             # count once — bitwise the full-batch gradient semantics (modulo
-            # fp reassociation) even with ragged target masks. Peak
-            # activation memory shrinks by ~accum.
+            # fp reassociation) even with ragged target masks. The (frozen)
+            # frontend runs INSIDE each microbatch too, so the raw-video
+            # path's dominant VGG activations also shrink ~1/accum.
             def sum_loss_fn(params, mb, rng):
-                log_p = mmbidaf_apply(params, mb, cfg, rng=rng)
-                total, count = nll_sum(log_p, mb["targets"], mb["target_mask"])
+                mb_f = featurize(mb)
+                log_p = mmbidaf_apply(params, mb_f, cfg, rng=rng)
+                total, count = nll_sum(log_p, mb_f["targets"], mb_f["target_mask"])
                 return total, count
 
-            b_dim = jax.tree.leaves(batch_f)[0].shape[0]
+            b_dim = jax.tree.leaves(batch)[0].shape[0]
             if b_dim % accum:
                 raise ValueError(
-                    f"batch size {b_dim} must divide grad_accum_steps {accum}"
+                    f"grad_accum_steps {accum} must divide batch size {b_dim}"
                 )
             mbs = jax.tree.map(
                 lambda a: a.reshape(accum, a.shape[0] // accum, *a.shape[1:]),
-                batch_f,
+                batch,
             )
             mb_rngs = jax.random.split(step_rng, accum)
 

@@ -174,3 +174,24 @@ def test_summarize_long_short_transcript_falls_back(corpus_dirs):
     dirs, cfg = corpus_dirs
     s = Summarizer.init_random(cfg, seed=0, vgg_spec=TINY_SPEC)
     assert s.summarize_long(dirs[0]) == s.summarize(dirs[0])
+
+
+def test_summarize_long_beam_mode(long_video_dir):
+    """Beam decode returns a 1-D sequence log-prob; summarize_long must
+    broadcast it as the window merge key instead of crashing."""
+    vd, sents, cfg = long_video_dir
+    s = Summarizer.init_random(cfg, seed=0, vgg_spec=TINY_SPEC, mode="beam", topk=2)
+    out = s.summarize_long(vd)
+    assert isinstance(out, str) and len(out) > 0
+    picked = [x.strip() + "." for x in out.split(".") if x.strip()]
+    assert all(p in sents for p in picked), picked
+
+
+def test_summarize_batch_empty_request():
+    cfg = tiny_test_config()
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, img_feat_dim=32,
+                                       audio_feat_dim=cfg.data.n_mfcc)
+    )
+    s = Summarizer.init_random(cfg, seed=0, vgg_spec=TINY_SPEC, serve_batch_size=2)
+    assert s.summarize_batch([]) == []

@@ -235,3 +235,52 @@ def test_grad_accumulation_gradient_math():
         ),
         g_acc, g_full,
     )
+
+
+def test_grad_accumulation_raw_frontend_path():
+    """With raw frames/waveform batches the frozen frontend runs INSIDE each
+    microbatch (that's where the VGG activation memory is); accumulated step
+    equals the single-pass raw step."""
+    from mmbidaf_tpu.data.frontend import frontend_init
+    from mmbidaf_tpu.ops.vgg import TINY_SPEC
+
+    cfg, rng, _ = _setup(seed=7)
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, img_feat_dim=32,
+                                       audio_feat_dim=cfg.data.n_mfcc)
+    )
+    d = cfg.data
+    B = 4
+    wv = random_word_vectors(rng, d.vocab_size, cfg.model.emb_dim)
+    params = mmbidaf_init(jax.random.key(7), cfg, jnp.asarray(wv))
+    state1 = init_train_state(jax.random.key(8), params, cfg)
+    # fresh buffers: train_step donates its state, which would delete
+    # params shared with state1
+    state2 = init_train_state(jax.random.key(8), jax.tree.map(jnp.copy, params), cfg)
+    fe = frontend_init(jax.random.key(9), cfg, vgg_spec=TINY_SPEC)
+
+    feat = synthetic_batch(rng, cfg, batch_size=B)
+    n_samples = d.max_audio_frames * d.hop_length + d.win_length
+    raw = {
+        "text_ids": feat["text_ids"], "word_mask": feat["word_mask"],
+        "sent_mask": feat["sent_mask"],
+        "frames": rng.random((B, d.max_keyframes, 24, 20, 3)).astype(np.float32),
+        "img_mask": feat["img_mask"],
+        "waveform": rng.standard_normal((B, n_samples)).astype(np.float32),
+        "aud_mask": np.ones((B, d.max_audio_frames), np.float32),
+        "targets": feat["targets"], "target_mask": feat["target_mask"],
+    }
+    raw = {k: jnp.asarray(v) for k, v in raw.items()}
+
+    cfg_acc = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, grad_accum_steps=2)
+    )
+    s1, m1 = make_train_step(cfg, fe_params=fe, vgg_spec=TINY_SPEC)(state1, raw)
+    s2, m2 = make_train_step(cfg_acc, fe_params=fe, vgg_spec=TINY_SPEC)(state2, raw)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=6e-4
+        ),
+        s1.params, s2.params,
+    )

@@ -41,6 +41,21 @@ SUB_EXTS = (".srt", ".vtt")
 VIDEO_EXTS = (".mp4", ".mkv", ".webm", ".avi", ".mov")
 
 
+def _video_duration(path: str) -> float | None:
+    """Container duration in seconds via ffprobe, or None."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["ffprobe", "-v", "error", "-show_entries", "format=duration",
+             "-of", "default=noprint_wrappers=1:nokey=1", path],
+            capture_output=True, text=True, timeout=30,
+        )
+        return float(out.stdout.strip()) if out.returncode == 0 else None
+    except (OSError, ValueError, subprocess.TimeoutExpired):
+        return None
+
+
 def _find(stem: str, root: str | None, exts: tuple[str, ...]) -> str | None:
     if not root or not os.path.isdir(root):
         return None
@@ -96,10 +111,24 @@ def import_video(
     if not cues:
         print(f"skip {vid}: no cues parsed from {sub_path}", file=sys.stderr)
         return False
+    video_path = _find(vid, args.videos, VIDEO_EXTS)
     if fps is None:
-        # TVSum tsv rows carry no fps; derive it from the annotation length
-        # over the subtitle span (≈ video duration), unless --fps overrides.
-        fps = args.fps or frame_scores.size / max(cues[-1][1], 1.0)
+        # TVSum tsv rows carry no fps. Best source: the video container's
+        # duration (captions often stop before the video ends — deriving
+        # from the last cue would then skew every cue→frame alignment).
+        fps = args.fps or None
+        if fps is None and video_path is not None:
+            dur = _video_duration(video_path)
+            if dur and dur > 1.0:
+                fps = frame_scores.size / dur
+        if fps is None:
+            fps = frame_scores.size / max(cues[-1][1], 1.0)
+            print(f"{vid}: fps derived from the subtitle span "
+                  f"({fps:.1f}); pass --fps or --videos for exact alignment",
+                  file=sys.stderr)
+    if not (1.0 <= fps <= 240.0):
+        print(f"warning: {vid}: implausible fps {fps:.2f} — check the "
+              f"annotation/video pairing", file=sys.stderr)
 
     vdir = os.path.join(args.out, vid)
     os.makedirs(vdir, exist_ok=True)
@@ -112,7 +141,6 @@ def import_video(
         f.write(summary)
     np.save(os.path.join(vdir, "importance.npy"), frame_scores)
 
-    video_path = _find(vid, args.videos, VIDEO_EXTS)
     if video_path is not None:
         _extract_media(video_path, vdir, args)
     return True
