@@ -35,6 +35,8 @@ __all__ = [
     "cue_importance",
     "select_summary_cues",
     "summary_from_importance",
+    "sentence_spans",
+    "keyshot_f1",
 ]
 
 
@@ -178,3 +180,112 @@ def summary_from_importance(
     scores = cue_importance(cues, frame_scores, fps)
     picked = select_summary_cues(cues, scores, budget_frac)
     return " ".join(cues[i][2] for i in picked)
+
+
+# ------------------------------------------------------------------------
+# Keyshot evaluation — the benchmarks' native metric: F1 between the
+# frames covered by the predicted summary and the top-importance frames
+# within the duration budget (TVSum/SumMe protocol, adapted to the
+# sentence-extractive setting: selected SENTENCES map back to time spans
+# through the subtitle cues they came from).
+# ------------------------------------------------------------------------
+
+
+def sentence_spans(
+    sentences: list[str],
+    cues: list[tuple[float, float, str]],
+) -> list[tuple[float, float]]:
+    """Time span of each sentence: the transcript is the cues' bodies
+    joined in order, and sentence splitting re-segments that same string —
+    so each sentence's character range maps onto the cue(s) it overlaps.
+
+    Robust to whitespace-normalization differences (both sides are matched
+    on their whitespace-stripped character streams). Sentences that cannot
+    be located (e.g. truncated transcripts) get the whole-video span so
+    they neither help nor hurt a keyshot score.
+    """
+    def squash(s: str) -> str:
+        return "".join(s.split())
+
+    stream = ""
+    cue_char_end: list[tuple[int, float, float]] = []  # (end_offset, start_s, end_s)
+    for start, end, body in cues:
+        stream += squash(body)
+        cue_char_end.append((len(stream), start, end))
+    total_span = (cues[0][0], cues[-1][1]) if cues else (0.0, 0.0)
+
+    spans: list[tuple[float, float]] = []
+    pos = 0
+    for sent in sentences:
+        key = squash(sent)
+        idx = stream.find(key, pos)
+        if idx < 0:
+            idx = stream.find(key)  # out-of-order fallback
+        if idx < 0 or not key:
+            spans.append(total_span)
+            continue
+        lo_char, hi_char = idx, idx + len(key)
+        pos = hi_char
+        s_time, e_time = None, None
+        prev_end = 0
+        for c_end, c_s, c_e in cue_char_end:
+            if c_end > lo_char and prev_end < hi_char:  # cue overlaps sentence
+                s_time = c_s if s_time is None else min(s_time, c_s)
+                e_time = c_e if e_time is None else max(e_time, c_e)
+            prev_end = c_end
+            if prev_end >= hi_char:
+                break
+        spans.append((s_time, e_time) if s_time is not None else total_span)
+    return spans
+
+
+def keyshot_f1(
+    pred_spans: list[tuple[float, float]],
+    frame_scores: np.ndarray,
+    fps: float,
+    budget_frac: float = 0.15,
+) -> float:
+    """F1 between the frames inside ``pred_spans`` and the ground-truth
+    keyshot frames (the top-``budget_frac`` of frames by importance)."""
+    frame_scores = np.asarray(frame_scores, np.float32)
+    n = frame_scores.size
+    if n == 0:
+        return 0.0
+    k = max(int(round(budget_frac * n)), 1)
+    gt = np.zeros(n, bool)
+    gt[np.argsort(-frame_scores, kind="stable")[:k]] = True
+
+    pred = np.zeros(n, bool)
+    for start, end in pred_spans:
+        lo = min(max(int(start * fps), 0), n)
+        hi = min(max(int(np.ceil(end * fps)), lo), n)
+        pred[lo:hi] = True
+
+    inter = float((pred & gt).sum())
+    if inter == 0:
+        return 0.0
+    p = inter / pred.sum()
+    r = inter / gt.sum()
+    return float(2 * p * r / (p + r))
+
+
+def keyshot_from_files(
+    video_dir: str,
+    picked_sentences: list[str],
+    budget_frac: float = 0.15,
+) -> float | None:
+    """Keyshot F1 for a decoded video, when the corpus dir carries the
+    benchmark annotations ``importance.npy`` + ``cues.json`` (written by
+    tools/import_benchmark.py); None otherwise."""
+    import json
+    import os
+
+    imp_path = os.path.join(video_dir, "importance.npy")
+    cue_path = os.path.join(video_dir, "cues.json")
+    if not (os.path.isfile(imp_path) and os.path.isfile(cue_path)):
+        return None
+    with open(cue_path) as f:
+        meta = json.load(f)
+    cues = [(float(s), float(e), t) for s, e, t in meta["cues"]]
+    spans = sentence_spans(picked_sentences, cues)
+    return keyshot_f1(spans, np.load(imp_path), float(meta["fps"]), budget_frac)

@@ -172,6 +172,10 @@ def test_import_benchmark_cli_tvsum(tmp_path):
     assert "dull stretch" not in summary
     assert "Low importance opening" in transcript
     np.testing.assert_allclose(np.load(vdir / "importance.npy")[4:8], 5.0)
+    # cue spans persisted for keyshot-F1 eval
+    import json
+    meta = json.loads((vdir / "cues.json").read_text())
+    assert meta["fps"] == pytest.approx(2.0) and len(meta["cues"]) == 3
 
     # the emitted layout loads as a (media-less) training corpus
     from mmbidaf_tpu.config import tiny_test_config
@@ -211,3 +215,57 @@ def test_import_benchmark_cli_summe(tmp_path):
     assert r.returncode == 0, r.stderr
     summary = (out / "Cooking" / "summary.txt").read_text()
     assert "key highlight moment" in summary
+
+
+# ---------------------------------------------------------- keyshot metric
+
+def test_sentence_spans_maps_through_cues():
+    cues = [
+        (0.0, 2.0, "Hello there everyone."),
+        (2.0, 4.0, "Today we study"),
+        (4.0, 6.0, "attention mechanisms."),   # sentence spans two cues
+        (6.0, 8.0, "Goodbye."),
+    ]
+    sentences = ["Hello there everyone.", "Today we study attention mechanisms.",
+                 "Goodbye."]
+    spans = benchmarks.sentence_spans(sentences, cues)
+    assert spans[0] == (0.0, 2.0)
+    assert spans[1] == (2.0, 6.0)   # merged across its two source cues
+    assert spans[2] == (6.0, 8.0)
+    # unlocatable sentence falls back to the whole-video span
+    spans = benchmarks.sentence_spans(["Never said this."], cues)
+    assert spans == [(0.0, 8.0)]
+
+
+def test_keyshot_f1():
+    # 20 frames @ 2 fps; top-15% (3 frames) are frames 8..10
+    scores = np.ones(20, np.float32)
+    scores[8:11] = 5.0
+    fps = 2.0
+    # prediction covering exactly seconds 4..5.5 → frames 8..10: perfect
+    assert benchmarks.keyshot_f1([(4.0, 5.5)], scores, fps) == 1.0
+    # disjoint prediction → 0
+    assert benchmarks.keyshot_f1([(0.0, 1.0)], scores, fps) == 0.0
+    # half-overlapping prediction → between
+    f1 = benchmarks.keyshot_f1([(4.0, 7.0)], scores, fps)
+    assert 0.0 < f1 < 1.0
+    assert benchmarks.keyshot_f1([], np.zeros(0), fps) == 0.0
+
+
+def test_keyshot_from_files(tmp_path):
+    vdir = tmp_path / "vid"
+    vdir.mkdir()
+    scores = np.ones(12, np.float32)
+    scores[4:8] = 5.0
+    np.save(vdir / "importance.npy", scores)
+    import json
+    cues = [[0.0, 2.0, "Low importance opening."],
+            [2.0, 4.0, "The key highlight moment."],
+            [4.0, 6.0, "Another dull stretch."]]
+    (vdir / "cues.json").write_text(json.dumps({"fps": 2.0, "cues": cues}))
+    # picking the highlight sentence covers exactly the top frames
+    f1 = benchmarks.keyshot_from_files(str(vdir), ["The key highlight moment."],
+                                       budget_frac=4 / 12)
+    assert f1 == 1.0
+    # annotations absent → None
+    assert benchmarks.keyshot_from_files(str(tmp_path), ["x"]) is None

@@ -27,6 +27,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import sys
 
@@ -140,6 +141,10 @@ def import_video(
     with open(os.path.join(vdir, "summary.txt"), "w") as f:
         f.write(summary)
     np.save(os.path.join(vdir, "importance.npy"), frame_scores)
+    # cue spans + fps let eval map selected sentences back to time spans
+    # for keyshot-F1 (the benchmarks' native metric — data/benchmarks.py)
+    with open(os.path.join(vdir, "cues.json"), "w") as f:
+        json.dump({"fps": fps, "cues": cues}, f)
 
     if video_path is not None:
         _extract_media(video_path, vdir, args)
