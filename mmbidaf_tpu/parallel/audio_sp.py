@@ -32,10 +32,17 @@ def make_sp_audio_frontend(
     num_frames: int,
     feature: str = "mfcc",
     axis: str | None = None,
+    gather: bool = True,
 ):
     """Build a jitted ``[B, N] waveform → [B, num_frames, n_feat]`` frontend
     whose frame axis is computed shard-parallel over ``axis`` (default: the
-    mesh's last axis) and gathered at the end.
+    mesh's last axis).
+
+    ``gather=True`` all-gathers the features at the stage boundary (for the
+    replicated-activation model). ``gather=False`` leaves them FRAME-SHARDED
+    — feeding a sequence-parallel BiLSTM (`sp_lstm.py`) and ring attention
+    without ever materializing the long axis on one device; MFCC's
+    per-example global dB reference becomes a ``pmax`` over the mesh axis.
     """
     axis = axis or mesh.axis_names[-1]
     n_dev = mesh.shape[axis]
@@ -46,12 +53,10 @@ def make_sp_audio_frontend(
     if feature not in ("mfcc", "logmel"):
         raise ValueError(f"unknown feature {feature!r}")
 
-    def shard_body(signal: jax.Array) -> jax.Array:
+    def local_mel(signal: jax.Array) -> jax.Array:
         # signal arrives replicated: [B, N]; each device computes its slab.
-        # Only the linear stages (frame, window-DFT, mel) shard — MFCC's
-        # power_to_db normalizes by a per-example GLOBAL max, so the dB/DCT
-        # tail runs after the gather (it is tiny: pointwise + [n_mels,
-        # n_mfcc] GEMM).
+        # Frames at slab boundaries need win-hop samples of lookahead; the
+        # halo is a local slice of the replicated waveform.
         idx = jax.lax.axis_index(axis)
         start = idx * frames_per_dev * hop_length
         slab_len = (frames_per_dev - 1) * hop_length + win_length
@@ -59,21 +64,42 @@ def make_sp_audio_frontend(
         frames = frame_signal(slab, win_length, hop_length, frames_per_dev)
         return melspectrogram(frames, consts)  # [B, frames_per_dev, n_mels]
 
-    sharded = shard_map(
-        shard_body,
-        mesh=mesh,
-        in_specs=P(),            # waveform replicated
-        out_specs=P(None, axis),  # frame axis sharded over the mesh
-        check_rep=False,
-    )
+    if gather:
+        sharded = shard_map(
+            local_mel,
+            mesh=mesh,
+            in_specs=P(),            # waveform replicated
+            out_specs=P(None, axis),  # frame axis sharded over the mesh
+            check_rep=False,
+        )
 
-    @jax.jit
-    def frontend(signal: jax.Array) -> jax.Array:
-        mel = sharded(signal)
-        # Gather the frame axis for the (replicated-activation) model.
-        mel = jax.lax.with_sharding_constraint(mel, NamedSharding(mesh, P()))
+        @jax.jit
+        def frontend(signal: jax.Array) -> jax.Array:
+            mel = sharded(signal)
+            # Gather the frame axis for the (replicated-activation) model;
+            # MFCC's dB/DCT tail runs after the gather (it is tiny).
+            mel = jax.lax.with_sharding_constraint(mel, NamedSharding(mesh, P()))
+            if feature == "logmel":
+                return jnp.log(mel + 1e-6)
+            return power_to_db(mel) @ consts["dct"]
+
+        return frontend
+
+    def local_features(signal: jax.Array) -> jax.Array:
+        mel = local_mel(signal)
         if feature == "logmel":
             return jnp.log(mel + 1e-6)
-        return power_to_db(mel) @ consts["dct"]
+        # power_to_db with the per-example GLOBAL max: local max + pmax.
+        log_spec = 10.0 * jnp.log10(jnp.maximum(mel, 1e-10))
+        ref = jnp.max(log_spec, axis=(-2, -1), keepdims=True)
+        ref = jax.lax.pmax(ref, axis)
+        return jnp.maximum(log_spec - ref, -80.0) @ consts["dct"]
 
-    return frontend
+    sharded_full = shard_map(
+        local_features,
+        mesh=mesh,
+        in_specs=P(),
+        out_specs=P(None, axis),
+        check_rep=False,
+    )
+    return jax.jit(sharded_full)
