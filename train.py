@@ -319,8 +319,15 @@ def main():
     signal.signal(signal.SIGTERM, _request_stop)
     signal.signal(signal.SIGINT, _request_stop)
 
+    try:
+        from tqdm import trange
+        step_iter = trange(num_steps, desc="train", unit="step",
+                           disable=not os.isatty(1))
+    except ImportError:  # tqdm is a nicety, not a dependency
+        step_iter = range(num_steps)
+
     pad_meter = AverageMeter()
-    for _ in range(num_steps):
+    for _ in step_iter:
         if _PREEMPTED["sig"] is not None:
             ckpt.save_unranked(manager, state)
             logger.close()
