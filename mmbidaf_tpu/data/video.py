@@ -65,15 +65,27 @@ def sample_keyframes_shot_change(
 
 
 def load_image_dir(path: str) -> np.ndarray:
-    """Directory of image files (sorted) → ``[T, H, W, 3] uint8``."""
-    from PIL import Image
+    """Directory of image files (sorted) → ``[T, H, W, 3] uint8``.
 
+    All-PNG directories decode through the C++ thread pool
+    (`native.png_decode_batch`, off the GIL); anything else via PIL.
+    """
     names = sorted(
         f for f in os.listdir(path)
         if f.lower().endswith((".png", ".jpg", ".jpeg", ".ppm", ".bmp"))
     )
     if not names:
         raise FileNotFoundError(f"no images in {path}")
+    if all(n.lower().endswith(".png") for n in names):
+        from mmbidaf_tpu.native import png_decode_batch
+
+        blobs = []
+        for n in names:
+            with open(os.path.join(path, n), "rb") as f:
+                blobs.append(f.read())
+        return np.stack(png_decode_batch(blobs)).astype(np.uint8)
+    from PIL import Image
+
     frames = [np.asarray(Image.open(os.path.join(path, n)).convert("RGB")) for n in names]
     return np.stack(frames).astype(np.uint8)
 

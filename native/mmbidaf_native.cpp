@@ -15,6 +15,13 @@
 #include <thread>
 #include <vector>
 
+#if defined(__has_include)
+#if __has_include(<png.h>)
+#include <png.h>
+#define MMB_HAVE_PNG 1
+#endif
+#endif
+
 extern "C" {
 
 // ---------------------------------------------------------------------------
@@ -189,6 +196,133 @@ void mmb_sample_keyframes(const uint8_t** videos, const long* num_frames,
   for (auto& th : threads) th.join();
 }
 
-int mmb_version() { return 1; }
+// ---------------------------------------------------------------------------
+// PNG decode (libpng, in-memory) → RGB8 [H, W, 3]. Palette/gray/16-bit/alpha
+// inputs are normalized to 8-bit RGB. Returns bytes written, -1 on error,
+// -2 when built without libpng. The batch variant decodes with a thread
+// pool off the GIL (keyframe dirs are the serving host-decode hot path).
+// ---------------------------------------------------------------------------
+#ifdef MMB_HAVE_PNG
+
+namespace {
+struct MemCursor {
+  const uint8_t* data;
+  long size;
+  long pos;
+};
+
+void mem_read(png_structp p, png_bytep out, png_size_t count) {
+  MemCursor* c = (MemCursor*)png_get_io_ptr(p);
+  if (c->pos + (long)count > c->size) {
+    png_error(p, "unexpected end of PNG stream");
+    return;
+  }
+  std::memcpy(out, c->data + c->pos, count);
+  c->pos += (long)count;
+}
+
+// Open + normalize-to-RGB8; on success the caller must destroy the structs.
+int png_open_rgb8(const uint8_t* data, long n, png_structp* png_out,
+                  png_infop* info_out, png_uint_32* w, png_uint_32* h,
+                  MemCursor* cur) {
+  if (n < 8 || png_sig_cmp((png_const_bytep)data, 0, 8)) return -1;
+  png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr,
+                                           nullptr, nullptr);
+  if (!png) return -1;
+  png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_read_struct(&png, nullptr, nullptr);
+    return -1;
+  }
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return -1;
+  }
+  cur->data = data;
+  cur->size = n;
+  cur->pos = 0;
+  png_set_read_fn(png, cur, mem_read);
+  png_read_info(png, info);
+  int bit_depth = png_get_bit_depth(png, info);
+  int color_type = png_get_color_type(png, info);
+  if (bit_depth == 16) png_set_strip_16(png);
+  if (color_type == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
+  if (color_type == PNG_COLOR_TYPE_GRAY && bit_depth < 8)
+    png_set_expand_gray_1_2_4_to_8(png);
+  if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
+  if (color_type == PNG_COLOR_TYPE_GRAY ||
+      color_type == PNG_COLOR_TYPE_GRAY_ALPHA)
+    png_set_gray_to_rgb(png);
+  png_set_strip_alpha(png);
+  png_read_update_info(png, info);
+  *w = png_get_image_width(png, info);
+  *h = png_get_image_height(png, info);
+  *png_out = png;
+  *info_out = info;
+  return 0;
+}
+}  // namespace
+
+int mmb_png_header(const uint8_t* data, long n, long* width, long* height) {
+  png_structp png;
+  png_infop info;
+  png_uint_32 w, h;
+  MemCursor cur;
+  if (png_open_rgb8(data, n, &png, &info, &w, &h, &cur) != 0) return -1;
+  *width = (long)w;
+  *height = (long)h;
+  png_destroy_read_struct(&png, &info, nullptr);
+  return 0;
+}
+
+long mmb_png_decode(const uint8_t* data, long n, uint8_t* out, long out_cap) {
+  png_structp png;
+  png_infop info;
+  png_uint_32 w, h;
+  MemCursor cur;
+  if (png_open_rgb8(data, n, &png, &info, &w, &h, &cur) != 0) return -1;
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return -1;
+  }
+  long rowbytes = (long)png_get_rowbytes(png, info);
+  if (rowbytes != (long)w * 3 || (long)h * rowbytes > out_cap) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return -1;
+  }
+  std::vector<png_bytep> rows(h);
+  for (png_uint_32 i = 0; i < h; ++i) rows[i] = out + (long)i * rowbytes;
+  png_read_image(png, rows.data());
+  png_destroy_read_struct(&png, &info, nullptr);
+  return (long)h * rowbytes;
+}
+
+void mmb_png_decode_batch(const uint8_t** datas, const long* lens, long batch,
+                          uint8_t** outs, const long* caps, long* written,
+                          int num_threads) {
+  if (num_threads < 1) num_threads = 1;
+  std::atomic<long> next(0);
+  auto worker = [&]() {
+    long i;
+    while ((i = next.fetch_add(1)) < batch)
+      written[i] = mmb_png_decode(datas[i], lens[i], outs[i], caps[i]);
+  };
+  std::vector<std::thread> threads;
+  for (int t = 0; t < num_threads; ++t) threads.emplace_back(worker);
+  for (auto& th : threads) th.join();
+}
+
+#else  // !MMB_HAVE_PNG — keep the ABI; loader falls back to PIL.
+
+int mmb_png_header(const uint8_t*, long, long*, long*) { return -2; }
+long mmb_png_decode(const uint8_t*, long, uint8_t*, long) { return -2; }
+void mmb_png_decode_batch(const uint8_t**, const long*, long batch, uint8_t**,
+                          const long*, long* written, int) {
+  for (long i = 0; i < batch; ++i) written[i] = -2;
+}
+
+#endif  // MMB_HAVE_PNG
+
+int mmb_version() { return 2; }
 
 }  // extern "C"

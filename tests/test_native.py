@@ -74,3 +74,86 @@ def test_sample_keyframes_batch_matches_python(rng):
         ref, ref_mask = sample_keyframes(v, 5)
         np.testing.assert_array_equal(out[b], ref)
         np.testing.assert_array_equal(mask[b], ref_mask)
+
+
+def _png_bytes(img) -> bytes:
+    import io
+
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def test_png_decode_variants(rng):
+    """Native libpng decode == PIL for RGB/gray/palette/alpha/16-bit PNGs."""
+    import io
+
+    from PIL import Image
+
+    from mmbidaf_tpu.native import png_decode
+
+    rgb = Image.fromarray((rng.random((21, 17, 3)) * 255).astype(np.uint8))
+    gray = rgb.convert("L")
+    pal = rgb.convert("P", palette=Image.ADAPTIVE, colors=16)
+    rgba = rgb.convert("RGBA")
+    for img in (rgb, gray, pal, rgba):
+        data = _png_bytes(img)
+        got = png_decode(data)
+        want = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+        assert got.shape == want.shape
+        np.testing.assert_array_equal(got, want, err_msg=img.mode)
+
+    # 16-bit: libpng strip_16 (>>8) is the correct scaling; PIL's
+    # convert("RGB") from I;16 CLAMPS at 255 instead, so compare against
+    # the raw pixels, not PIL.
+    raw16 = (rng.random((9, 11)) * 65535).astype(np.uint16)
+    i16 = Image.fromarray(raw16)  # uint16 → mode I;16
+    got = png_decode(_png_bytes(i16))
+    want = np.repeat((raw16 >> 8).astype(np.uint8)[:, :, None], 3, axis=2)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_png_decode_batch_threaded(rng):
+    from PIL import Image
+
+    from mmbidaf_tpu.native import png_decode, png_decode_batch
+
+    blobs = [
+        _png_bytes(Image.fromarray((rng.random((8 + i, 12, 3)) * 255).astype(np.uint8)))
+        for i in range(6)
+    ]
+    outs = png_decode_batch(blobs, num_threads=3)
+    assert len(outs) == 6
+    for i, (o, b) in enumerate(zip(outs, blobs)):
+        assert o.shape == (8 + i, 12, 3)
+        np.testing.assert_array_equal(o, png_decode(b))
+
+
+def test_png_decode_malformed_falls_back():
+    import pytest
+
+    from mmbidaf_tpu.native import png_decode, png_decode_batch
+
+    with pytest.raises(Exception):
+        png_decode(b"not a png at all")  # PIL fallback raises too
+    # batch: a bad blob falls back per-image and raises there
+    with pytest.raises(Exception):
+        png_decode_batch([b"also not a png"])
+
+
+def test_load_image_dir_uses_native_png(tmp_path, rng):
+    from PIL import Image
+
+    from mmbidaf_tpu.data.video import load_image_dir
+
+    for i in range(4):
+        arr = (rng.random((10, 14, 3)) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(tmp_path / f"f{i:03d}.png")
+    frames = load_image_dir(str(tmp_path))
+    assert frames.shape == (4, 10, 14, 3)
+    # parity with the PIL path
+    want = np.stack([
+        np.asarray(Image.open(tmp_path / f"f{i:03d}.png").convert("RGB"))
+        for i in range(4)
+    ])
+    np.testing.assert_array_equal(frames, want)
