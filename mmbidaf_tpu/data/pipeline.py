@@ -146,13 +146,18 @@ def batched_iterator(
     seed: int = 0,
     shuffle: bool = True,
     drop_remainder: bool = True,
+    skip: int = 0,
 ) -> Iterator[dict[str, np.ndarray]]:
     """Epoch-less batched stream (repeats forever, reshuffling per epoch).
 
     The last short batch is padded by wrapping (XLA static batch shapes).
+    ``skip`` fast-forwards that many batches WITHOUT touching the corpus
+    (index arithmetic only) — deterministic data-order resume after
+    preemption: ``skip=k`` yields exactly what batch k+1 onward would be.
     """
     rng = np.random.default_rng(seed)
     n = len(corpus)
+    skipped = 0
     while True:
         order = rng.permutation(n) if shuffle else np.arange(n)
         for start in range(0, n, batch_size):
@@ -161,6 +166,9 @@ def batched_iterator(
                 if drop_remainder and n >= batch_size:
                     continue
                 idxs = np.concatenate([idxs, order[: batch_size - len(idxs)]])
+            if skipped < skip:
+                skipped += 1
+                continue
             yield collate([corpus[int(i)] for i in idxs])
 
 
@@ -178,6 +186,7 @@ def bucketed_iterator(
     buckets: Sequence[int],
     seed: int = 0,
     shuffle: bool = True,
+    skip: int = 0,
 ) -> Iterator[dict[str, np.ndarray]]:
     """Bucketed-shape batched stream (SURVEY.md §8 ground rules / risk R3).
 
@@ -203,6 +212,7 @@ def bucketed_iterator(
         return out
 
     rng = np.random.default_rng(seed)
+    skipped = 0
     while True:
         # One epoch: per-bucket shuffled batches, bucket order interleaved.
         epoch: list[tuple[int, np.ndarray]] = []
@@ -217,6 +227,10 @@ def bucketed_iterator(
         if shuffle:
             rng.shuffle(epoch)
         for b, sel in epoch:
+            # skip = deterministic resume fast-forward (index-only)
+            if skipped < skip:
+                skipped += 1
+                continue
             yield collate([trim(corpus[int(i)], b) for i in sel])
 
 

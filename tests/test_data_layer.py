@@ -444,3 +444,32 @@ def test_grain_loader_parallel_workers(disk_corpus):
     batched = list(make_grain_loader(corpus, 2, seed=0, worker_count=2, num_epochs=2))
     assert len(batched) == 2
     assert all(b["text_ids"].shape[0] == 2 for b in batched)
+
+
+def test_iterator_skip_resumes_data_order(disk_corpus):
+    """skip=k yields exactly the stream with its first k batches dropped —
+    deterministic data-order resume after preemption, without touching the
+    corpus for the skipped batches."""
+    from itertools import islice
+
+    from mmbidaf_tpu.data.pipeline import VideoCorpus, batched_iterator, bucketed_iterator
+
+    root, cfg = disk_corpus
+    corpus_tokens = []
+    for vid in sorted(os.listdir(root)):
+        with open(os.path.join(root, vid, "transcript.txt")) as f:
+            for s in text.sent_tokenize(f.read()):
+                corpus_tokens.append(text.word_tokenize(s))
+    w2i = vocab.build_vocab(corpus_tokens)
+    corpus = VideoCorpus(root, cfg, w2i)
+
+    for make in (
+        lambda skip: batched_iterator(corpus, 2, seed=7, skip=skip),
+        lambda skip: bucketed_iterator(corpus, 2, (4, 8), seed=7, skip=skip),
+    ):
+        full = list(islice(make(0), 7))
+        resumed = list(islice(make(4), 3))
+        for a_b, b_b in zip(full[4:], resumed):
+            assert a_b.keys() == b_b.keys()
+            for k in a_b:
+                np.testing.assert_array_equal(a_b[k], b_b[k])

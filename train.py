@@ -218,22 +218,27 @@ def main():
             from mmbidaf_tpu.data.pipeline import bucketed_iterator
 
             buckets = tuple(int(b) for b in a.buckets.split(","))
-            stream_raw = bucketed_iterator(
-                corpus, cfg.train.batch_size, buckets, cfg.train.seed
+            stream_factory = lambda skip=0: bucketed_iterator(  # noqa: E731
+                corpus, cfg.train.batch_size, buckets, cfg.train.seed, skip=skip
             )
         elif a.loader_workers > 0:
             # grain DataLoader: PNG/WAV decode in worker subprocesses
             # (reference DataLoader num_workers equivalent, SURVEY §4.2).
             from mmbidaf_tpu.data.pipeline import make_grain_loader
 
-            stream_raw = iter(
-                make_grain_loader(
+            def stream_factory(skip=0):
+                if skip:
+                    print("grain loader: data order restarts on resume "
+                          "(skip not wired through grain; use the default "
+                          "or --buckets loader for exact data-order resume)")
+                return iter(make_grain_loader(
                     corpus, cfg.train.batch_size, cfg.train.seed,
                     worker_count=a.loader_workers, num_epochs=None,
-                )
-            )
+                ))
         else:
-            stream_raw = batched_iterator(corpus, cfg.train.batch_size, cfg.train.seed)
+            stream_factory = lambda skip=0: batched_iterator(  # noqa: E731
+                corpus, cfg.train.batch_size, cfg.train.seed, skip=skip
+            )
         # Replicate the frozen frontend over the mesh: as a jit closure
         # constant it must live on the same device set as the params, or
         # jit rejects the mixed placement.
@@ -272,10 +277,15 @@ def main():
     eval_step = make_eval_step(cfg)
     meter = AverageMeter()
 
+    resumed_steps = int(state.step)
     if a.data_dir:
         from mmbidaf_tpu.data.frontend import apply_frontend
 
-        stream = stream_raw
+        # deterministic data-order resume: the stream fast-forwards to
+        # exactly where the preempted run stopped (index-only skipping)
+        stream = stream_factory(skip=resumed_steps)
+        if resumed_steps:
+            print(f"data stream fast-forwarded {resumed_steps} batches")
         # FULL dev-set eval (reference §4.3: evaluate() iterates the dev
         # loader): featurize every dev video ONCE up front (VGG is the
         # expensive stage — ~100 MB of features per 256 videos, cheap to
@@ -304,6 +314,10 @@ def main():
             shard_batch({k: jnp.asarray(v) for k, v in next(stream).items()}, mesh),
             None,
         )]
+        for _ in range(resumed_steps):  # cheap numpy fast-forward
+            next(stream)
+        if resumed_steps:
+            print(f"data stream fast-forwarded {resumed_steps} batches")
 
     if a.num_steps is not None:
         num_steps = a.num_steps
