@@ -66,6 +66,13 @@ class VideoCorpus:
         d = cfg.data
         self.num_audio_samples = d.max_audio_frames * d.hop_length + d.win_length
 
+    def __repr__(self) -> str:
+        # Stable across processes: grain validates checkpointed loader
+        # state by repr(data_source); the default object repr embeds the
+        # memory address and never matches on resume.
+        return (f"VideoCorpus(root={self.root!r}, n={len(self.video_ids)}, "
+                f"precomputed={self.use_precomputed})")
+
     def __len__(self) -> int:
         return len(self.video_ids)
 

@@ -262,3 +262,26 @@ def test_train_cli_preemption_save_and_resume(tmp_path):
     assert "resumed from step" in res.stdout
     resumed = int(res.stdout.split("resumed from step")[1].split()[0])
     assert resumed >= 50
+
+
+@pytest.mark.slow
+def test_train_cli_grain_loader_state_resume(tmp_path, synthetic_corpus):
+    """With --loader_workers the run snapshots grain's iterator state next
+    to each checkpoint; resume restores the exact data-loader position."""
+    base = [
+        sys.executable, "train.py",
+        "--data_dir", synthetic_corpus, "--vgg", "tiny",
+        "--config_json", "examples/tiny_config.json",
+        "--save_dir", str(tmp_path), "--loader_workers", "2",
+    ]
+    r1 = subprocess.run(base + ["--num_steps", "6", "--eval_steps", "5"],
+                        cwd=REPO, env=_cpu_env(), capture_output=True,
+                        text=True, timeout=900)
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    assert (tmp_path / "mmbidaf" / "loader_state.bin").exists()
+    r2 = subprocess.run(base + ["--num_steps", "3", "--eval_steps", "50"],
+                        cwd=REPO, env=_cpu_env(), capture_output=True,
+                        text=True, timeout=900)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "resumed from step 5" in r2.stdout
+    assert "grain loader state restored at step 5" in r2.stdout

@@ -227,14 +227,32 @@ def main():
             from mmbidaf_tpu.data.pipeline import make_grain_loader
 
             def stream_factory(skip=0):
-                if skip:
-                    print("grain loader: data order restarts on resume "
-                          "(skip not wired through grain; use the default "
-                          "or --buckets loader for exact data-order resume)")
-                return iter(make_grain_loader(
+                it = iter(make_grain_loader(
                     corpus, cfg.train.batch_size, cfg.train.seed,
                     worker_count=a.loader_workers, num_epochs=None,
                 ))
+                if not skip:
+                    return it
+                # exact resume via grain's iterator checkpointing: the
+                # loop snapshots get_state() next to every model save
+                state_path = os.path.join(run_dir, "loader_state.bin")
+                step_path = state_path + ".step"
+                if os.path.exists(state_path) and os.path.exists(step_path):
+                    with open(step_path) as f:
+                        saved_step = int(f.read().strip() or 0)
+                    if saved_step == skip:
+                        try:
+                            with open(state_path, "rb") as f:
+                                it.set_state(f.read())
+                            print(f"grain loader state restored at step {skip}")
+                            return it
+                        except Exception as e:  # stale/incompatible state
+                            print(f"grain loader state unusable ({e}); "
+                                  "data order restarts")
+                            return it
+                print("grain loader: no matching saved loader state — "
+                      "data order restarts on resume")
+                return it
         else:
             stream_factory = lambda skip=0: batched_iterator(  # noqa: E731
                 corpus, cfg.train.batch_size, cfg.train.seed, skip=skip
@@ -340,10 +358,21 @@ def main():
     except ImportError:  # tqdm is a nicety, not a dependency
         step_iter = range(num_steps)
 
+    def save_loader_state():
+        # grain iterators checkpoint their own position; snapshot it next
+        # to every model save so resume restores the exact data order.
+        if hasattr(stream, "get_state"):
+            path = os.path.join(run_dir, "loader_state.bin")
+            with open(path, "wb") as f:
+                f.write(stream.get_state())
+            with open(path + ".step", "w") as f:
+                f.write(str(int(state.step)))
+
     pad_meter = AverageMeter()
     for _ in step_iter:
         if _PREEMPTED["sig"] is not None:
             ckpt.save_unranked(manager, state)
+            save_loader_state()
             logger.close()
             print(f"preempted (signal {_PREEMPTED['sig']}): saved step "
                   f"{int(state.step)}; rerun with the same --save_dir to resume")
@@ -404,10 +433,12 @@ def main():
             tb.log(step, scalars)
             print(f"step {step}: eval_loss {ev_loss:.4f} ROUGE-L {r_sum['ROUGE-L']:.3f}")
             ckpt.save(manager, state, {"loss": ev_loss, **r_sum})
+            save_loader_state()
 
     if _PREEMPTED["sig"] is not None:
         # signal landed during the final step: still leave a resume point
         ckpt.save_unranked(manager, state)
+        save_loader_state()
         print(f"preempted (signal {_PREEMPTED['sig']}): saved step {int(state.step)}")
     logger.close()
     print("done")
