@@ -59,35 +59,11 @@ def main():
                "--print_summaries"])
     print(out.strip().splitlines()[-1])
 
-    # 4. serving API on the trained checkpoint
-    from mmbidaf_tpu.data.vocab import vocab_from_corpus_dir
-    from mmbidaf_tpu.ops.vgg import TINY_SPEC
+    # 4. serving API: one call from the run directory (config + vocab +
+    #    checkpoint are all persisted by train.py)
     from mmbidaf_tpu.serving import Summarizer
-    from mmbidaf_tpu.train.checkpoint import load_config
 
-    cfg = load_config(os.path.join(rundir, "mmbidaf"))
-    w2i = vocab_from_corpus_dir(corpus, max_size=cfg.data.vocab_size)
-    import dataclasses
-
-    import jax
-    import numpy as np
-
-    from mmbidaf_tpu.data.frontend import frontend_init
-    from mmbidaf_tpu.train import checkpoint as ckpt
-    from mmbidaf_tpu.train.loop import init_train_state
-    from mmbidaf_tpu.data.synthetic import random_word_vectors
-    from mmbidaf_tpu.models.mmbidaf import mmbidaf_init
-
-    import jax.numpy as jnp
-
-    wv = random_word_vectors(np.random.default_rng(0), len(w2i), cfg.model.emb_dim)
-    params = mmbidaf_init(jax.random.key(0), cfg, jnp.asarray(wv))
-    template = init_train_state(jax.random.key(1), params, cfg)
-    manager = ckpt.make_manager(os.path.join(rundir, "mmbidaf", "ckpts"))
-    state = ckpt.restore_latest(manager, template)
-    fe = frontend_init(jax.random.key(2), cfg, vgg_spec=TINY_SPEC)
-    s = Summarizer(state.ema_params, fe, w2i, cfg, TINY_SPEC)
-
+    s = Summarizer.from_run(os.path.join(rundir, "mmbidaf"))
     video0 = os.path.join(corpus, sorted(os.listdir(corpus))[0])
     print("summarize:", s.summarize(video0))
     print("summarize_long:", s.summarize_long(video0))

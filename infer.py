@@ -31,7 +31,9 @@ def main():
                     help="real corpus root (per-video dirs); decodes every "
                          "video, prints its summary text, and scores ROUGE "
                          "against summary.txt golds")
-    ap.add_argument("--vgg", default="vgg16", choices=["vgg16", "tiny"])
+    ap.add_argument("--vgg", default=None, choices=["vgg16", "tiny"],
+                    help="frontend variant; default: the run config's "
+                         "vgg_variant (vgg16 when no config)")
     ap.add_argument("--config_json", default=None, help="full Config overlay")
     ap.add_argument("--print_summaries", action="store_true")
     ap.add_argument("--long", action="store_true",
@@ -75,7 +77,8 @@ def main():
         from mmbidaf_tpu.data.vocab import vocab_from_corpus_dir
         from mmbidaf_tpu.ops.vgg import TINY_SPEC, VGG16_SPEC
 
-        vgg_spec = TINY_SPEC if a.vgg == "tiny" else VGG16_SPEC
+        vgg = a.vgg or cfg.model.vgg_variant
+        vgg_spec = TINY_SPEC if vgg == "tiny" else VGG16_SPEC
         # Split corpora: vocabulary comes from train/ (matching training);
         # decoding runs over dev/ when present, else the whole root.
         vocab_dir = decode_dir = a.data_dir

@@ -168,6 +168,32 @@ class Summarizer:
         return cls(served, fe, word2idx, cfg, vgg_spec, **kw)
 
     @classmethod
+    def from_run(cls, run_dir: str, **kw):
+        """One-call serving from a ``train.py`` run directory: loads the
+        saved config (incl. the VGG frontend variant), the persisted vocab
+        (``vocab.json`` + ``emb.npz`` — the reference's serialized
+        word2idx/embedding artifacts), and the latest checkpoint."""
+        import os
+
+        from mmbidaf_tpu.train.checkpoint import load_config
+
+        cfg = load_config(run_dir)
+        from mmbidaf_tpu.ops.vgg import TINY_SPEC, VGG16_SPEC
+
+        vgg_spec = kw.pop(
+            "vgg_spec",
+            TINY_SPEC if cfg.model.vgg_variant == "tiny" else VGG16_SPEC,
+        )
+        return cls.from_checkpoint(
+            os.path.join(run_dir, "ckpts"),
+            os.path.join(run_dir, "vocab.json"),
+            os.path.join(run_dir, "emb.npz"),
+            cfg,
+            vgg_spec=vgg_spec,
+            **kw,
+        )
+
+    @classmethod
     def from_torch_state_dict(
         cls,
         sd: dict,

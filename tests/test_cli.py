@@ -285,3 +285,40 @@ def test_train_cli_grain_loader_state_resume(tmp_path, synthetic_corpus):
     assert r2.returncode == 0, r2.stderr[-2000:]
     assert "resumed from step 5" in r2.stdout
     assert "grain loader state restored at step 5" in r2.stdout
+
+
+@pytest.mark.slow
+def test_train_persists_vocab_and_from_run(tmp_path, synthetic_corpus):
+    """train.py --data_dir saves vocab.json/emb.npz + vgg_variant with the
+    run; Summarizer.from_run serves from the run dir alone, and infer.py
+    resolves the frontend variant from the saved config (no --vgg flag)."""
+    r = subprocess.run(
+        [sys.executable, "train.py", "--data_dir", synthetic_corpus,
+         "--vgg", "tiny", "--config_json", "examples/tiny_config.json",
+         "--num_steps", "6", "--eval_steps", "5", "--save_dir", str(tmp_path)],
+        cwd=REPO, env=_cpu_env(), capture_output=True, text=True, timeout=900,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    run_dir = tmp_path / "mmbidaf"
+    assert (run_dir / "vocab.json").exists() and (run_dir / "emb.npz").exists()
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');\n"
+        f"import sys; sys.path.insert(0, {str(REPO)!r})\n"
+        "from mmbidaf_tpu.serving import Summarizer\n"
+        f"s = Summarizer.from_run({str(run_dir)!r})\n"
+        f"out = s.summarize({os.path.join(synthetic_corpus, 'video000')!r})\n"
+        "assert isinstance(out, str) and out, out\n"
+        "print('FROM_RUN_OK')\n"
+    )
+    r2 = subprocess.run([sys.executable, "-c", code], cwd=REPO, env=_cpu_env(),
+                        capture_output=True, text=True, timeout=900)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "FROM_RUN_OK" in r2.stdout
+    # infer resolves vgg from the run config (no --vgg)
+    r3 = subprocess.run(
+        [sys.executable, "infer.py", "--data_dir", synthetic_corpus,
+         "--load_dir", str(run_dir / "ckpts"), "--batch_size", "2"],
+        cwd=REPO, env=_cpu_env(), capture_output=True, text=True, timeout=900,
+    )
+    assert r3.returncode == 0, r3.stderr[-2000:]
+    assert "videos scored" in r3.stdout

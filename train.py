@@ -207,6 +207,16 @@ def main():
         from mmbidaf_tpu.ops.vgg import TINY_SPEC, VGG16_SPEC
 
         vgg_spec = TINY_SPEC if a.vgg == "tiny" else VGG16_SPEC
+        # persist the frontend variant + vocab with the run so serving can
+        # reconstruct everything from run_dir alone (Summarizer.from_run)
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, vgg_variant=a.vgg)
+        )
+        from mmbidaf_tpu.data.vocab import save_vocab
+
+        save_vocab(w2i, np.asarray(wv),
+                   os.path.join(run_dir, "vocab.json"),
+                   os.path.join(run_dir, "emb.npz"))
         corpus = VideoCorpus(train_dir, cfg, w2i, require_summary=True)
         eval_corpus = (
             corpus if dev_dir == train_dir
