@@ -54,7 +54,8 @@ def main():
     print(out.splitlines()[-2] if out.splitlines() else out)
 
     # 3. evaluate: decode every video, ROUGE vs the gold summaries
-    out = run([py, "infer.py", "--data_dir", corpus, "--vgg", "tiny",
+    #    (the frontend variant auto-resolves from the run's saved config)
+    out = run([py, "infer.py", "--data_dir", corpus,
                "--load_dir", os.path.join(rundir, "mmbidaf", "ckpts"),
                "--print_summaries"])
     print(out.strip().splitlines()[-1])

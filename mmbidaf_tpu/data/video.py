@@ -153,6 +153,36 @@ def extract_audio_ffmpeg(path: str, sample_rate: int = 16000) -> np.ndarray:
     return np.frombuffer(raw, np.float32)
 
 
+def extract_media_to_dir(
+    video_path: str,
+    vdir: str,
+    every_n: int = 30,
+    max_frames: int = 64,
+    sample_rate: int = 16000,
+) -> bool:
+    """Decode a container into the VideoCorpus media layout: sampled
+    keyframes → ``vdir/frames/fNNNN.png``, audio track → ``vdir/audio.wav``
+    (the shared tail of the corpus importers). Returns False when ffmpeg
+    is unavailable (caller decides whether to copy the container instead).
+    """
+    if not ffmpeg_available():
+        return False
+    from PIL import Image
+
+    frames = decode_video_ffmpeg(video_path, every_n=every_n, max_frames=max_frames)
+    fdir = os.path.join(vdir, "frames")
+    os.makedirs(fdir, exist_ok=True)
+    for i, fr in enumerate(frames):
+        Image.fromarray(fr).save(os.path.join(fdir, f"f{i:04d}.png"))
+    pcm = extract_audio_ffmpeg(video_path, sample_rate)
+    with wave_mod.open(os.path.join(vdir, "audio.wav"), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes((np.clip(pcm, -1, 1) * 32767).astype(np.int16).tobytes())
+    return True
+
+
 def load_video_assets(
     video_dir: str,
     max_keyframes: int,

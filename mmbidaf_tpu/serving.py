@@ -14,6 +14,7 @@ pointer decode); host work is container decode + summary assembly.
 
 from __future__ import annotations
 
+import os
 from typing import Sequence
 
 import numpy as np
@@ -173,8 +174,6 @@ class Summarizer:
         saved config (incl. the VGG frontend variant), the persisted vocab
         (``vocab.json`` + ``emb.npz`` — the reference's serialized
         word2idx/embedding artifacts), and the latest checkpoint."""
-        import os
-
         from mmbidaf_tpu.train.checkpoint import load_config
 
         cfg = load_config(run_dir)

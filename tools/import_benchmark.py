@@ -68,32 +68,13 @@ def _find(stem: str, root: str | None, exts: tuple[str, ...]) -> str | None:
 
 
 def _extract_media(video_path: str, vdir: str, args) -> None:
-    from mmbidaf_tpu.data.video import (
-        decode_video_ffmpeg,
-        extract_audio_ffmpeg,
-        ffmpeg_available,
-    )
+    from mmbidaf_tpu.data.video import extract_media_to_dir
 
-    if not ffmpeg_available():
+    if not extract_media_to_dir(
+        video_path, vdir, every_n=args.every_n, max_frames=args.max_frames,
+        sample_rate=args.sample_rate,
+    ):
         print(f"  ffmpeg unavailable; skipping media for {vdir}", file=sys.stderr)
-        return
-    import wave as wave_mod
-
-    from PIL import Image
-
-    frames = decode_video_ffmpeg(
-        video_path, every_n=args.every_n, max_frames=args.max_frames
-    )
-    fdir = os.path.join(vdir, "frames")
-    os.makedirs(fdir, exist_ok=True)
-    for i, fr in enumerate(frames):
-        Image.fromarray(fr).save(os.path.join(fdir, f"f{i:04d}.png"))
-    pcm = extract_audio_ffmpeg(video_path, args.sample_rate)
-    with wave_mod.open(os.path.join(vdir, "audio.wav"), "wb") as w:
-        w.setnchannels(1)
-        w.setsampwidth(2)
-        w.setframerate(args.sample_rate)
-        w.writeframes((np.clip(pcm, -1, 1) * 32767).astype(np.int16).tobytes())
 
 
 def import_video(

@@ -79,31 +79,12 @@ def import_one(stem: str, files: dict, out_dir: str, args) -> bool:
         shutil.copyfile(files["summary"], os.path.join(vdir, "summary.txt"))
 
     if not args.no_media and "video" in files:
-        from mmbidaf_tpu.data.video import (
-            decode_video_ffmpeg,
-            extract_audio_ffmpeg,
-            ffmpeg_available,
-        )
+        from mmbidaf_tpu.data.video import extract_media_to_dir
 
-        if ffmpeg_available():
-            import numpy as np
-            from PIL import Image
-            import wave as wave_mod
-
-            frames = decode_video_ffmpeg(
-                files["video"], every_n=args.every_n, max_frames=args.max_frames
-            )
-            fdir = os.path.join(vdir, "frames")
-            os.makedirs(fdir, exist_ok=True)
-            for i, fr in enumerate(frames):
-                Image.fromarray(fr).save(os.path.join(fdir, f"f{i:04d}.png"))
-            pcm = extract_audio_ffmpeg(files["video"], args.sample_rate)
-            with wave_mod.open(os.path.join(vdir, "audio.wav"), "wb") as w:
-                w.setnchannels(1)
-                w.setsampwidth(2)
-                w.setframerate(args.sample_rate)
-                w.writeframes((np.clip(pcm, -1, 1) * 32767).astype(np.int16).tobytes())
-        else:
+        if not extract_media_to_dir(
+            files["video"], vdir, every_n=args.every_n,
+            max_frames=args.max_frames, sample_rate=args.sample_rate,
+        ):
             # keep the container next to the transcript for later decode
             shutil.copyfile(
                 files["video"],
