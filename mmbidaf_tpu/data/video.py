@@ -67,8 +67,8 @@ def sample_keyframes_shot_change(
 def load_image_dir(path: str) -> np.ndarray:
     """Directory of image files (sorted) → ``[T, H, W, 3] uint8``.
 
-    All-PNG directories decode through the C++ thread pool
-    (`native.png_decode_batch`, off the GIL); anything else via PIL.
+    PNG/JPEG directories decode through the C++ thread pool
+    (`native.image_decode_batch`, off the GIL); anything else via PIL.
     """
     names = sorted(
         f for f in os.listdir(path)
@@ -76,14 +76,14 @@ def load_image_dir(path: str) -> np.ndarray:
     )
     if not names:
         raise FileNotFoundError(f"no images in {path}")
-    if all(n.lower().endswith(".png") for n in names):
-        from mmbidaf_tpu.native import png_decode_batch
+    if all(n.lower().endswith((".png", ".jpg", ".jpeg")) for n in names):
+        from mmbidaf_tpu.native import image_decode_batch
 
         blobs = []
         for n in names:
             with open(os.path.join(path, n), "rb") as f:
                 blobs.append(f.read())
-        return np.stack(png_decode_batch(blobs)).astype(np.uint8)
+        return np.stack(image_decode_batch(blobs)).astype(np.uint8)
     from PIL import Image
 
     frames = [np.asarray(Image.open(os.path.join(path, n)).convert("RGB")) for n in names]

@@ -61,18 +61,18 @@ def _load() -> ctypes.CDLL | None:
             ctypes.c_char_p, ctypes.c_long,
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
         ]
-        lib.mmb_png_header.restype = ctypes.c_int
-        lib.mmb_png_header.argtypes = [
+        lib.mmb_image_header.restype = ctypes.c_int
+        lib.mmb_image_header.argtypes = [
             ctypes.c_char_p, ctypes.c_long,
             ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_long),
         ]
-        lib.mmb_png_decode.restype = ctypes.c_long
-        lib.mmb_png_decode.argtypes = [
+        lib.mmb_image_decode.restype = ctypes.c_long
+        lib.mmb_image_decode.argtypes = [
             ctypes.c_char_p, ctypes.c_long,
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
         ]
-        lib.mmb_png_decode_batch.restype = None
-        lib.mmb_png_decode_batch.argtypes = [
+        lib.mmb_image_decode_batch.restype = None
+        lib.mmb_image_decode_batch.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_long),
             ctypes.c_long, ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
             ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_long),
@@ -151,15 +151,16 @@ def ppm_decode(data: bytes) -> np.ndarray:
     return np.asarray(Image.open(io.BytesIO(data)).convert("RGB")).astype(np.uint8)
 
 
-def png_decode(data: bytes) -> np.ndarray:
-    """PNG bytes → [H, W, 3] uint8 (libpng off the GIL; PIL fallback)."""
+def image_decode(data: bytes) -> np.ndarray:
+    """PNG/JPEG bytes → [H, W, 3] uint8 (libpng/libjpeg off the GIL,
+    format sniffed by magic bytes; PIL fallback)."""
     lib = _load()
     if lib is not None:
         w = ctypes.c_long(0)
         h = ctypes.c_long(0)
-        if lib.mmb_png_header(data, len(data), ctypes.byref(w), ctypes.byref(h)) == 0:
+        if lib.mmb_image_header(data, len(data), ctypes.byref(w), ctypes.byref(h)) == 0:
             out = np.empty((h.value, w.value, 3), np.uint8)
-            n = lib.mmb_png_decode(
+            n = lib.mmb_image_decode(
                 data, len(data),
                 out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), out.size,
             )
@@ -172,22 +173,23 @@ def png_decode(data: bytes) -> np.ndarray:
     return np.asarray(Image.open(io.BytesIO(data)).convert("RGB")).astype(np.uint8)
 
 
-def png_decode_batch(blobs: list[bytes], num_threads: int = 4) -> list[np.ndarray]:
-    """Decode many PNGs with the C++ thread pool (serving's host-decode hot
-    path — one call per keyframe dir instead of one GIL-bound PIL decode per
-    frame). Falls back to per-image decode when the native lib is absent."""
+def image_decode_batch(blobs: list[bytes], num_threads: int = 4) -> list[np.ndarray]:
+    """Decode many PNG/JPEG blobs with the C++ thread pool (serving's
+    host-decode hot path — one call per keyframe dir instead of one
+    GIL-bound PIL decode per frame). Falls back to per-image decode when
+    the native lib is absent."""
     lib = _load()
     if lib is None or not blobs:
-        return [png_decode(b) for b in blobs]
+        return [image_decode(b) for b in blobs]
     B = len(blobs)
     dims: list[tuple[int, int] | None] = []
     w = ctypes.c_long(0)
     h = ctypes.c_long(0)
     for b in blobs:
-        ok = lib.mmb_png_header(b, len(b), ctypes.byref(w), ctypes.byref(h)) == 0
+        ok = lib.mmb_image_header(b, len(b), ctypes.byref(w), ctypes.byref(h)) == 0
         dims.append((h.value, w.value) if ok else None)
     if any(d is None for d in dims):
-        return [png_decode(b) for b in blobs]
+        return [image_decode(b) for b in blobs]
     outs = [np.empty(d + (3,), np.uint8) for d in dims]
     datas = (ctypes.c_char_p * B)(*blobs)
     lens = (ctypes.c_long * B)(*[len(b) for b in blobs])
@@ -196,11 +198,16 @@ def png_decode_batch(blobs: list[bytes], num_threads: int = 4) -> list[np.ndarra
     )
     caps = (ctypes.c_long * B)(*[o.size for o in outs])
     written = (ctypes.c_long * B)()
-    lib.mmb_png_decode_batch(datas, lens, B, ptrs, caps, written, num_threads)
+    lib.mmb_image_decode_batch(datas, lens, B, ptrs, caps, written, num_threads)
     return [
-        o if written[i] == o.size else png_decode(blobs[i])
+        o if written[i] == o.size else image_decode(blobs[i])
         for i, o in enumerate(outs)
     ]
+
+
+# back-compat names (PNG was the first format wired in)
+png_decode = image_decode
+png_decode_batch = image_decode_batch
 
 
 def pad_waveforms(waves: list[np.ndarray], num_samples: int, num_threads: int = 4) -> np.ndarray:

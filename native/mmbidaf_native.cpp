@@ -20,6 +20,12 @@
 #include <png.h>
 #define MMB_HAVE_PNG 1
 #endif
+#if __has_include(<jpeglib.h>)
+#include <csetjmp>
+#include <cstdio>
+#include <jpeglib.h>
+#define MMB_HAVE_JPEG 1
+#endif
 #endif
 
 extern "C" {
@@ -297,32 +303,120 @@ long mmb_png_decode(const uint8_t* data, long n, uint8_t* out, long out_cap) {
   return (long)h * rowbytes;
 }
 
-void mmb_png_decode_batch(const uint8_t** datas, const long* lens, long batch,
-                          uint8_t** outs, const long* caps, long* written,
-                          int num_threads) {
+#else  // !MMB_HAVE_PNG — keep the ABI; loader falls back to PIL.
+
+int mmb_png_header(const uint8_t*, long, long*, long*) { return -2; }
+long mmb_png_decode(const uint8_t*, long, uint8_t*, long) { return -2; }
+
+#endif  // MMB_HAVE_PNG
+
+// ---------------------------------------------------------------------------
+// JPEG decode (libjpeg, in-memory) → RGB8 [H, W, 3]. Same conventions as
+// the PNG path: bytes written, -1 on error, -2 without the library.
+// ---------------------------------------------------------------------------
+#ifdef MMB_HAVE_JPEG
+
+namespace {
+struct JpegErr {
+  jpeg_error_mgr pub;
+  std::jmp_buf jmp;
+};
+
+void jpeg_err_exit(j_common_ptr cinfo) {
+  std::longjmp(((JpegErr*)cinfo->err)->jmp, 1);
+}
+}  // namespace
+
+int mmb_jpeg_header(const uint8_t* data, long n, long* width, long* height) {
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = jpeg_err_exit;
+  if (setjmp(jerr.jmp)) {
+    jpeg_destroy_decompress(&cinfo);
+    return -1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, data, (unsigned long)n);
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    return -1;
+  }
+  *width = cinfo.image_width;
+  *height = cinfo.image_height;
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+
+long mmb_jpeg_decode(const uint8_t* data, long n, uint8_t* out, long out_cap) {
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = jpeg_err_exit;
+  if (setjmp(jerr.jmp)) {
+    jpeg_destroy_decompress(&cinfo);
+    return -1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, data, (unsigned long)n);
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;  // gray/CMYK normalize to RGB8
+  jpeg_start_decompress(&cinfo);
+  long rowbytes = (long)cinfo.output_width * cinfo.output_components;
+  if (cinfo.output_components != 3 ||
+      (long)cinfo.output_height * rowbytes > out_cap) {
+    jpeg_destroy_decompress(&cinfo);
+    return -1;
+  }
+  while (cinfo.output_scanline < cinfo.output_height) {
+    JSAMPROW row = out + (long)cinfo.output_scanline * rowbytes;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return (long)cinfo.output_height * rowbytes;
+}
+
+#else  // !MMB_HAVE_JPEG
+
+int mmb_jpeg_header(const uint8_t*, long, long*, long*) { return -2; }
+long mmb_jpeg_decode(const uint8_t*, long, uint8_t*, long) { return -2; }
+
+#endif  // MMB_HAVE_JPEG
+
+// Format-sniffing single-image decode + threaded batch (PNG signature /
+// JPEG SOI marker); same return conventions as the per-format calls.
+long mmb_image_decode(const uint8_t* data, long n, uint8_t* out, long out_cap) {
+  if (n >= 2 && data[0] == 0xFF && data[1] == 0xD8)
+    return mmb_jpeg_decode(data, n, out, out_cap);
+  return mmb_png_decode(data, n, out, out_cap);
+}
+
+int mmb_image_header(const uint8_t* data, long n, long* width, long* height) {
+  if (n >= 2 && data[0] == 0xFF && data[1] == 0xD8)
+    return mmb_jpeg_header(data, n, width, height);
+#ifdef MMB_HAVE_PNG
+  return mmb_png_header(data, n, width, height);
+#else
+  return -2;
+#endif
+}
+
+void mmb_image_decode_batch(const uint8_t** datas, const long* lens, long batch,
+                            uint8_t** outs, const long* caps, long* written,
+                            int num_threads) {
   if (num_threads < 1) num_threads = 1;
   std::atomic<long> next(0);
   auto worker = [&]() {
     long i;
     while ((i = next.fetch_add(1)) < batch)
-      written[i] = mmb_png_decode(datas[i], lens[i], outs[i], caps[i]);
+      written[i] = mmb_image_decode(datas[i], lens[i], outs[i], caps[i]);
   };
   std::vector<std::thread> threads;
   for (int t = 0; t < num_threads; ++t) threads.emplace_back(worker);
   for (auto& th : threads) th.join();
 }
 
-#else  // !MMB_HAVE_PNG — keep the ABI; loader falls back to PIL.
-
-int mmb_png_header(const uint8_t*, long, long*, long*) { return -2; }
-long mmb_png_decode(const uint8_t*, long, uint8_t*, long) { return -2; }
-void mmb_png_decode_batch(const uint8_t**, const long*, long batch, uint8_t**,
-                          const long*, long* written, int) {
-  for (long i = 0; i < batch; ++i) written[i] = -2;
-}
-
-#endif  // MMB_HAVE_PNG
-
-int mmb_version() { return 2; }
+int mmb_version() { return 3; }
 
 }  // extern "C"

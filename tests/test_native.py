@@ -157,3 +157,51 @@ def test_load_image_dir_uses_native_png(tmp_path, rng):
         for i in range(4)
     ])
     np.testing.assert_array_equal(frames, want)
+
+
+def test_jpeg_decode_matches_pil(rng):
+    """Native libjpeg decode == PIL (same underlying codec) for RGB + gray
+    JPEGs, routed through the format-sniffing image_decode."""
+    import io
+
+    from PIL import Image
+
+    from mmbidaf_tpu.native import image_decode, image_decode_batch
+
+    def jpg_bytes(img, q=90):
+        buf = io.BytesIO()
+        img.save(buf, format="JPEG", quality=q)
+        return buf.getvalue()
+
+    rgb = Image.fromarray((rng.random((20, 24, 3)) * 255).astype(np.uint8))
+    gray = rgb.convert("L")
+    blobs = [jpg_bytes(rgb), jpg_bytes(gray)]
+    for b in blobs:
+        got = image_decode(b)
+        want = np.asarray(Image.open(io.BytesIO(b)).convert("RGB"))
+        assert got.shape == want.shape
+        # identical libjpeg under both paths; allow 1 LSB for IDCT variants
+        assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+    outs = image_decode_batch(blobs, num_threads=2)
+    for o, b in zip(outs, blobs):
+        np.testing.assert_array_equal(o, image_decode(b))
+
+
+def test_load_image_dir_mixed_jpeg_png(tmp_path, rng):
+    from PIL import Image
+
+    from mmbidaf_tpu.data.video import load_image_dir
+
+    arrs = [(rng.random((10, 14, 3)) * 255).astype(np.uint8) for _ in range(3)]
+    Image.fromarray(arrs[0]).save(tmp_path / "f000.jpg", quality=95)
+    Image.fromarray(arrs[1]).save(tmp_path / "f001.png")
+    Image.fromarray(arrs[2]).save(tmp_path / "f002.jpeg", quality=95)
+    frames = load_image_dir(str(tmp_path))
+    assert frames.shape == (3, 10, 14, 3)
+    # PNG frame roundtrips exactly; JPEG frames must match PIL's decode of
+    # the same file byte-for-byte (JPEG-vs-original loss is huge on noise)
+    np.testing.assert_array_equal(frames[1], arrs[1])
+    for name, idx in (("f000.jpg", 0), ("f002.jpeg", 2)):
+        want = np.asarray(Image.open(tmp_path / name).convert("RGB"))
+        np.testing.assert_array_equal(frames[idx], want)
