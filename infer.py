@@ -17,6 +17,26 @@ import jax
 import jax.numpy as jnp
 
 
+class _KeyshotMeter:
+    """Accumulate keyshot-F1 over videos whose corpus dirs carry the
+    benchmark annotations (shared by the batched and --long eval paths)."""
+
+    def __init__(self):
+        self.total, self.n = 0.0, 0
+
+    def add(self, video_dir: str, picked_sentences: list[str]) -> None:
+        from mmbidaf_tpu.data.benchmarks import keyshot_from_files
+
+        ks = keyshot_from_files(video_dir, picked_sentences)
+        if ks is not None:
+            self.total += ks
+            self.n += 1
+
+    def finalize(self, agg: dict) -> None:
+        if self.n:
+            agg["keyshot-F1"] = self.total / self.n
+
+
 def main():
     ap = argparse.ArgumentParser(description="MMBiDAF-TPU inference")
     ap.add_argument("--load_dir", default=None, help="orbax checkpoint dir (runs/NAME/ckpts)")
@@ -134,29 +154,24 @@ def main():
             state.ema_params, fe_params, w2i, cfg, vgg_spec,
             mode=a.mode, topk=a.topk, serve_batch_size=a.batch_size,
         )
-        from mmbidaf_tpu.data.benchmarks import keyshot_from_files
         from mmbidaf_tpu.data.text import sent_tokenize as _sent_tok
 
         agg = {"ROUGE-1": 0.0, "ROUGE-2": 0.0, "ROUGE-L": 0.0}
         n_scored = 0
-        ks_sum, ks_n = 0.0, 0
+        keyshot = _KeyshotMeter()
         for i, vid in enumerate(corpus.video_ids):
             vdir = os.path.join(corpus.root, vid)
             summary = s.summarize_long(vdir)
             if a.print_summaries:
                 print(f"{vid}: {summary}")
-            ks = keyshot_from_files(vdir, _sent_tok(summary))
-            if ks is not None:
-                ks_sum += ks
-                ks_n += 1
+            keyshot.add(vdir, _sent_tok(summary))
             _, gold = corpus.example_text(i)
             if gold:
                 for k, v in rouge_scores(summary, gold).items():
                     agg[k] += v
                 n_scored += 1
         agg = {k: v / max(n_scored, 1) for k, v in agg.items()}
-        if ks_n:
-            agg["keyshot-F1"] = ks_sum / ks_n
+        keyshot.finalize(agg)
         print({k: round(v, 4) for k, v in agg.items()}, f"({n_scored} videos scored)")
         return
 
@@ -166,12 +181,10 @@ def main():
         from mmbidaf_tpu.data.frontend import apply_frontend
         from mmbidaf_tpu.data.pipeline import collate
 
-        from mmbidaf_tpu.data.benchmarks import keyshot_from_files
-
         featurize = jax.jit(lambda r: apply_frontend(fe_params, r, cfg, vgg_spec))
         agg = {"ROUGE-1": 0.0, "ROUGE-2": 0.0, "ROUGE-L": 0.0}
         n_scored = 0
-        ks_sum, ks_n = 0.0, 0
+        keyshot = _KeyshotMeter()
         for start in range(0, len(corpus), a.batch_size):
             idxs = [min(start + j, len(corpus) - 1) for j in range(a.batch_size)]
             n_real = min(a.batch_size, len(corpus) - start)  # tail wraps for static shape
@@ -194,15 +207,11 @@ def main():
                 vid = corpus.video_ids[idxs[j]]
                 sents = texts[j][0]
                 chosen = [sents[p] for p in picks[j] if 0 <= p < len(sents)]
-                ks = keyshot_from_files(os.path.join(corpus.root, vid), chosen)
-                if ks is not None:
-                    ks_sum += ks
-                    ks_n += 1
+                keyshot.add(os.path.join(corpus.root, vid), chosen)
                 if a.print_summaries:
                     print(f"{vid}: {summary_from_picks(picks[j], sents)}")
         agg = {k: v / max(n_scored, 1) for k, v in agg.items()}
-        if ks_n:
-            agg["keyshot-F1"] = ks_sum / ks_n
+        keyshot.finalize(agg)
         print({k: round(v, 4) for k, v in agg.items()}, f"({n_scored} videos scored)")
         return
 

@@ -37,6 +37,7 @@ __all__ = [
     "summary_from_importance",
     "sentence_spans",
     "keyshot_f1",
+    "keyshot_from_files",
 ]
 
 
@@ -201,8 +202,9 @@ def sentence_spans(
 
     Robust to whitespace-normalization differences (both sides are matched
     on their whitespace-stripped character streams). Sentences that cannot
-    be located (e.g. truncated transcripts) get the whole-video span so
-    they neither help nor hurt a keyshot score.
+    be located (e.g. truncated transcripts) get an EMPTY span (0, 0) so
+    they neither help nor hurt a keyshot score — a whole-video span would
+    cover every frame and pin the F1 near the budget's baseline.
     """
     def squash(s: str) -> str:
         return "".join(s.split())
@@ -212,7 +214,7 @@ def sentence_spans(
     for start, end, body in cues:
         stream += squash(body)
         cue_char_end.append((len(stream), start, end))
-    total_span = (cues[0][0], cues[-1][1]) if cues else (0.0, 0.0)
+    empty_span = (0.0, 0.0)
 
     spans: list[tuple[float, float]] = []
     pos = 0
@@ -222,7 +224,7 @@ def sentence_spans(
         if idx < 0:
             idx = stream.find(key)  # out-of-order fallback
         if idx < 0 or not key:
-            spans.append(total_span)
+            spans.append(empty_span)
             continue
         lo_char, hi_char = idx, idx + len(key)
         pos = hi_char
@@ -235,7 +237,7 @@ def sentence_spans(
             prev_end = c_end
             if prev_end >= hi_char:
                 break
-        spans.append((s_time, e_time) if s_time is not None else total_span)
+        spans.append((s_time, e_time) if s_time is not None else empty_span)
     return spans
 
 
@@ -272,11 +274,13 @@ def keyshot_f1(
 def keyshot_from_files(
     video_dir: str,
     picked_sentences: list[str],
-    budget_frac: float = 0.15,
+    budget_frac: float | None = None,
 ) -> float | None:
     """Keyshot F1 for a decoded video, when the corpus dir carries the
     benchmark annotations ``importance.npy`` + ``cues.json`` (written by
-    tools/import_benchmark.py); None otherwise."""
+    tools/import_benchmark.py); None otherwise. The ground-truth budget
+    defaults to the one the corpus was imported with (stored in
+    cues.json; 0.15 for corpora predating that field)."""
     import json
     import os
 
@@ -286,6 +290,8 @@ def keyshot_from_files(
         return None
     with open(cue_path) as f:
         meta = json.load(f)
+    if budget_frac is None:
+        budget_frac = float(meta.get("budget", 0.15))
     cues = [(float(s), float(e), t) for s, e, t in meta["cues"]]
     spans = sentence_spans(picked_sentences, cues)
     return keyshot_f1(spans, np.load(imp_path), float(meta["fps"]), budget_frac)

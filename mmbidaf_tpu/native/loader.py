@@ -23,6 +23,61 @@ _lib = None
 _lib_lock = threading.Lock()
 _build_failed = False
 
+# Bump when the C ABI grows; _load() rebuilds any .so older than this (a
+# stale binary from an earlier checkout would otherwise crash the symbol
+# bindings below instead of falling back).
+_MIN_VERSION = 3
+
+
+def _rebuild() -> bool:
+    try:
+        subprocess.run(
+            ["make", "-C", _NATIVE_DIR, "clean"],
+            capture_output=True, check=True, timeout=60,
+        )
+        subprocess.run(
+            ["make", "-C", _NATIVE_DIR],
+            capture_output=True, check=True, timeout=120,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def _open_versioned(path: str) -> ctypes.CDLL | None:
+    """dlopen ``path`` if it is present AND at least _MIN_VERSION."""
+    if not os.path.exists(path):
+        return None
+    try:
+        lib = ctypes.CDLL(path)
+        lib.mmb_version.restype = ctypes.c_int
+        if lib.mmb_version() >= _MIN_VERSION:
+            return lib
+    except (OSError, AttributeError):
+        pass
+    return None
+
+
+def _open_fresh_copy() -> ctypes.CDLL | None:
+    """dlopen the .so through a unique temp copy: glibc caches dlopen by
+    PATHNAME, so after a stale library at _SO_PATH was probed, reopening
+    the rebuilt file at the same path returns the old handle."""
+    import shutil
+    import tempfile
+
+    fd, tmp = tempfile.mkstemp(suffix=".so")
+    os.close(fd)
+    try:
+        shutil.copy(_SO_PATH, tmp)
+        return _open_versioned(tmp)
+    except OSError:
+        return None
+    finally:
+        try:
+            os.unlink(tmp)  # safe on Linux: mapping outlives the unlink
+        except OSError:
+            pass
+
 
 def _load() -> ctypes.CDLL | None:
     global _lib, _build_failed
@@ -31,66 +86,67 @@ def _load() -> ctypes.CDLL | None:
     with _lib_lock:
         if _lib is not None or _build_failed:
             return _lib
-        if not os.path.exists(_SO_PATH):
-            try:
-                subprocess.run(
-                    ["make", "-C", _NATIVE_DIR],
-                    capture_output=True, check=True, timeout=120,
-                )
-            except Exception:
+        lib = _open_versioned(_SO_PATH)
+        if lib is None:
+            # missing, unloadable, or stale: rebuild once from source
+            if not _rebuild():
                 _build_failed = True
                 return None
-        try:
-            lib = ctypes.CDLL(_SO_PATH)
-        except OSError:
+            lib = _open_versioned(_SO_PATH) or _open_fresh_copy()
+        if lib is None:
             _build_failed = True
             return None
-        lib.mmb_wav_decode.restype = ctypes.c_long
-        lib.mmb_wav_decode.argtypes = [
-            ctypes.c_char_p, ctypes.c_long,
-            ctypes.POINTER(ctypes.c_float), ctypes.c_long,
-            ctypes.POINTER(ctypes.c_int),
-        ]
-        lib.mmb_ppm_header.restype = ctypes.c_int
-        lib.mmb_ppm_header.argtypes = [
-            ctypes.c_char_p, ctypes.c_long,
-            ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_long),
-        ]
-        lib.mmb_ppm_decode.restype = ctypes.c_int
-        lib.mmb_ppm_decode.argtypes = [
-            ctypes.c_char_p, ctypes.c_long,
-            ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
-        ]
-        lib.mmb_image_header.restype = ctypes.c_int
-        lib.mmb_image_header.argtypes = [
-            ctypes.c_char_p, ctypes.c_long,
-            ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_long),
-        ]
-        lib.mmb_image_decode.restype = ctypes.c_long
-        lib.mmb_image_decode.argtypes = [
-            ctypes.c_char_p, ctypes.c_long,
-            ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
-        ]
-        lib.mmb_image_decode_batch.restype = None
-        lib.mmb_image_decode_batch.argtypes = [
-            ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_long),
-            ctypes.c_long, ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
-            ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_long),
-            ctypes.c_int,
-        ]
-        lib.mmb_pad_waveforms.restype = None
-        lib.mmb_pad_waveforms.argtypes = [
-            ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
-            ctypes.POINTER(ctypes.c_long), ctypes.c_long, ctypes.c_long,
-            ctypes.POINTER(ctypes.c_float), ctypes.c_int,
-        ]
-        lib.mmb_sample_keyframes.restype = None
-        lib.mmb_sample_keyframes.argtypes = [
-            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
-            ctypes.POINTER(ctypes.c_long), ctypes.c_long, ctypes.c_long,
-            ctypes.c_long, ctypes.POINTER(ctypes.c_uint8),
-            ctypes.POINTER(ctypes.c_float), ctypes.c_int,
-        ]
+        try:
+            lib.mmb_wav_decode.restype = ctypes.c_long
+            lib.mmb_wav_decode.argtypes = [
+                ctypes.c_char_p, ctypes.c_long,
+                ctypes.POINTER(ctypes.c_float), ctypes.c_long,
+                ctypes.POINTER(ctypes.c_int),
+            ]
+            lib.mmb_ppm_header.restype = ctypes.c_int
+            lib.mmb_ppm_header.argtypes = [
+                ctypes.c_char_p, ctypes.c_long,
+                ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_long),
+            ]
+            lib.mmb_ppm_decode.restype = ctypes.c_int
+            lib.mmb_ppm_decode.argtypes = [
+                ctypes.c_char_p, ctypes.c_long,
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+            ]
+            lib.mmb_image_header.restype = ctypes.c_int
+            lib.mmb_image_header.argtypes = [
+                ctypes.c_char_p, ctypes.c_long,
+                ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_long),
+            ]
+            lib.mmb_image_decode.restype = ctypes.c_long
+            lib.mmb_image_decode.argtypes = [
+                ctypes.c_char_p, ctypes.c_long,
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+            ]
+            lib.mmb_image_decode_batch.restype = None
+            lib.mmb_image_decode_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_long),
+                ctypes.c_long, ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+                ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_long),
+                ctypes.c_int,
+            ]
+            lib.mmb_pad_waveforms.restype = None
+            lib.mmb_pad_waveforms.argtypes = [
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+                ctypes.POINTER(ctypes.c_long), ctypes.c_long, ctypes.c_long,
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+            ]
+            lib.mmb_sample_keyframes.restype = None
+            lib.mmb_sample_keyframes.argtypes = [
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+                ctypes.POINTER(ctypes.c_long), ctypes.c_long, ctypes.c_long,
+                ctypes.c_long, ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+            ]
+        except AttributeError:
+            # symbols missing despite the version gate (corrupt build)
+            _build_failed = True
+            return None
         _lib = lib
         return _lib
 

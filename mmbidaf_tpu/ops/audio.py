@@ -142,10 +142,20 @@ def melspectrogram(frames: jax.Array, consts: dict) -> jax.Array:
     return power_spectrum(frames, consts) @ consts["mel_fb"]
 
 
-def power_to_db(s: jax.Array, top_db: float = 80.0) -> jax.Array:
-    """librosa.power_to_db with ref=max over each example's spectrogram."""
-    log_spec = 10.0 * jnp.log10(jnp.maximum(s, 1e-10))
-    ref = jnp.max(log_spec, axis=(-2, -1), keepdims=True)
+def log_power(s: jax.Array) -> jax.Array:
+    """``10*log10(max(s, amin))`` — the dB core shared by power_to_db and
+    the sequence-parallel frontend (which needs the reference max computed
+    across shards before subtracting)."""
+    return 10.0 * jnp.log10(jnp.maximum(s, 1e-10))
+
+
+def power_to_db(s: jax.Array, top_db: float = 80.0, ref: jax.Array | None = None) -> jax.Array:
+    """librosa.power_to_db with ref=max over each example's spectrogram
+    (pass ``ref`` explicitly when the max must come from elsewhere, e.g. a
+    cross-shard pmax)."""
+    log_spec = log_power(s)
+    if ref is None:
+        ref = jnp.max(log_spec, axis=(-2, -1), keepdims=True)
     return jnp.maximum(log_spec - ref, -top_db)
 
 

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from mmbidaf_tpu.ops.audio import frame_signal, melspectrogram, power_to_db
+from mmbidaf_tpu.ops.audio import frame_signal, log_power, melspectrogram, power_to_db
 
 
 def make_sp_audio_frontend(
@@ -89,11 +89,12 @@ def make_sp_audio_frontend(
         mel = local_mel(signal)
         if feature == "logmel":
             return jnp.log(mel + 1e-6)
-        # power_to_db with the per-example GLOBAL max: local max + pmax.
-        log_spec = 10.0 * jnp.log10(jnp.maximum(mel, 1e-10))
-        ref = jnp.max(log_spec, axis=(-2, -1), keepdims=True)
-        ref = jax.lax.pmax(ref, axis)
-        return jnp.maximum(log_spec - ref, -80.0) @ consts["dct"]
+        # power_to_db with the per-example GLOBAL max: local max + pmax
+        # (constants single-sourced in ops.audio).
+        ref = jax.lax.pmax(
+            jnp.max(log_power(mel), axis=(-2, -1), keepdims=True), axis
+        )
+        return power_to_db(mel, ref=ref) @ consts["dct"]
 
     sharded_full = shard_map(
         local_features,

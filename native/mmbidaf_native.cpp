@@ -15,17 +15,18 @@
 #include <thread>
 #include <vector>
 
-#if defined(__has_include)
-#if __has_include(<png.h>)
+// Codec availability is decided by the Makefile's link probes (-DMMB_HAVE_*
+// + -lpng/-ljpeg together) so the compile-time gates can never disagree
+// with what the linker actually provides — a header-only __has_include
+// gate here once produced a .so with undefined codec symbols that failed
+// dlopen and silently disabled the whole native runtime.
+#ifdef MMB_HAVE_PNG
 #include <png.h>
-#define MMB_HAVE_PNG 1
 #endif
-#if __has_include(<jpeglib.h>)
+#ifdef MMB_HAVE_JPEG
 #include <csetjmp>
 #include <cstdio>
 #include <jpeglib.h>
-#define MMB_HAVE_JPEG 1
-#endif
 #endif
 
 extern "C" {

@@ -232,9 +232,10 @@ def test_sentence_spans_maps_through_cues():
     assert spans[0] == (0.0, 2.0)
     assert spans[1] == (2.0, 6.0)   # merged across its two source cues
     assert spans[2] == (6.0, 8.0)
-    # unlocatable sentence falls back to the whole-video span
+    # unlocatable sentence gets an EMPTY span: neutral in keyshot_f1 (a
+    # whole-video span would cover every frame and poison the metric)
     spans = benchmarks.sentence_spans(["Never said this."], cues)
-    assert spans == [(0.0, 8.0)]
+    assert spans == [(0.0, 0.0)]
 
 
 def test_keyshot_f1():

@@ -205,3 +205,36 @@ def test_load_image_dir_mixed_jpeg_png(tmp_path, rng):
     for name, idx in (("f000.jpg", 0), ("f002.jpeg", 2)):
         want = np.asarray(Image.open(tmp_path / name).convert("RGB"))
         np.testing.assert_array_equal(frames[idx], want)
+
+
+def test_stale_so_rebuilds(tmp_path, monkeypatch):
+    """A stale .so (older ABI version) triggers an automatic rebuild instead
+    of crashing the symbol bindings — the committed-binary failure mode."""
+    import shutil
+    import subprocess
+    import sys
+
+    from mmbidaf_tpu.native import loader
+
+    # private copy of the native source tree with a v1 stub .so in place
+    ndir = tmp_path / "native"
+    ndir.mkdir()
+    for f in ("mmbidaf_native.cpp", "Makefile"):
+        shutil.copy(loader._NATIVE_DIR + "/" + f, ndir / f)
+    stub = tmp_path / "stub.cpp"
+    stub.write_text('extern "C" int mmb_version() { return 1; }\n')
+    so = str(ndir / "libmmbidaf_native.so")
+    subprocess.run(["g++", "-shared", "-fPIC", "-o", so, str(stub)], check=True)
+
+    monkeypatch.setattr(loader, "_NATIVE_DIR", str(ndir))
+    monkeypatch.setattr(loader, "_SO_PATH", so)
+    monkeypatch.setattr(loader, "_lib", None)
+    monkeypatch.setattr(loader, "_build_failed", False)
+    try:
+        lib = loader._load()
+        assert lib is not None, "loader did not rebuild the stale .so"
+        assert lib.mmb_version() >= loader._MIN_VERSION
+    finally:
+        monkeypatch.undo()
+        loader._lib = None
+        loader._build_failed = False

@@ -122,10 +122,11 @@ def import_video(
     with open(os.path.join(vdir, "summary.txt"), "w") as f:
         f.write(summary)
     np.save(os.path.join(vdir, "importance.npy"), frame_scores)
-    # cue spans + fps let eval map selected sentences back to time spans
-    # for keyshot-F1 (the benchmarks' native metric — data/benchmarks.py)
+    # cue spans + fps + the gold budget let eval map selected sentences
+    # back to time spans and score keyshot-F1 against the SAME keyshot set
+    # the golds were built with (data/benchmarks.py)
     with open(os.path.join(vdir, "cues.json"), "w") as f:
-        json.dump({"fps": fps, "cues": cues}, f)
+        json.dump({"fps": fps, "budget": args.budget, "cues": cues}, f)
 
     if video_path is not None:
         _extract_media(video_path, vdir, args)
