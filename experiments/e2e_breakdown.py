@@ -29,7 +29,7 @@ def main():
     import numpy as np
 
     cfg = build_bench_config(quick=False)
-    B = 32
+    B = int(os.environ.get("MMB_BENCH_B", "32"))
     d, m = cfg.data, cfg.model
     rng = np.random.default_rng(0)
     wv = random_word_vectors(rng, d.vocab_size, m.emb_dim)
