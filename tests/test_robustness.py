@@ -86,3 +86,66 @@ def test_checkpoint_best_k_retention(tmp_path):
     kept = sorted(mgr.all_steps())
     assert len(kept) <= 2
     assert 2 in kept  # the 0.9 checkpoint (step 2) survives
+
+
+# ------------------------------------------------ parser fuzz (no crashes)
+
+def test_subtitle_parser_fuzz(rng):
+    """parse_cues/subtitles_to_transcript never raise on arbitrary text and
+    always return well-formed results."""
+    from mmbidaf_tpu.data.subtitles import parse_cues, subtitles_to_transcript
+
+    corpus = [
+        "", "\x00\x01\x02", "WEBVTT", "-->", "00:00:01,000 --> garbage",
+        "1\n00:99:99,999 --> 00:00:00,000\nbackwards\n",
+        "99:59:59.999 --> 99:59:59.999\n<i><b>nested tags",
+        "﻿BOM line\n00:00:01.000 --> 00:00:02.000\nok\n",
+    ]
+    for _ in range(30):
+        n = int(rng.integers(0, 12))
+        chars = rng.integers(32, 127, size=int(rng.integers(0, 200)))
+        corpus.append("".join(chr(c) for c in chars) + "\n" * n)
+    for text_in in corpus:
+        cues = parse_cues(text_in)
+        assert isinstance(cues, list)
+        for s, e, body in cues:
+            assert isinstance(s, float) and isinstance(e, float)
+            assert isinstance(body, str) and body
+        out = subtitles_to_transcript(text_in)
+        assert isinstance(out, str)
+
+
+def test_tvsum_tsv_fuzz(tmp_path, rng):
+    """load_tvsum_anno_tsv raises ValueError (not arbitrary exceptions) on
+    malformed rows and parses blank-line-littered files."""
+    import pytest as _pytest
+
+    from mmbidaf_tpu.data import benchmarks
+
+    ok = tmp_path / "ok.tsv"
+    ok.write_text("\n\nv1\tcat\t1,2,3\n\nv1\tcat\t2,3,4\n\n")
+    out = benchmarks.load_tvsum_anno_tsv(str(ok))
+    assert list(out) == ["v1"] and out["v1"].shape == (3,)
+
+    for i, bad in enumerate(["v1\tonly2", "v1\tcat\t", "v1\tcat\tx,y,z"]):
+        p = tmp_path / f"bad{i}.tsv"
+        p.write_text(bad + "\n")
+        with _pytest.raises(ValueError):
+            benchmarks.load_tvsum_anno_tsv(str(p))
+
+
+def test_wav_decode_fuzz(rng):
+    """Native wav_decode returns -1 (then the Python fallback raises a
+    clean error) rather than crashing on truncated/garbage RIFF data."""
+    import pytest as _pytest
+
+    from mmbidaf_tpu.native import wav_decode
+
+    garbage = [
+        b"", b"RIFF", b"RIFF\x00\x00\x00\x00WAVE",
+        b"RIFF" + bytes(40),  # no WAVE tag
+        bytes(rng.integers(0, 256, size=100, dtype=np.uint8)),
+    ]
+    for data in garbage:
+        with _pytest.raises(Exception):
+            wav_decode(data)  # stdlib wave fallback raises on all of these
