@@ -270,3 +270,44 @@ def test_keyshot_from_files(tmp_path):
     assert f1 == 1.0
     # annotations absent → None
     assert benchmarks.keyshot_from_files(str(tmp_path), ["x"]) is None
+
+
+@pytest.mark.slow
+def test_benchmark_corpus_trains_and_evals(tmp_path):
+    """Full benchmark workflow: import (tsv + vtt) → train.py on the
+    emitted corpus → infer.py reports ROUGE + keyshot-F1."""
+    subs = tmp_path / "subs"
+    subs.mkdir()
+    for vid in ("vidA", "vidB"):
+        (subs / f"{vid}.vtt").write_text(VTT)
+    anno = tmp_path / "anno.tsv"
+    anno.write_text(
+        "vidA\tVT\t" + ",".join("1 1 1 1 5 5 5 5 1 1 1 1".split()) + "\n"
+        "vidB\tGA\t" + ",".join("4 4 4 4 1 1 1 1 2 2 2 2".split()) + "\n"
+    )
+    out = tmp_path / "corpus"
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "import_benchmark.py"),
+         "--dataset", "tvsum", "--anno", str(anno), "--subs", str(subs),
+         "--out", str(out)],
+        capture_output=True, text=True, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr
+    r = subprocess.run(
+        [sys.executable, "train.py", "--data_dir", str(out), "--vgg", "tiny",
+         "--config_json", "examples/tiny_config.json", "--num_steps", "6",
+         "--eval_steps", "5", "--save_dir", str(tmp_path / "run")],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    r = subprocess.run(
+        [sys.executable, "infer.py", "--data_dir", str(out),
+         "--load_dir", str(tmp_path / "run" / "mmbidaf" / "ckpts"),
+         "--batch_size", "2"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "keyshot-F1" in r.stdout and "ROUGE-L" in r.stdout
