@@ -322,3 +322,37 @@ def test_train_persists_vocab_and_from_run(tmp_path, synthetic_corpus):
     )
     assert r3.returncode == 0, r3.stderr[-2000:]
     assert "videos scored" in r3.stdout
+
+
+@pytest.mark.slow
+def test_train_cli_warm_start_load_path(tmp_path):
+    """--load_path warm-starts params/EMA from another run (fresh step);
+    same-run auto-resume still takes precedence."""
+    base = [
+        sys.executable, "train.py",
+        "--hidden_size", "12", "--batch_size", "4",
+        "--max_sentences", "6", "--max_words", "5",
+        "--optimizer", "adam", "--lr", "1e-3", "--drop_prob", "0.0",
+    ]
+    a_dir, b_dir = str(tmp_path / "a"), str(tmp_path / "b")
+    r = subprocess.run(base + ["--num_steps", "6", "--eval_steps", "5",
+                               "--save_dir", a_dir],
+                       cwd=REPO, env=_cpu_env(), capture_output=True,
+                       text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    ckpts = os.path.join(a_dir, "mmbidaf", "ckpts")
+    r = subprocess.run(base + ["--num_steps", "6", "--eval_steps", "5",
+                               "--save_dir", b_dir, "--load_path", ckpts],
+                       cwd=REPO, env=_cpu_env(), capture_output=True,
+                       text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "warm-started params from" in r.stdout
+    assert "resumed from step" not in r.stdout  # fresh step counter
+    # rerun run B: its OWN checkpoints now exist → auto-resume wins
+    r = subprocess.run(base + ["--num_steps", "3", "--eval_steps", "50",
+                               "--save_dir", b_dir, "--load_path", ckpts],
+                       cwd=REPO, env=_cpu_env(), capture_output=True,
+                       text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "resumed from step 5" in r.stdout
+    assert "warm-started" not in r.stdout

@@ -66,6 +66,11 @@ def parse_args():
     ap.add_argument("--eval_steps", type=int, default=200)
     ap.add_argument("--seed", type=int, default=224)
     ap.add_argument("--save_dir", default="./runs")
+    ap.add_argument("--load_path", default=None,
+                    help="warm-start params/EMA from another run's ckpts dir "
+                         "(fresh optimizer/step — the reference's --load_path "
+                         "fine-tune flag); same-run auto-resume wins if the "
+                         "save_dir already has checkpoints")
     ap.add_argument("--name", default="mmbidaf")
     ap.add_argument("--max_checkpoints", type=int, default=5)
     ap.add_argument("--metric_name", default="loss")
@@ -89,7 +94,8 @@ _DATA_KEYS = ("max_sentences", "max_words")
 _TRAIN_KEYS = (
     "batch_size", "lr", "optimizer", "max_grad_norm", "grad_accum_steps",
     "ema_decay", "l2_wd",
-    "eval_steps", "seed", "save_dir", "name", "max_checkpoints", "metric_name",
+    "eval_steps", "seed", "save_dir", "load_path", "name", "max_checkpoints",
+    "metric_name",
 )
 
 
@@ -141,6 +147,7 @@ def build_config(a, defaults):
             eval_steps=a.eval_steps,
             seed=a.seed,
             save_dir=a.save_dir,
+            load_path=a.load_path,
             name=a.name,
             max_checkpoints=a.max_checkpoints,
             metric_name=a.metric_name,
@@ -297,6 +304,18 @@ def main():
     if restored is not None:
         state = restored
         print(f"resumed from step {int(state.step)}")
+    elif cfg.train.load_path:
+        # Warm start (the reference's --load_path): params + EMA from
+        # another run's checkpoints, fresh optimizer/step in THIS run.
+        src = ckpt.make_manager(cfg.train.load_path)
+        warm = ckpt.restore_latest(src, state)
+        if warm is None:
+            raise SystemExit(f"no checkpoint found in {cfg.train.load_path}")
+        state = dataclasses.replace(
+            state, params=warm.params, ema_params=warm.ema_params
+        )
+        print(f"warm-started params from {cfg.train.load_path} "
+              f"(source step {int(warm.step)})")
 
     train_step = make_train_step(
         cfg, fe_params=fe_params,
