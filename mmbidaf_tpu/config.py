@@ -103,7 +103,9 @@ class TrainConfig:
     eval_steps: int = 500
     seed: int = 224
     metric_name: str = "ROUGE-L"
-    maximize_metric: bool = True
+    # None → inferred from metric_name (loss minimizes, ROUGE maximizes);
+    # set explicitly for custom metrics.
+    maximize_metric: bool | None = None
     max_checkpoints: int = 5
     save_dir: str = "./runs"
     name: str = "mmbidaf"

@@ -63,7 +63,8 @@ def mmbidaf_init(key: jax.Array, cfg: Config, word_vectors: jax.Array) -> dict:
     bound = 1.0 / jnp.sqrt(fuse_in)
     params["fuse_w"] = jax.random.uniform(keys[7], (fuse_in, 2 * h), jnp.float32, -bound, bound)
     params["fuse_b"] = jnp.zeros((2 * h,), jnp.float32)
-    params["model_lstm"] = bilstm_init(keys[8], 2 * h, h)
+    if m.fusion == "concat_linear_bilstm":
+        params["model_lstm"] = bilstm_init(keys[8], 2 * h, h)
     return params
 
 
@@ -95,10 +96,28 @@ def encode_text(
 
 
 def fuse_and_model(
-    params: dict, gs: list[jax.Array], sent_mask: jax.Array, bilstm_fn=bilstm_apply
+    params: dict,
+    gs: list[jax.Array],
+    sent_mask: jax.Array,
+    bilstm_fn=bilstm_apply,
+    fusion: str = "concat_linear_bilstm",
 ) -> jax.Array:
+    """Fuse the per-modality attention outputs. SURVEY §3.1 marks the
+    reference's exact fusion op [K-med] as "concat + linear and/or a
+    modeling BiLSTM" — both variants are supported so either reading of
+    the reference ports cleanly:
+
+      "concat_linear_bilstm" (default): concat → linear+relu → modeling
+          BiLSTM (the squad-starter-style modeling layer).
+      "concat_linear": concat → linear+relu only (M is the fused vector;
+          no modeling recurrence — the model_lstm params are unused).
+    """
     g = jnp.concatenate(gs, axis=-1) if len(gs) > 1 else gs[0]
     fused = jax.nn.relu(g @ params["fuse_w"] + params["fuse_b"])
+    if fusion == "concat_linear":
+        return fused * sent_mask[:, :, None]
+    if fusion != "concat_linear_bilstm":
+        raise ValueError(f"unknown fusion {fusion!r}")
     M, _ = bilstm_fn(params["model_lstm"], fused, sent_mask)
     return M
 
@@ -196,7 +215,9 @@ def mmbidaf_fused_reps(
             _bidaf(params["att_self"], text_enc, text_enc, sent_mask,
                    sent_mask, drop, rngs[3], cfg)
         )
-    return fuse_and_model(params, gs, sent_mask, bilstm_fn).astype(jnp.float32)
+    return fuse_and_model(
+        params, gs, sent_mask, bilstm_fn, fusion=m.fusion
+    ).astype(jnp.float32)
 
 
 def mmbidaf_apply(

@@ -284,3 +284,22 @@ def test_grad_accumulation_raw_frontend_path():
         ),
         s1.params, s2.params,
     )
+
+
+def test_concat_linear_fusion_variant():
+    """ModelConfig.fusion="concat_linear" (SURVEY §3.1's other plausible
+    reading of the reference's fusion op) trains and decodes without the
+    modeling BiLSTM."""
+    cfg, rng, _ = _setup(seed=11)
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, fusion="concat_linear")
+    )
+    wv = random_word_vectors(rng, cfg.data.vocab_size, cfg.model.emb_dim)
+    params = mmbidaf_init(jax.random.key(11), cfg, jnp.asarray(wv))
+    assert "model_lstm" not in params
+    state = init_train_state(jax.random.key(12), params, cfg)
+    batch = {k: jnp.asarray(v) for k, v in synthetic_batch(rng, cfg, batch_size=2).items()}
+    state, metrics = make_train_step(cfg)(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    out = make_eval_step(cfg)(state.ema_params, batch)
+    assert np.asarray(out["picks"]).shape == (2, cfg.model.max_decode_steps)

@@ -294,11 +294,16 @@ def main():
     )
 
     ckpt.save_config(run_dir, cfg)
+    maximize = (
+        cfg.train.maximize_metric
+        if cfg.train.maximize_metric is not None
+        else cfg.train.metric_name not in ("loss",)
+    )
     manager = ckpt.make_manager(
         os.path.join(run_dir, "ckpts"),
         cfg.train.max_checkpoints,
         cfg.train.metric_name,
-        maximize=cfg.train.metric_name not in ("loss",),
+        maximize=maximize,
     )
     restored = ckpt.restore_latest(manager, state)
     if restored is not None:
