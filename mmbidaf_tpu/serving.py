@@ -15,6 +15,7 @@ pointer decode); host work is container decode + summary assembly.
 from __future__ import annotations
 
 import os
+import threading
 from typing import Sequence
 
 import numpy as np
@@ -96,6 +97,9 @@ class Summarizer:
         # size so XLA compiles ONE program instead of one per request size.
         self.serve_batch_size = serve_batch_size
         self._rng = jax.random.key(seed)
+        # topk's rng split is the one piece of mutable state; callers may
+        # share one Summarizer across threads
+        self._rng_lock = threading.Lock()
         self._featurize = None  # lazy jitted frontend for summarize_long
         d = cfg.data
         self._num_audio_samples = d.max_audio_frames * d.hop_length + d.win_length
@@ -240,7 +244,8 @@ class Summarizer:
         if self.mode in ("greedy", "beam"):
             log_p, picks = self._decode(self.params, self.fe_params, raw)
         else:
-            self._rng, k = jax.random.split(self._rng)
+            with self._rng_lock:
+                self._rng, k = jax.random.split(self._rng)
             log_p, picks = self._decode_topk(self.params, self.fe_params, raw, k)
         picks = np.asarray(picks)
         if not with_scores:
