@@ -47,6 +47,7 @@ class ModelConfig:
     # the training path — 2.74x measured step throughput (BASELINE.md).
     use_pallas_attention: bool = False
     use_pallas_lstm: bool = False
+    use_pallas_melspec: bool = False
     # Winograd F(2x2,3x3) for the VGG conv stack (2.25x fewer MACs than the
     # direct conv XLA emits; ~1e-2 rel. error in bf16 — ops/winograd.py).
     # Off by default: exact-parity runs use the XLA conv.

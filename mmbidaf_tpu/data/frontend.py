@@ -84,6 +84,7 @@ def apply_frontend(
             d.hop_length,
             d.max_audio_frames,
             feature="mfcc",
+            fused=cfg.model.use_pallas_melspec,
         )
         out["audio"] = feats * raw["aud_mask"][:, :, None]
         out["aud_mask"] = raw["aud_mask"]

@@ -169,7 +169,7 @@ def mfcc(frames: jax.Array, consts: dict) -> jax.Array:
     return power_to_db(melspectrogram(frames, consts)) @ consts["dct"]
 
 
-@partial(jax.jit, static_argnames=("win_length", "hop_length", "num_frames", "feature"))
+@partial(jax.jit, static_argnames=("win_length", "hop_length", "num_frames", "feature", "fused"))
 def waveform_to_features(
     signal: jax.Array,
     consts: dict,
@@ -177,9 +177,25 @@ def waveform_to_features(
     hop_length: int,
     num_frames: int,
     feature: str = "mfcc",
+    fused: bool = False,
 ) -> jax.Array:
-    """End-to-end device-side audio frontend: ``[B, N] → [B, T, n_feat]``."""
+    """End-to-end device-side audio frontend: ``[B, N] → [B, T, n_feat]``.
+
+    ``fused=True`` routes the window∘DFT∘|·|²∘mel front through the single
+    Pallas pass (`ops.pallas.melspec_kernel`) — the power spectrum never
+    touches HBM and the op-dispatch chain collapses; the tiny dB/DCT (or
+    log) tail stays in jnp. Numerically identical math in f32.
+    """
     frames = frame_signal(signal, win_length, hop_length, num_frames)
+    if fused:
+        from mmbidaf_tpu.ops.pallas.melspec_kernel import log_mel_fused
+
+        if feature == "logmel":
+            return log_mel_fused(frames, consts, log=True)
+        if feature == "mfcc":
+            mel = log_mel_fused(frames, consts, log=False)
+            return power_to_db(mel) @ consts["dct"]
+        raise ValueError(f"unknown feature {feature!r}")
     if feature == "mfcc":
         return mfcc(frames, consts)
     if feature == "logmel":

@@ -21,23 +21,26 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _logmel_kernel(frames_ref, cos_ref, sin_ref, mel_ref, out_ref):
+def _melspec_kernel(frames_ref, cos_ref, sin_ref, mel_ref, out_ref, *, log: bool):
     frames = frames_ref[:]            # [TILE, win]
     re = jnp.dot(frames, cos_ref[:], preferred_element_type=jnp.float32)
     im = jnp.dot(frames, sin_ref[:], preferred_element_type=jnp.float32)
     power = re * re + im * im         # [TILE, bins] — stays in VMEM
     mel = jnp.dot(power, mel_ref[:], preferred_element_type=jnp.float32)
-    out_ref[:] = jnp.log(mel + 1e-6)
+    out_ref[:] = jnp.log(mel + 1e-6) if log else mel
 
 
-@partial(jax.jit, static_argnames=("tile_n", "interpret"))
+@partial(jax.jit, static_argnames=("tile_n", "interpret", "log"))
 def log_mel_fused(
     frames: jax.Array,
     consts: dict,
     tile_n: int = 128,
     interpret: bool | None = None,
+    log: bool = True,
 ) -> jax.Array:
-    """``[..., win] → [..., n_mels]`` natural-log mel, fused single pass.
+    """``[..., win] → [..., n_mels]`` fused single pass: natural-log mel
+    (``log=True``, the NN-frontend variant) or raw mel power (``log=False``
+    — the MFCC path applies its global-max dB + DCT outside, which is tiny).
 
     Leading dims are flattened into the frame axis and padded to a tile
     multiple (padded rows are discarded on return). ``interpret=None``
@@ -68,7 +71,7 @@ def log_mel_fused(
         out_specs=pl.BlockSpec((tile_n, n_mels), lambda i: (i, 0), memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
-        _logmel_kernel,
+        partial(_melspec_kernel, log=log),
         out_shape=jax.ShapeDtypeStruct((n_total, n_mels), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,

@@ -385,3 +385,52 @@ def test_pallas_conv3x3_db_matches_lax(rng):
     ref = jnp.maximum(ref, 0.0)
     out = conv3x3_same_db(x, w, b, tile_h=4, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_fused_mfcc_path_matches_jnp(rng):
+    """fused=True waveform_to_features (mel through the Pallas pass, dB/DCT
+    tail in jnp) == the plain matmul-DFT path, for mfcc and logmel."""
+    sr, n_fft, win, hop, T = 16000, 64, 48, 16, 32
+    consts = audio.make_audio_frontend_consts(sr, n_fft, win, 12, 8)
+    sig = jnp.asarray(
+        rng.standard_normal((2, T * hop + win)).astype(np.float32)
+    )
+    for feature in ("mfcc", "logmel"):
+        ref = audio.waveform_to_features(sig, consts, win, hop, T, feature=feature)
+        fused = audio.waveform_to_features(
+            sig, consts, win, hop, T, feature=feature, fused=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(fused), np.asarray(ref), rtol=2e-4, atol=1e-5,
+            err_msg=feature,
+        )
+
+
+def test_frontend_uses_fused_melspec_flag(rng):
+    """apply_frontend with use_pallas_melspec produces the same features."""
+    import dataclasses
+
+    from mmbidaf_tpu.config import tiny_test_config
+    from mmbidaf_tpu.data.frontend import apply_frontend, frontend_init
+    from mmbidaf_tpu.ops.vgg import TINY_SPEC
+
+    cfg = tiny_test_config()
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, img_feat_dim=32,
+                                       audio_feat_dim=cfg.data.n_mfcc)
+    )
+    d = cfg.data
+    fe = frontend_init(jax.random.key(0), cfg, vgg_spec=TINY_SPEC)
+    n = d.max_audio_frames * d.hop_length + d.win_length
+    raw = {
+        "waveform": jnp.asarray(rng.standard_normal((2, n)).astype(np.float32)),
+        "aud_mask": jnp.ones((2, d.max_audio_frames), jnp.float32),
+    }
+    ref = apply_frontend(fe, raw, cfg, TINY_SPEC)
+    cfg_f = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, use_pallas_melspec=True)
+    )
+    fused = apply_frontend(fe, raw, cfg_f, TINY_SPEC)
+    np.testing.assert_allclose(
+        np.asarray(fused["audio"]), np.asarray(ref["audio"]), rtol=2e-4, atol=1e-5
+    )
