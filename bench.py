@@ -15,10 +15,28 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+
+def enable_compilation_cache():
+    """Point JAX's persistent compilation cache at a repo-local directory.
+
+    The axon backend supports executable serialization, so a cache hit skips
+    the remote server compile entirely (measured: VGG-sized programs compile
+    in ~10 min cold server-side; a local cache hit deserializes in ms). The
+    driver's end-of-round `python bench.py` then hits the cache the builder's
+    final warm-up run populated, regardless of server-side cache eviction.
+    """
+    import jax
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 
 def build_bench_config(quick: bool):
@@ -119,6 +137,13 @@ def bench_jax(cfg, batch_size: int, iters: int, vgg_spec) -> dict:
     # ~100 MB of frames through this tunnelled backend costs minutes of wall
     # clock and is not part of the measured pipeline (the slope timing below
     # excludes one-time transfers anyway).
+    # First device computation pays the relay claim/handshake (measured
+    # 150-220 s in a fresh process, independent of program size); flush it
+    # on a trivial op so `compile_s` reports compilation, not the claim.
+    t0 = time.perf_counter()
+    jax.device_get(jnp.zeros((), jnp.float32) + 1.0)
+    claim_s = time.perf_counter() - t0
+
     raw = make_raw_batch_on_device(cfg, batch_size)
 
     @jax.jit
@@ -167,6 +192,7 @@ def bench_jax(cfg, batch_size: int, iters: int, vgg_spec) -> dict:
         "p50_batch_latency_s": per_batch,
         "amortized_s_per_video": per_batch / batch_size,
         "compile_s": compile_s,
+        "claim_s": claim_s,
         "fixed_overhead_s": max(t_lo - per_batch, 0.0),
         "n_chips": n_chips,
         "backend": jax.default_backend(),
@@ -230,8 +256,17 @@ def bench_torch_baseline(cfg, videos: int, vgg_spec, frame_hw=(240, 320)) -> dic
                 aud_mask=torch.from_numpy(raw["aud_mask"][v : v + 1]),
             )
             times.append(time.perf_counter() - t0)
-    per_video = float(np.median(times[1:]))  # drop the warmup video
-    return {"videos_per_sec": 1.0 / per_video, "p50_per_video_latency_s": per_video}
+    t = np.asarray(times[1:])  # drop the warmup video
+    per_video = float(np.median(t))
+    # Run-to-run baseline drift is ~±20% (BASELINE.md); report the spread so
+    # the headline ratio carries its real uncertainty, not 4 significant
+    # digits off a noisy denominator.
+    return {
+        "videos_per_sec": 1.0 / per_video,
+        "p50_per_video_latency_s": per_video,
+        "videos_per_sec_range": [1.0 / float(t.max()), 1.0 / float(t.min())],
+        "n_videos": len(t),
+    }
 
 
 def main():
@@ -239,7 +274,7 @@ def main():
     ap.add_argument("--quick", action="store_true", help="small shapes (CI smoke)")
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--iters", type=int, default=5)
-    ap.add_argument("--baseline-videos", type=int, default=1)
+    ap.add_argument("--baseline-videos", type=int, default=5)
     ap.add_argument("--skip-baseline", action="store_true")
     args = ap.parse_args()
 
@@ -249,30 +284,38 @@ def main():
     vgg_spec = TINY_SPEC if args.quick else VGG16_SPEC
     batch = args.batch or (8 if args.quick else 32)
 
+    enable_compilation_cache()
     jax_res = bench_jax(cfg, batch, args.iters, vgg_spec)
 
     if args.skip_baseline:
-        baseline_vps = None
+        baseline_vps = base_range = None
     else:
         base_res = bench_torch_baseline(cfg, args.baseline_videos, vgg_spec)
         baseline_vps = base_res["videos_per_sec"]
+        base_range = base_res["videos_per_sec_range"]
 
+    vps = jax_res["videos_per_sec_per_chip"]
     result = {
         "metric": "videos_per_sec_per_chip",
-        "value": round(jax_res["videos_per_sec_per_chip"], 3),
+        "value": round(vps, 3),
         "unit": "videos/s",
-        "vs_baseline": (
-            round(jax_res["videos_per_sec_per_chip"] / baseline_vps, 2)
-            if baseline_vps
+        "vs_baseline": round(vps / baseline_vps, 1) if baseline_vps else None,
+        # the honest uncertainty band: ratio against the fastest/slowest
+        # measured baseline video (baseline drift dominates; see BASELINE.md)
+        "vs_baseline_range": (
+            [round(vps / base_range[1], 1), round(vps / base_range[0], 1)]
+            if base_range
             else None
         ),
         "p50_batch_latency_s": round(jax_res["p50_batch_latency_s"], 4),
         "amortized_s_per_video": round(jax_res["amortized_s_per_video"], 5),
         "baseline_videos_per_sec_cpu": round(baseline_vps, 3) if baseline_vps else None,
+        "baseline_videos": None if args.skip_baseline else base_res["n_videos"],
         "batch_size": batch,
         "backend": jax_res["backend"],
         "n_chips": jax_res["n_chips"],
         "compile_s": round(jax_res["compile_s"], 1),
+        "claim_s": round(jax_res["claim_s"], 1),
     }
     print(json.dumps(result))
 

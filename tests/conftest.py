@@ -31,6 +31,16 @@ if jax.default_backend() != "cpu":
 
 assert jax.default_backend() == "cpu", "tests must run on the CPU backend"
 
+# Persistent compilation cache for the CPU test mesh: repeated full-suite
+# runs skip recompiling the (many) jitted programs. Kept separate from the
+# TPU bench cache (.jax_cache) so neither evicts the other's entries.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache_cpu"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
