@@ -60,6 +60,15 @@ def main():
                     help="windowed decode for transcripts beyond the "
                          "max_sentences bucket (Summarizer.summarize_long); "
                          "requires --data_dir")
+    # mesh / parallelism overrides (default: the run config's MeshConfig)
+    ap.add_argument("--sp_audio", type=int, choices=[0, 1], default=None,
+                    help="1: sequence-parallel audio tower over the 'seq' "
+                         "mesh axis (needs --data_dir raw batches); "
+                         "0: force the local tower even if the run config "
+                         "trained with sp_audio")
+    ap.add_argument("--num_seq", type=int, default=None,
+                    help="devices on the 'seq' mesh axis (override the run "
+                         "config, e.g. when serving hardware differs)")
     a = ap.parse_args()
 
     from mmbidaf_tpu.config import Config, config_from_json
@@ -86,7 +95,20 @@ def main():
             cfg, model=dataclasses.replace(cfg.model, hidden_size=a.hidden_size)
         )
 
-    mesh = make_mesh()
+    mesh_over = {}
+    if a.sp_audio is not None:
+        mesh_over["sp_audio"] = bool(a.sp_audio)
+    if a.num_seq is not None:
+        mesh_over["num_seq"] = a.num_seq
+    if mesh_over:
+        cfg = dataclasses.replace(cfg, mesh=dataclasses.replace(cfg.mesh, **mesh_over))
+    mesh = make_mesh(cfg.mesh)
+    sp = cfg.mesh.sp_audio and cfg.model.use_audio
+    if sp and not a.data_dir:
+        raise SystemExit(
+            "--sp_audio needs raw waveform batches: pass --data_dir "
+            "(or --sp_audio 0 to force the local tower)"
+        )
     np_rng = np.random.default_rng(a.seed)
     corpus = fe_params = vgg_spec = None
     if a.data_dir:
@@ -127,21 +149,34 @@ def main():
         state = restored
         print(f"loaded step {int(state.step)}")
 
+    audio_g_fn = None
+    if sp:
+        from mmbidaf_tpu.parallel.sp_tower import make_sp_audio_tower
+
+        # batch replicated inside the SP stages (inference batches are
+        # arbitrary sizes; train.py uses the batch-sharded composition)
+        audio_g_fn = make_sp_audio_tower(mesh, cfg, use_batch_axis=False)
+
     if a.mode == "topk":
         from mmbidaf_tpu.models.mmbidaf import mmbidaf_decode
 
         def eval_step(params, batch, _rng=[jax.random.key(a.seed)]):
             _rng[0], k = jax.random.split(_rng[0])
-            _, picks = mmbidaf_decode(params, batch, cfg, mode="topk", topk=a.topk, rng=k)
+            _, picks = mmbidaf_decode(
+                params, batch, cfg, mode="topk", topk=a.topk, rng=k,
+                audio_g_fn=audio_g_fn,
+            )
             return {"picks": picks}
     elif a.mode == "beam":
         from mmbidaf_tpu.models.mmbidaf import mmbidaf_decode
 
         def eval_step(params, batch):
-            _, picks = mmbidaf_decode(params, batch, cfg, mode="beam", topk=a.topk)
+            _, picks = mmbidaf_decode(
+                params, batch, cfg, mode="beam", topk=a.topk, audio_g_fn=audio_g_fn
+            )
             return {"picks": picks}
     else:
-        eval_step = make_eval_step(cfg)
+        eval_step = make_eval_step(cfg, audio_g_fn=audio_g_fn)
 
     if a.long:
         if corpus is None:
@@ -181,7 +216,9 @@ def main():
         from mmbidaf_tpu.data.frontend import apply_frontend
         from mmbidaf_tpu.data.pipeline import collate
 
-        featurize = jax.jit(lambda r: apply_frontend(fe_params, r, cfg, vgg_spec))
+        featurize = jax.jit(lambda r: apply_frontend(
+            fe_params, r, cfg, vgg_spec, sp_audio=audio_g_fn is not None
+        ))
         agg = {"ROUGE-1": 0.0, "ROUGE-2": 0.0, "ROUGE-L": 0.0}
         n_scored = 0
         keyshot = _KeyshotMeter()

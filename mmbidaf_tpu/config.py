@@ -118,9 +118,21 @@ class MeshConfig:
     """Device-mesh layout (SURVEY.md §3.3). DCN-aware but single-host now."""
 
     data_axis: str = "data"
-    num_data: int = -1            # -1 → all local devices
+    num_data: int = -1            # -1 → remaining local devices
     dcn_axis: str = "dcn"
     num_dcn: int = 1              # multi-host is a config change, not a rewrite
+    # Sequence parallelism for the audio tower (SURVEY §3.3 "SP/CP" row:
+    # "YES as an option for the audio FFT stage"). num_seq > 1 adds a 'seq'
+    # mesh axis; sp_audio routes the audio tower through the sharded chain
+    # SP-MFCC → SP-BiLSTM → ring-BiDAF (parallel/sp_tower.py) with the frame
+    # axis sharded over 'seq' and never gathered. Batch stays sharded over
+    # 'data', so DP x SP composes ((num_dcn x) num_data x num_seq devices).
+    # Dtype: the SP frontend + ring attention compute in f32 internally
+    # (DFT and softmax-stat numerics); under compute_dtype=bfloat16 the
+    # operands are cast at the stage boundaries.
+    seq_axis: str = "seq"
+    num_seq: int = 1
+    sp_audio: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

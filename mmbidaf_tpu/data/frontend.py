@@ -40,6 +40,7 @@ def apply_frontend(
     raw: Mapping[str, jax.Array],
     cfg: Config,
     vgg_spec=vgg_ops.VGG16_SPEC,
+    sp_audio: bool = False,
 ) -> dict:
     """Raw batch → model-ready feature batch (jittable).
 
@@ -47,6 +48,10 @@ def apply_frontend(
       frames   [B, T_i, H, W, 3] uint8   raw keyframes
       waveform [B, N] float32            raw audio (padded)
       text_ids/word_mask/sent_mask/img_mask/aud_mask: as in the model batch
+
+    ``sp_audio=True`` (MeshConfig.sp_audio): the waveform passes through raw
+    — the sequence-parallel tower (parallel/sp_tower.py) featurizes it
+    inside the model with the frame axis sharded over the ``seq`` mesh axis.
     """
     d = cfg.data
     compute_dtype = jnp.dtype(cfg.model.compute_dtype)
@@ -76,7 +81,10 @@ def apply_frontend(
         ).astype(jnp.float32)
         out["images"] = feats.reshape(B, T_i, -1) * raw["img_mask"][:, :, None]
         out["img_mask"] = raw["img_mask"]
-    if cfg.model.use_audio and "waveform" in raw:
+    if cfg.model.use_audio and "waveform" in raw and sp_audio:
+        out["waveform"] = raw["waveform"]
+        out["aud_mask"] = raw["aud_mask"]
+    elif cfg.model.use_audio and "waveform" in raw:
         feats = audio_ops.waveform_to_features(
             raw["waveform"],
             fe_params["audio_consts"],
@@ -91,13 +99,20 @@ def apply_frontend(
     return out
 
 
-def make_end_to_end_decode(cfg: Config, vgg_spec=vgg_ops.VGG16_SPEC):
-    """One jitted program: raw video batch → summary sentence indices."""
+def make_end_to_end_decode(cfg: Config, vgg_spec=vgg_ops.VGG16_SPEC, audio_g_fn=None):
+    """One jitted program: raw video batch → summary sentence indices.
+
+    ``audio_g_fn`` routes the audio tower through the sequence-parallel
+    chain (``MeshConfig.sp_audio``); the frontend then passes the raw
+    waveform through for the tower to featurize sharded.
+    """
     from mmbidaf_tpu.models.mmbidaf import mmbidaf_decode
 
     @jax.jit
     def end_to_end(params: dict, fe_params: dict, raw: Mapping[str, jax.Array]):
-        batch = apply_frontend(fe_params, raw, cfg, vgg_spec)
-        return mmbidaf_decode(params, batch, cfg)
+        batch = apply_frontend(
+            fe_params, raw, cfg, vgg_spec, sp_audio=audio_g_fn is not None
+        )
+        return mmbidaf_decode(params, batch, cfg, audio_g_fn=audio_g_fn)
 
     return end_to_end

@@ -154,9 +154,14 @@ def _bidaf(att_params, c, q, c_mask, q_mask, drop, rng, cfg: Config):
 
 def _cast_compute(params: dict, batch: Mapping[str, jax.Array], dtype) -> tuple[dict, dict]:
     """Cast float params + batch features to the compute dtype (bf16 path:
-    halves HBM traffic and doubles MXU rate; masks/ids stay as-is)."""
+    halves HBM traffic and doubles MXU rate; masks/ids stay as-is). The raw
+    waveform stays f32 — when the SP audio tower is wired in, its matmul-DFT
+    frontend runs in f32 like the local frontend does (sp_tower.py)."""
     cast = lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x
-    return jax.tree.map(cast, params), {k: cast(v) for k, v in batch.items()}
+    return (
+        jax.tree.map(cast, params),
+        {k: v if k == "waveform" else cast(v) for k, v in batch.items()},
+    )
 
 
 def mmbidaf_fused_reps(
@@ -164,11 +169,17 @@ def mmbidaf_fused_reps(
     batch: Mapping[str, jax.Array],
     cfg: Config,
     rng: jax.Array | None = None,
+    audio_g_fn=None,
 ) -> jax.Array:
     """Everything up to (and including) the fused sentence reps ``M``.
 
     With ``compute_dtype='bfloat16'`` the towers + attention run in bf16 and
     ``M`` is returned in f32 (the pointer decoder's log-softmax stays f32).
+
+    ``audio_g_fn`` (built by ``parallel.sp_tower.make_sp_audio_tower`` when
+    ``MeshConfig.sp_audio`` is set) replaces the local audio tower with the
+    sequence-parallel chain; the batch then carries the raw ``waveform``
+    instead of precomputed ``audio`` features.
     """
     m = cfg.model
     compute_dtype = jnp.dtype(m.compute_dtype)
@@ -205,11 +216,14 @@ def mmbidaf_fused_reps(
                    batch["img_mask"], drop, rngs[1], cfg)
         )
     if m.use_audio:
-        aud_enc, _ = bilstm_fn(params["aud_lstm"], batch["audio"], batch["aud_mask"])
-        gs.append(
-            _bidaf(params["att_aud"], text_enc, aud_enc, sent_mask,
-                   batch["aud_mask"], drop, rngs[2], cfg)
-        )
+        if audio_g_fn is not None:
+            gs.append(audio_g_fn(params, text_enc, batch, drop, rngs[2]))
+        else:
+            aud_enc, _ = bilstm_fn(params["aud_lstm"], batch["audio"], batch["aud_mask"])
+            gs.append(
+                _bidaf(params["att_aud"], text_enc, aud_enc, sent_mask,
+                       batch["aud_mask"], drop, rngs[2], cfg)
+            )
     if not gs:
         gs.append(
             _bidaf(params["att_self"], text_enc, text_enc, sent_mask,
@@ -225,9 +239,10 @@ def mmbidaf_apply(
     batch: Mapping[str, jax.Array],
     cfg: Config,
     rng: jax.Array | None = None,
+    audio_g_fn=None,
 ) -> jax.Array:
     """Training forward (teacher forcing) → log-probs ``[B, K, T_s]``."""
-    M = mmbidaf_fused_reps(params, batch, cfg, rng)
+    M = mmbidaf_fused_reps(params, batch, cfg, rng, audio_g_fn=audio_g_fn)
     log_p, _ = decoder_apply(
         params["decoder"],
         M,
@@ -247,12 +262,13 @@ def mmbidaf_decode(
     mode: str = "greedy",
     topk: int = 4,
     rng: jax.Array | None = None,
+    audio_g_fn=None,
 ) -> tuple[jax.Array, jax.Array]:
     """Inference → ``(log_probs [B,K,T_s], picks [B,K])``; greedy or top-k
     sampling (the reference's two decode modes), or ``mode='beam'`` beam
     search over sentence sequences (beam width = ``topk``; returns the
     best beam's total log-prob broadcast in place of per-step log_probs)."""
-    M = mmbidaf_fused_reps(params, batch, cfg, rng=None)
+    M = mmbidaf_fused_reps(params, batch, cfg, rng=None, audio_g_fn=audio_g_fn)
     if mode == "beam":
         from mmbidaf_tpu.models.decoder import decoder_beam_search
 

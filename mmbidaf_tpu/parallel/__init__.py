@@ -1,4 +1,5 @@
 from mmbidaf_tpu.parallel.sp_lstm import make_sp_bilstm  # noqa: F401
+from mmbidaf_tpu.parallel.sp_tower import make_sp_audio_tower  # noqa: F401
 from mmbidaf_tpu.parallel.mesh import (  # noqa: F401
     initialize_distributed,
     make_mesh,

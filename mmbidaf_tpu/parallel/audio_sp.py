@@ -33,6 +33,7 @@ def make_sp_audio_frontend(
     feature: str = "mfcc",
     axis: str | None = None,
     gather: bool = True,
+    batch_axis: str | None = None,
 ):
     """Build a jitted ``[B, N] waveform → [B, num_frames, n_feat]`` frontend
     whose frame axis is computed shard-parallel over ``axis`` (default: the
@@ -43,15 +44,22 @@ def make_sp_audio_frontend(
     — feeding a sequence-parallel BiLSTM (`sp_lstm.py`) and ring attention
     without ever materializing the long axis on one device; MFCC's
     per-example global dB reference becomes a ``pmax`` over the mesh axis.
+
+    ``batch_axis`` additionally shards the batch dim over that mesh axis
+    (DP × SP composition on a ``('data', 'seq')`` mesh).
     """
     axis = axis or mesh.axis_names[-1]
     n_dev = mesh.shape[axis]
-    assert num_frames % n_dev == 0, (
-        f"num_frames {num_frames} must divide over {n_dev} devices"
-    )
+    if num_frames % n_dev:
+        raise ValueError(
+            f"SP audio frontend: num_frames {num_frames} must be divisible "
+            f"by the {n_dev}-device {axis!r} mesh axis — pad the frame "
+            f"bucket (DataConfig.max_audio_frames) to a multiple of {n_dev}"
+        )
     frames_per_dev = num_frames // n_dev
     if feature not in ("mfcc", "logmel"):
         raise ValueError(f"unknown feature {feature!r}")
+    bspec = batch_axis  # leading-dim entry in the PartitionSpecs below
 
     def local_mel(signal: jax.Array) -> jax.Array:
         # signal arrives replicated: [B, N]; each device computes its slab.
@@ -68,8 +76,8 @@ def make_sp_audio_frontend(
         sharded = shard_map(
             local_mel,
             mesh=mesh,
-            in_specs=P(),            # waveform replicated
-            out_specs=P(None, axis),  # frame axis sharded over the mesh
+            in_specs=P(bspec),            # waveform replicated over seq
+            out_specs=P(bspec, axis),     # frame axis sharded over the mesh
             check_rep=False,
         )
 
@@ -78,7 +86,7 @@ def make_sp_audio_frontend(
             mel = sharded(signal)
             # Gather the frame axis for the (replicated-activation) model;
             # MFCC's dB/DCT tail runs after the gather (it is tiny).
-            mel = jax.lax.with_sharding_constraint(mel, NamedSharding(mesh, P()))
+            mel = jax.lax.with_sharding_constraint(mel, NamedSharding(mesh, P(bspec)))
             if feature == "logmel":
                 return jnp.log(mel + 1e-6)
             return power_to_db(mel) @ consts["dct"]
@@ -99,8 +107,8 @@ def make_sp_audio_frontend(
     sharded_full = shard_map(
         local_features,
         mesh=mesh,
-        in_specs=P(),
-        out_specs=P(None, axis),
+        in_specs=P(bspec),
+        out_specs=P(bspec, axis),
         check_rep=False,
     )
     return jax.jit(sharded_full)

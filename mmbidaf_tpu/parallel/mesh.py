@@ -22,25 +22,60 @@ from jax.sharding import AxisType, Mesh, NamedSharding, PartitionSpec as P
 from mmbidaf_tpu.config import MeshConfig
 
 
+SEQ_AXIS = "seq"  # conventional name; never used for batch sharding
+
+
 def make_mesh(cfg: MeshConfig = MeshConfig(), devices=None) -> Mesh:
     """Build the device mesh with Auto axis types (classic GSPMD propagation:
-    XLA resolves intermediate shardings and inserts collectives itself)."""
+    XLA resolves intermediate shardings and inserts collectives itself).
+
+    Axes, outer→inner: ``dcn`` (if num_dcn>1) × ``data`` × ``seq`` (if
+    num_seq>1). The ``seq`` axis carries the audio-tower sequence
+    parallelism (``MeshConfig.sp_audio``); batch sharding skips it.
+    """
     devices = list(devices if devices is not None else jax.devices())
-    n = len(devices) if cfg.num_data < 0 else cfg.num_data * max(cfg.num_dcn, 1)
-    devices = devices[:n]
-    if cfg.num_dcn > 1:
-        shape = (cfg.num_dcn, n // cfg.num_dcn)
-        return Mesh(
-            np.asarray(devices).reshape(shape),
-            (cfg.dcn_axis, cfg.data_axis),
-            axis_types=(AxisType.Auto, AxisType.Auto),
+    if cfg.seq_axis != SEQ_AXIS:
+        # batch_sharding identifies the SP axis by name; renaming it would
+        # silently shard the batch over the frame axis.
+        raise ValueError(f"seq_axis must be {SEQ_AXIS!r}, got {cfg.seq_axis!r}")
+    num_seq = max(cfg.num_seq, 1)
+    num_dcn = max(cfg.num_dcn, 1)
+    if cfg.num_data < 0:
+        num_data = len(devices) // (num_seq * num_dcn)
+        if num_data < 1:
+            raise ValueError(
+                f"mesh needs num_dcn*num_seq = {num_dcn * num_seq} devices, "
+                f"have {len(devices)}"
+            )
+    else:
+        num_data = cfg.num_data
+    n = num_dcn * num_data * num_seq
+    if n > len(devices):
+        raise ValueError(
+            f"mesh {num_dcn}x{num_data}x{num_seq} needs {n} devices, "
+            f"have {len(devices)}"
         )
-    return Mesh(np.asarray(devices), (cfg.data_axis,), axis_types=(AxisType.Auto,))
+    devices = devices[:n]
+    shape, names = [], []
+    if num_dcn > 1:
+        shape.append(num_dcn)
+        names.append(cfg.dcn_axis)
+    shape.append(num_data)
+    names.append(cfg.data_axis)
+    if num_seq > 1:
+        shape.append(num_seq)
+        names.append(cfg.seq_axis)
+    return Mesh(
+        np.asarray(devices).reshape(shape),
+        tuple(names),
+        axis_types=(AxisType.Auto,) * len(names),
+    )
 
 
 def _data_axes(mesh: Mesh) -> tuple[str, ...]:
-    """All mesh axes that shard the batch (dcn × data when 2-level)."""
-    return tuple(name for name in mesh.axis_names)
+    """All mesh axes that shard the batch (dcn × data when 2-level); the
+    ``seq`` axis shards the audio frame axis instead, never the batch."""
+    return tuple(name for name in mesh.axis_names if name != SEQ_AXIS)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -65,7 +100,7 @@ def shard_batch(batch: Mapping[str, Any], mesh: Mesh) -> dict:
 
     sh = batch_sharding(mesh)
     rep = replicated_sharding(mesh)
-    n = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    n = int(np.prod([mesh.shape[a] for a in _data_axes(mesh)]))
 
     def place(k, v):
         v = jnp.asarray(v) if not hasattr(v, "shape") else v

@@ -26,8 +26,6 @@ XLA overlaps the ppermute with the block compute.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax.experimental.shard_map import shard_map
@@ -36,11 +34,30 @@ from jax.sharding import Mesh, PartitionSpec as P
 NEG_INF = -1e30
 
 
-def make_ring_bidaf(mesh: Mesh, axis: str | None = None):
+def make_ring_bidaf(
+    mesh: Mesh,
+    axis: str | None = None,
+    batch_axis: str | None = None,
+    dropout: bool = False,
+):
     """Build ``ring_fn(params, c, q, c_mask, q_mask) → [B, T_c, 4D]``.
 
     ``c [B, T_c, D]`` / ``q [B, T_q, D]`` are sharded on their sequence axes
     over ``axis`` (padded here to divide the ring); params are replicated.
+    ``batch_axis`` shards the batch dim over that mesh axis (DP × SP).
+
+    ``dropout=True`` returns the training variant
+    ``ring_fn(params, c, q, cd, qd, c_mask, q_mask)`` where ``cd``/``qd``
+    are pre-dropped copies feeding ONLY the similarity matrix (reference
+    semantics: dropout perturbs S; the a/b outputs use undropped c/q —
+    same contract as the fused Pallas kernel's dropout variant). The caller
+    generates the bernoulli masks at full shape, so rng consumption matches
+    the local path exactly.
+
+    Dtype: operands are force-cast to f32 — the flash column/row softmax
+    stats and the similarity products need f32 range; under a bf16 model
+    the caller casts the (f32) output back at the stage boundary
+    (`sp_tower.py`), matching the fused Pallas kernel's f32-stats design.
     """
     axis = axis or mesh.axis_names[-1]
     n = mesh.shape[axis]
@@ -49,31 +66,50 @@ def make_ring_bidaf(mesh: Mesh, axis: str | None = None):
     def rotate(tree):
         return jax.tree.map(lambda x: jax.lax.ppermute(x, axis, perm), tree)
 
-    def local_body(w_c, w_q, w_cq, bias, c_loc, q_loc, cm_loc, qm_loc):
-        # c_loc [B, tc, D]; q_loc [B, tq, D]; masks [B, tc]/[B, tq]
+    def local_body(w_c, w_q, w_cq, bias, c_loc, q_loc, cd_loc, qd_loc, cm_loc, qm_loc):
+        # c_loc [B, tc, D]; q_loc [B, tq, D]; masks [B, tc]/[B, tq];
+        # cd/qd: the (maybe-dropped) similarity operands. When the caller is
+        # the no-dropout variant, cd/qd are None and the ring payload stays
+        # lean (no duplicate q rotation — collectives don't CSE post-SPMD).
         B, tq = qm_loc.shape
         D = c_loc.shape[-1]
+        cd = c_loc if cd_loc is None else cd_loc
 
-        def sim(q_cur):
-            s0 = (c_loc * w_c).sum(-1)[:, :, None]
-            s1 = (q_cur * w_q).sum(-1)[:, None, :]
+        def sim(qd_cur):
+            s0 = (cd * w_c).sum(-1)[:, :, None]
+            s1 = (qd_cur * w_q).sum(-1)[:, None, :]
             s2 = jnp.einsum(
-                "btd,bsd->bts", c_loc * w_cq, q_cur,
+                "btd,bsd->bts", cd * w_cq, qd_cur,
                 preferred_element_type=jnp.float32,
             )
             return s0 + s1 + s2 + bias                    # [B, tc, tq]
 
+        def split(payload):
+            """payload → (q_cur, qd_cur, qm_cur, rest...) with qd aliasing
+            q when the payload has no dropped copy."""
+            if qd_loc is None:
+                q_cur, qm_cur, *rest = payload
+                return q_cur, q_cur, qm_cur, rest
+            q_cur, qd_cur, qm_cur, *rest = payload
+            return q_cur, qd_cur, qm_cur, rest
+
+        def join(q_cur, qd_cur, qm_cur, rest):
+            head = (q_cur, qm_cur) if qd_loc is None else (q_cur, qd_cur, qm_cur)
+            return (*head, *rest)
+
         # ---- pass 1: ring the column-softmax stats with each q-shard ----
-        state = (
-            q_loc, qm_loc,
-            jnp.full((B, tq), NEG_INF, jnp.float32),      # running col max
-            jnp.zeros((B, tq), jnp.float32),              # running col denom
-            jnp.zeros((B, tq, D), jnp.float32),           # unnormalized s_colᵀ·c
+        state = join(
+            q_loc, qd_loc, qm_loc,
+            (
+                jnp.full((B, tq), NEG_INF, jnp.float32),  # running col max
+                jnp.zeros((B, tq), jnp.float32),          # running col denom
+                jnp.zeros((B, tq, D), jnp.float32),       # unnormalized s_colᵀ·c
+            ),
         )
         cm = cm_loc[:, :, None]
         for _ in range(n):
-            q_cur, qm_cur, cmax, cden, qc = state
-            Sc = cm * sim(q_cur) + (1.0 - cm) * NEG_INF
+            q_cur, qd_cur, qm_cur, (cmax, cden, qc) = split(state)
+            Sc = cm * sim(qd_cur) + (1.0 - cm) * NEG_INF
             blk_max = Sc.max(axis=1)
             new_max = jnp.maximum(cmax, blk_max)
             scale = jnp.exp(cmax - new_max)
@@ -82,8 +118,8 @@ def make_ring_bidaf(mesh: Mesh, axis: str | None = None):
             qc = qc * scale[..., None] + jnp.einsum(
                 "bts,btd->bsd", p, c_loc, preferred_element_type=jnp.float32
             )
-            state = rotate((q_cur, qm_cur, new_max, cden, qc))
-        q_home, qm_home, _, cden, qc = state
+            state = rotate(join(q_cur, qd_cur, qm_cur, (new_max, cden, qc)))
+        q_home, qd_home, qm_home, (_, cden, qc) = split(state)
         qcn = qc / jnp.maximum(cden, 1e-30)[..., None]
 
         # ---- pass 2: local flash row softmax over the rotating q-shards ----
@@ -92,11 +128,11 @@ def make_ring_bidaf(mesh: Mesh, axis: str | None = None):
         rden = jnp.zeros((B, tc), jnp.float32)
         a_acc = jnp.zeros((B, tc, D), jnp.float32)
         b_acc = jnp.zeros((B, tc, D), jnp.float32)
-        state2 = (q_home, qm_home, qcn)
+        state2 = join(q_home, qd_home, qm_home, (qcn,))
         for _ in range(n):
-            q_cur, qm_cur, qc_cur = state2
+            q_cur, qd_cur, qm_cur, (qc_cur,) = split(state2)
             qm = qm_cur[:, None, :]
-            Sr = qm * sim(q_cur) + (1.0 - qm) * NEG_INF
+            Sr = qm * sim(qd_cur) + (1.0 - qm) * NEG_INF
             blk_max = Sr.max(axis=2)
             new_max = jnp.maximum(rmax, blk_max)
             scale = jnp.exp(rmax - new_max)
@@ -115,29 +151,39 @@ def make_ring_bidaf(mesh: Mesh, axis: str | None = None):
         b = b_acc * inv
         return jnp.concatenate([c_loc, a, c_loc * a, c_loc * b], axis=-1)
 
+    if dropout:
+        body_fn = local_body
+    else:
+        def body_fn(w_c, w_q, w_cq, bias, c_loc, q_loc, cm_loc, qm_loc):
+            return local_body(
+                w_c, w_q, w_cq, bias, c_loc, q_loc, None, None, cm_loc, qm_loc
+            )
+
+    seq3 = P(batch_axis, axis, None)
+    seq2 = P(batch_axis, axis)
     sharded = shard_map(
-        local_body,
+        body_fn,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P(),
-                  P(None, axis, None), P(None, axis, None),
-                  P(None, axis), P(None, axis)),
-        out_specs=P(None, axis, None),
+        in_specs=(P(), P(), P(), P(), seq3, seq3)
+        + ((seq3, seq3) if dropout else ())
+        + (seq2, seq2),
+        out_specs=seq3,
         check_rep=False,
     )
+
+    def pad_seq(x, pad, ndim3=True):
+        if not pad:
+            return x
+        widths = ((0, 0), (0, pad), (0, 0)) if ndim3 else ((0, 0), (0, pad))
+        return jnp.pad(x, widths)
 
     @jax.jit
     def ring_fn(params, c, q, c_mask, q_mask):
         f32 = jnp.float32
-        B, T_c0, D = c.shape
-        T_q0 = q.shape[1]
-        pad_c = -T_c0 % n
-        pad_q = -T_q0 % n
-        if pad_c:
-            c = jnp.pad(c, ((0, 0), (0, pad_c), (0, 0)))
-            c_mask = jnp.pad(c_mask, ((0, 0), (0, pad_c)))
-        if pad_q:
-            q = jnp.pad(q, ((0, 0), (0, pad_q), (0, 0)))
-            q_mask = jnp.pad(q_mask, ((0, 0), (0, pad_q)))
+        T_c0, T_q0 = c.shape[1], q.shape[1]
+        pad_c, pad_q = -T_c0 % n, -T_q0 % n
+        c, q = pad_seq(c, pad_c), pad_seq(q, pad_q)
+        c_mask, q_mask = pad_seq(c_mask, pad_c, False), pad_seq(q_mask, pad_q, False)
         out = sharded(
             params["w_c"].astype(f32), params["w_q"].astype(f32),
             params["w_cq"].astype(f32), params["bias"].astype(f32),
@@ -146,4 +192,20 @@ def make_ring_bidaf(mesh: Mesh, axis: str | None = None):
         )
         return out[:, :T_c0, :]
 
-    return ring_fn
+    @jax.jit
+    def ring_fn_dropout(params, c, q, cd, qd, c_mask, q_mask):
+        f32 = jnp.float32
+        T_c0, T_q0 = c.shape[1], q.shape[1]
+        pad_c, pad_q = -T_c0 % n, -T_q0 % n
+        c, cd = pad_seq(c, pad_c), pad_seq(cd, pad_c)
+        q, qd = pad_seq(q, pad_q), pad_seq(qd, pad_q)
+        c_mask, q_mask = pad_seq(c_mask, pad_c, False), pad_seq(q_mask, pad_q, False)
+        out = sharded(
+            params["w_c"].astype(f32), params["w_q"].astype(f32),
+            params["w_cq"].astype(f32), params["bias"].astype(f32),
+            c.astype(f32), q.astype(f32), cd.astype(f32), qd.astype(f32),
+            c_mask.astype(f32), q_mask.astype(f32),
+        )
+        return out[:, :T_c0, :]
+
+    return ring_fn_dropout if dropout else ring_fn

@@ -57,23 +57,42 @@ def _local_scan(w_h, gates, mask, state):
     return jnp.swapaxes(out, 0, 1), (h, c)
 
 
-def make_sp_bilstm(mesh: Mesh, axis: str | None = None, microbatches: int | None = None):
+def make_sp_bilstm(
+    mesh: Mesh,
+    axis: str | None = None,
+    microbatches: int | None = None,
+    batch_axis: str | None = None,
+):
     """Build a jitted ``(params, x [B,T,Din], mask [B,T]) → out [B,T,2h]``
     BiLSTM whose time axis lives sharded over ``axis``. ``params`` is a
     `bilstm_init` pytree (replicated). The mesh axis size must divide
-    ``T``, and ``microbatches`` (default ``min(D, B)``) must divide ``B``.
+    ``T``, and ``microbatches`` (default ``min(D, B_local)``) must divide
+    the (per-``batch_axis``-shard) batch. ``batch_axis`` shards the batch
+    dim over that mesh axis (DP × SP composition).
+
+    Pipeline fill: with fewer microbatches than devices (``B_local < D``)
+    the wavefront cannot cover every device each round — correctness holds
+    but ``(D - M)/D`` of each round is idle; that regime is inherent to
+    pipelining a recurrence, not a bug (B=1 long-audio serving accepts it
+    for the D× smaller per-device GEMMs + sharded residency).
 
     Parity: identical outputs to ``ops.lstm.bilstm_apply`` (same masked
     scan, same torch output layout ``[fwd; bwd]``).
     """
     axis = axis or mesh.axis_names[-1]
     D = mesh.shape[axis]
+    B_div = mesh.shape[batch_axis] if batch_axis else 1
 
     def body(params, x, mask):
         d = jax.lax.axis_index(axis)
         B, Tc, _ = x.shape  # local chunk shapes
         M = microbatches or min(D, B)
-        assert B % M == 0, f"microbatches {M} must divide batch {B}"
+        if B % M:
+            raise ValueError(
+                f"SP BiLSTM: microbatches {M} must divide the per-shard "
+                f"batch {B} — pass microbatches= a divisor of the batch, or "
+                f"size the batch as a multiple of the {axis!r} axis ({D})"
+            )
         Bm = B // M
         h_dim = params["fwd"]["w_h"].shape[0]
         dtype = x.dtype
@@ -146,8 +165,25 @@ def make_sp_bilstm(mesh: Mesh, axis: str | None = None, microbatches: int | None
     sharded = shard_map(
         body,
         mesh=mesh,
-        in_specs=(P(), P(None, axis), P(None, axis)),
-        out_specs=P(None, axis),
+        in_specs=(P(), P(batch_axis, axis), P(batch_axis, axis)),
+        out_specs=P(batch_axis, axis),
         check_rep=False,
     )
-    return jax.jit(sharded)
+
+    @jax.jit
+    def sp_bilstm(params, x, mask):
+        B, T = mask.shape
+        if T % D:
+            raise ValueError(
+                f"SP BiLSTM: sequence length {T} must be divisible by the "
+                f"{D}-device {axis!r} mesh axis — pad the time bucket to a "
+                f"multiple of {D}"
+            )
+        if B % B_div:
+            raise ValueError(
+                f"SP BiLSTM: batch {B} must be divisible by the {B_div}-device "
+                f"{batch_axis!r} mesh axis"
+            )
+        return sharded(params, x, mask)
+
+    return sp_bilstm

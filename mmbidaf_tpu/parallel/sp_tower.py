@@ -1,0 +1,113 @@
+"""Flag-driven sharded audio tower: the product wiring for SP (SURVEY.md
+§3.3 "SP/CP" row — "YES as an option for the audio FFT stage").
+
+``MeshConfig.sp_audio`` routes the audio tower through the proven chain
+
+    waveform [B, N] ── SP-MFCC (gather=False) ──> features  [B, T_a, n_mfcc]
+                    ── SP-BiLSTM              ──> encodings [B, T_a, 2h]
+                    ── ring BiDAF             ──> G_ta      [B, T_s, 8h]
+
+with the frame axis sharded over the mesh's ``seq`` axis and never gathered
+(the long axis stays resident per device; collectives are the ppermute ring
+hops + the dB-reference pmax). Batch stays sharded over ``data``, so DP × SP
+composes on a ``('data', 'seq')`` mesh.
+
+Dtype story (decided here, tested in tests/test_sp_product.py): the SP
+frontend and ring attention compute in f32 internally regardless of
+``ModelConfig.compute_dtype`` — the matmul-DFT and the flash softmax stats
+need f32 range — and operands are cast at the stage boundaries; the
+SP-BiLSTM runs in the compute dtype like its local counterpart.
+
+The returned ``audio_g_fn(params, text_enc, batch)`` plugs into
+``mmbidaf_fused_reps`` in place of the local
+``aud_lstm → att_aud`` pair; ``batch`` must carry the raw ``waveform``
+(the local path's device-side MFCC featurization moves inside the tower).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from mmbidaf_tpu.config import Config
+from mmbidaf_tpu.ops.audio import make_audio_frontend_consts
+from mmbidaf_tpu.parallel.audio_sp import make_sp_audio_frontend
+from mmbidaf_tpu.parallel.ring_attention import make_ring_bidaf
+from mmbidaf_tpu.parallel.sp_lstm import make_sp_bilstm
+
+
+def sp_axes(mesh: Mesh, cfg: Config) -> tuple[str, str | None]:
+    """(seq_axis, batch_axis) for the SP tower on this mesh.
+
+    The seq axis is ``cfg.mesh.seq_axis`` when the mesh has one (the
+    DP × SP product), else the mesh's last axis (a pure-SP serving mesh
+    built by hand); the batch axis is the ``data`` axis when it is >1 wide.
+    """
+    m = cfg.mesh
+    seq = m.seq_axis if m.seq_axis in mesh.axis_names else mesh.axis_names[-1]
+    batch = None
+    if m.data_axis in mesh.axis_names and m.data_axis != seq:
+        if mesh.shape[m.data_axis] > 1:
+            batch = m.data_axis
+    return seq, batch
+
+
+def make_sp_audio_tower(mesh: Mesh, cfg: Config, use_batch_axis: bool = True):
+    """Build ``audio_g_fn(params, text_enc, batch, drop, rng) → G_ta``.
+
+    ``batch`` needs ``waveform [B, n_samples]``, ``aud_mask [B, T_a]`` and
+    ``sent_mask [B, T_s]``; ``text_enc`` is the sentence tower's output
+    (any float dtype — cast at the ring boundary). ``drop``/``rng`` carry
+    the training-path dropout (similarity-only, reference semantics); with
+    ``rng=None`` the lean no-dropout ring runs.
+
+    ``use_batch_axis=False`` keeps the batch replicated inside the SP
+    stages — the serving configuration, where request batches (often B=1)
+    need not divide the ``data`` axis; training passes True (shard_batch
+    guarantees divisibility there).
+    """
+    d, m = cfg.data, cfg.model
+    axis, batch_axis = sp_axes(mesh, cfg)
+    if not use_batch_axis:
+        batch_axis = None
+    consts = make_audio_frontend_consts(
+        d.sample_rate, d.n_fft, d.win_length, d.n_mels, d.n_mfcc, d.fmin, d.fmax
+    )
+    frontend = make_sp_audio_frontend(
+        mesh, consts, d.win_length, d.hop_length, d.max_audio_frames,
+        feature="mfcc", axis=axis, gather=False, batch_axis=batch_axis,
+    )
+    sp_lstm = make_sp_bilstm(mesh, axis=axis, batch_axis=batch_axis)
+    ring = make_ring_bidaf(mesh, axis=axis, batch_axis=batch_axis)
+    ring_drop = make_ring_bidaf(mesh, axis=axis, batch_axis=batch_axis, dropout=True)
+    compute_dtype = jnp.dtype(m.compute_dtype)
+
+    def audio_g_fn(params: dict, text_enc, batch, drop: float = 0.0, rng=None):
+        aud_mask = batch["aud_mask"].astype(jnp.float32)
+        # frontend in f32 (matmul-DFT numerics), like the local path where
+        # featurization precedes the model's compute-dtype cast
+        feats = frontend(batch["waveform"].astype(jnp.float32))
+        feats = feats * aud_mask[:, :, None]
+        enc = sp_lstm(
+            params["aud_lstm"],
+            feats.astype(compute_dtype),
+            aud_mask.astype(compute_dtype),
+        )
+        sent_mask = batch["sent_mask"]
+        if rng is not None and drop > 0.0:
+            # Same rng split + full-shape bernoulli as the local
+            # similarity_matrix (ops/bidaf.py) — exact dropout parity; the
+            # dropped copies feed ONLY the similarity inside the ring.
+            rc, rq = jax.random.split(rng)
+            keep = 1.0 - drop
+            cd = text_enc * jax.random.bernoulli(rc, keep, text_enc.shape) / keep
+            qd = enc * jax.random.bernoulli(rq, keep, enc.shape) / keep
+            g = ring_drop(
+                params["att_aud"], text_enc, enc, cd, qd, sent_mask, aud_mask
+            )
+        else:
+            g = ring(params["att_aud"], text_enc, enc, sent_mask, aud_mask)
+        return g.astype(compute_dtype)
+
+    return audio_g_fn

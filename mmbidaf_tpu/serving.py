@@ -103,16 +103,38 @@ class Summarizer:
         self._featurize = None  # lazy jitted frontend for summarize_long
         d = cfg.data
         self._num_audio_samples = d.max_audio_frames * d.hop_length + d.win_length
+        # MeshConfig.sp_audio: route the audio tower through the
+        # sequence-parallel chain (SP-MFCC → SP-BiLSTM → ring BiDAF) with
+        # the frame axis sharded over the mesh's 'seq' axis — the product
+        # path for long-audio serving (SURVEY §3.3 SP row).
+        self._audio_g_fn = None
+        if cfg.mesh.sp_audio and cfg.model.use_audio:
+            from mmbidaf_tpu.parallel import make_mesh
+            from mmbidaf_tpu.parallel.sp_tower import make_sp_audio_tower
+
+            self._mesh = make_mesh(cfg.mesh)
+            # batch replicated inside the SP stages: request batches (often
+            # B=1) need not divide the data axis; serving meshes put their
+            # devices on 'seq'
+            self._audio_g_fn = make_sp_audio_tower(
+                self._mesh, cfg, use_batch_axis=False
+            )
+        sp = self._audio_g_fn is not None
         if mode == "greedy":
-            self._decode = make_end_to_end_decode(cfg, vgg_spec=vgg_spec)
+            self._decode = make_end_to_end_decode(
+                cfg, vgg_spec=vgg_spec, audio_g_fn=self._audio_g_fn
+            )
         elif mode == "beam":
             from mmbidaf_tpu.data.frontend import apply_frontend
             from mmbidaf_tpu.models.mmbidaf import mmbidaf_decode
 
             @jax.jit
             def decode_beam(params, fe, raw):
-                batch = apply_frontend(fe, raw, cfg, vgg_spec)
-                return mmbidaf_decode(params, batch, cfg, mode="beam", topk=topk)
+                batch = apply_frontend(fe, raw, cfg, vgg_spec, sp_audio=sp)
+                return mmbidaf_decode(
+                    params, batch, cfg, mode="beam", topk=topk,
+                    audio_g_fn=self._audio_g_fn,
+                )
 
             self._decode = lambda params, fe, raw: decode_beam(params, fe, raw)
         else:
@@ -121,8 +143,11 @@ class Summarizer:
 
             @jax.jit
             def decode(params, fe, raw, rng):
-                batch = apply_frontend(fe, raw, cfg, vgg_spec)
-                return mmbidaf_decode(params, batch, cfg, mode="topk", topk=topk, rng=rng)
+                batch = apply_frontend(fe, raw, cfg, vgg_spec, sp_audio=sp)
+                return mmbidaf_decode(
+                    params, batch, cfg, mode="topk", topk=topk, rng=rng,
+                    audio_g_fn=self._audio_g_fn,
+                )
 
             self._decode_topk = decode
 
@@ -345,8 +370,12 @@ class Summarizer:
             from mmbidaf_tpu.data.frontend import apply_frontend
 
             cfg, spec = self.cfg, self.vgg_spec
+            sp = self._audio_g_fn is not None
+            # Under sp_audio the waveform passes through raw — each window
+            # re-featurizes it sharded inside the model (caching would mean
+            # gathering the long frame axis, defeating the SP design).
             self._featurize = jax.jit(
-                lambda fe, raw: apply_frontend(fe, raw, cfg, spec)
+                lambda fe, raw: apply_frontend(fe, raw, cfg, spec, sp_audio=sp)
             )
         feat = self._featurize(
             self.fe_params,

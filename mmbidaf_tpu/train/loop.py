@@ -118,12 +118,18 @@ def init_train_state(key: jax.Array, params: Any, cfg: Config) -> TrainState:
     )
 
 
-def make_train_step(cfg: Config, fe_params: Any = None, vgg_spec=None) -> Callable:
+def make_train_step(
+    cfg: Config, fe_params: Any = None, vgg_spec=None, audio_g_fn: Callable | None = None
+) -> Callable:
     """Build the jitted, donated train step for config ``cfg``.
 
     With ``fe_params`` given, batches may be RAW (frames/waveform instead of
     features): the device-side frontend runs inside the jitted step, frozen
     (the reference also trains on frozen VGG/MFCC features — SURVEY §3.1).
+
+    ``audio_g_fn`` (``parallel.sp_tower.make_sp_audio_tower``, wired by
+    ``MeshConfig.sp_audio``) runs the audio tower sequence-parallel; batches
+    must then be raw (carry ``waveform``).
     """
     decay = cfg.train.ema_decay
     # Built eagerly from THIS cfg (a lazily-cached closure would silently
@@ -135,16 +141,29 @@ def make_train_step(cfg: Config, fe_params: Any = None, vgg_spec=None) -> Callab
         from mmbidaf_tpu.ops.vgg import VGG16_SPEC
 
         spec = vgg_spec or VGG16_SPEC
+    elif audio_g_fn is not None:
+        raise ValueError(
+            "audio_g_fn (MeshConfig.sp_audio) needs raw waveform batches — "
+            "pass fe_params so the train step runs the device-side frontend"
+        )
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch: Mapping[str, jax.Array]):
         rng, step_rng = jax.random.split(state.rng)
         raw_mode = fe_params is not None and ("frames" in batch or "waveform" in batch)
+        if audio_g_fn is not None and "waveform" not in batch:
+            raise ValueError(
+                "MeshConfig.sp_audio: the batch must carry the raw "
+                "'waveform' (precomputed-feature batches cannot feed the "
+                "sequence-parallel frontend)"
+            )
 
         def featurize(b):
             if not raw_mode:
                 return b
-            feat = apply_frontend(fe_params, b, cfg, spec)
+            feat = apply_frontend(
+                fe_params, b, cfg, spec, sp_audio=audio_g_fn is not None
+            )
             feat["targets"] = b["targets"]
             feat["target_mask"] = b["target_mask"]
             return feat
@@ -154,7 +173,9 @@ def make_train_step(cfg: Config, fe_params: Any = None, vgg_spec=None) -> Callab
             batch_f = featurize(batch)
 
             def loss_fn(params):
-                log_p = mmbidaf_apply(params, batch_f, cfg, rng=step_rng)
+                log_p = mmbidaf_apply(
+                    params, batch_f, cfg, rng=step_rng, audio_g_fn=audio_g_fn
+                )
                 return nll_loss(log_p, batch_f["targets"], batch_f["target_mask"])
 
             loss, grads = jax.value_and_grad(loss_fn)(state.params)
@@ -167,7 +188,7 @@ def make_train_step(cfg: Config, fe_params: Any = None, vgg_spec=None) -> Callab
             # path's dominant VGG activations also shrink ~1/accum.
             def sum_loss_fn(params, mb, rng):
                 mb_f = featurize(mb)
-                log_p = mmbidaf_apply(params, mb_f, cfg, rng=rng)
+                log_p = mmbidaf_apply(params, mb_f, cfg, rng=rng, audio_g_fn=audio_g_fn)
                 total, count = nll_sum(log_p, mb_f["targets"], mb_f["target_mask"])
                 return total, count
 
@@ -224,15 +245,15 @@ def make_train_step(cfg: Config, fe_params: Any = None, vgg_spec=None) -> Callab
     return train_step
 
 
-def make_eval_step(cfg: Config) -> Callable:
+def make_eval_step(cfg: Config, audio_g_fn: Callable | None = None) -> Callable:
     @jax.jit
     def eval_step(params: Any, batch: Mapping[str, jax.Array]):
         # Loss must be TEACHER-FORCED: greedy decode masks already-picked
         # sentences, so when greedy and gold disagree on order the gold
         # index can be masked (-1e30 log-prob) and the NLL explodes.
-        log_p_tf = mmbidaf_apply(params, batch, cfg, rng=None)
+        log_p_tf = mmbidaf_apply(params, batch, cfg, rng=None, audio_g_fn=audio_g_fn)
         loss = nll_loss(log_p_tf, batch["targets"], batch["target_mask"])
-        _, picks = mmbidaf_decode(params, batch, cfg)
+        _, picks = mmbidaf_decode(params, batch, cfg, audio_g_fn=audio_g_fn)
         return {"loss": loss, "picks": picks}
 
     return eval_step

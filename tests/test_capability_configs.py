@@ -19,6 +19,7 @@ PRESETS = {
     "config3_text_audio": (False, True),
     "config4_trimodal": (True, True),
     "config5_serving_v5e8": (True, True),
+    "config6_sp_long_audio": (True, True),
 }
 
 
@@ -32,6 +33,9 @@ def test_preset_loads_and_inits(name):
         assert cfg.mesh.num_data == 8
         assert cfg.train.batch_size == 32
         assert cfg.model.compute_dtype == "bfloat16"
+    if name == "config6_sp_long_audio":
+        assert cfg.mesh.sp_audio and cfg.mesh.num_seq == 8
+        assert cfg.data.max_audio_frames % cfg.mesh.num_seq == 0
 
     from mmbidaf_tpu.data.synthetic import random_word_vectors
     from mmbidaf_tpu.models.mmbidaf import mmbidaf_init

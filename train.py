@@ -83,6 +83,14 @@ def parse_args():
     ap.add_argument("--glove_path", default=None, help="GloVe .txt for real corpora")
     ap.add_argument("--vgg", default="vgg16", choices=["vgg16", "tiny"],
                     help="frontend conv spec (tiny = fast CPU demos)")
+    # mesh / parallelism (SURVEY §3.3)
+    ap.add_argument("--num_seq", type=int, default=1,
+                    help="devices on the 'seq' mesh axis (audio-tower "
+                         "sequence parallelism); batch shards over the rest")
+    ap.add_argument("--sp_audio", action="store_true",
+                    help="route the audio tower through the sequence-parallel "
+                         "chain (SP-MFCC -> SP-BiLSTM -> ring BiDAF) over the "
+                         "seq axis; needs --data_dir raw batches")
     ap.add_argument("--config_json", default=None, help="full Config overlay")
     a = ap.parse_args()
     defaults = {act.dest: act.default for act in ap._actions}
@@ -91,6 +99,7 @@ def parse_args():
 
 _MODEL_KEYS = ("hidden_size", "drop_prob", "max_decode_steps")
 _DATA_KEYS = ("max_sentences", "max_words")
+_MESH_KEYS = ("num_seq", "sp_audio")
 _TRAIN_KEYS = (
     "batch_size", "lr", "optimizer", "max_grad_norm", "grad_accum_steps",
     "ema_decay", "l2_wd",
@@ -120,6 +129,7 @@ def build_config(a, defaults):
             model=dataclasses.replace(cfg.model, **m),
             data=dataclasses.replace(cfg.data, **over(_DATA_KEYS)),
             train=dataclasses.replace(cfg.train, **over(_TRAIN_KEYS)),
+            mesh=dataclasses.replace(cfg.mesh, **over(_MESH_KEYS)),
         )
     cfg = Config()
     cfg = dataclasses.replace(
@@ -134,6 +144,9 @@ def build_config(a, defaults):
         ),
         data=dataclasses.replace(
             cfg.data, max_sentences=a.max_sentences, max_words=a.max_words
+        ),
+        mesh=dataclasses.replace(
+            cfg.mesh, num_seq=a.num_seq, sp_audio=a.sp_audio
         ),
         train=dataclasses.replace(
             cfg.train,
@@ -182,8 +195,23 @@ def main():
     logger = JsonlLogger(os.path.join(run_dir, "log.jsonl"))
     tb = TensorboardWriter(os.path.join(run_dir, "tb"))
 
-    mesh = make_mesh()
+    mesh = make_mesh(cfg.mesh)
     print(f"devices: {jax.device_count()} ({jax.default_backend()}), mesh: {mesh}")
+
+    audio_g_fn = None
+    if cfg.mesh.sp_audio:
+        # Sequence-parallel audio tower (SURVEY §3.3 SP row): frame axis
+        # sharded over the 'seq' mesh axis, never gathered.
+        if not a.data_dir:
+            raise SystemExit(
+                "--sp_audio needs raw waveform batches: pass --data_dir "
+                "(the synthetic stream carries precomputed audio features)"
+            )
+        if not cfg.model.use_audio:
+            raise SystemExit("--sp_audio requires the audio tower (drop --no_audio)")
+        from mmbidaf_tpu.parallel.sp_tower import make_sp_audio_tower
+
+        audio_g_fn = make_sp_audio_tower(mesh, cfg)
 
     np_rng = np.random.default_rng(cfg.train.seed)
     fe_params = None
@@ -325,8 +353,9 @@ def main():
     train_step = make_train_step(
         cfg, fe_params=fe_params,
         vgg_spec=None if fe_params is None else vgg_spec,
+        audio_g_fn=audio_g_fn,
     )
-    eval_step = make_eval_step(cfg)
+    eval_step = make_eval_step(cfg, audio_g_fn=audio_g_fn)
     meter = AverageMeter()
 
     resumed_steps = int(state.step)
@@ -344,7 +373,9 @@ def main():
         # keep resident), batched at the static train batch shape with
         # wrap-padded tails; picks map back to the real on-disk transcript
         # sentences. --max_eval_videos caps the resident features.
-        featurize = jax.jit(lambda r: apply_frontend(fe_params, r, cfg, vgg_spec))
+        featurize = jax.jit(lambda r: apply_frontend(
+            fe_params, r, cfg, vgg_spec, sp_audio=audio_g_fn is not None
+        ))
         bs = cfg.train.batch_size
         n_eval = min(len(eval_corpus), a.max_eval_videos)
         eval_batches = []  # (sharded feat batch, texts for the real rows)
