@@ -85,12 +85,15 @@ def apply_frontend(
         out["waveform"] = raw["waveform"]
         out["aud_mask"] = raw["aud_mask"]
     elif cfg.model.use_audio and "waveform" in raw:
+        # frame count follows the BATCH's (possibly bucketed) audio axis,
+        # not the config's static max — bucketed_iterator trims waveform
+        # and aud_mask together, keeping samples = frames*hop + win
         feats = audio_ops.waveform_to_features(
             raw["waveform"],
             fe_params["audio_consts"],
             d.win_length,
             d.hop_length,
-            d.max_audio_frames,
+            raw["aud_mask"].shape[1],
             feature="mfcc",
             fused=cfg.model.use_pallas_melspec,
         )

@@ -65,6 +65,10 @@ class VideoCorpus:
             raise FileNotFoundError(f"no usable video dirs under {root}")
         d = cfg.data
         self.num_audio_samples = d.max_audio_frames * d.hop_length + d.win_length
+        # per-example length metadata (bucketed_iterator), filled lazily and
+        # cached so repeated iterator constructions (e.g. resume) do O(1)
+        # host IO instead of re-reading the corpus
+        self._lengths: dict[int, dict[str, int]] = {}
 
     def __repr__(self) -> str:
         # Stable across processes: grain validates checkpointed loader
@@ -103,11 +107,21 @@ class VideoCorpus:
                 ex["img_mask"] = z["img_mask"].astype(np.float32)
                 ex["aud_mask"] = z["aud_mask"].astype(np.float32)
         else:
+            from mmbidaf_tpu.data.video import audio_frames_valid
+
             ex["frames"] = assets["frames"]
             ex["img_mask"] = assets["img_mask"]
             ex["waveform"] = assets["waveform"]
-            # full waveform is padded to cover all frames
-            ex["aud_mask"] = np.ones((d.max_audio_frames,), np.float32)
+            # mask reflects the TRUE audio length (SURVEY §3.1 "pad variable
+            # T_aud; build masks") — the audio tower never attends over
+            # zero-padded silence, and T_aud bucketing (bucketed_iterator)
+            # becomes semantics-preserving.
+            n_aud = audio_frames_valid(
+                assets["valid_samples"], d.hop_length, d.max_audio_frames
+            )
+            ex["aud_mask"] = (
+                np.arange(d.max_audio_frames) < n_aud
+            ).astype(np.float32)
         if assets["summary"] is not None:
             sent_tokens = [word_tokenize(s) for s in enc["sentences"]]
             # pad token lists to T_s so indices line up with sent_mask
@@ -119,6 +133,63 @@ class VideoCorpus:
             ex["target_mask"] = target_mask
         return ex
 
+
+    def example_lengths(self, idx: int) -> dict[str, int]:
+        """Cheap per-example true lengths for shape bucketing (SURVEY §8
+        ground rules: T_sent, W, T_img, T_aud buckets): sentence count, max
+        words/sentence, keyframe count, valid MFCC frames. Reads only text
+        sidecars + file headers (WAV nframes, frame-dir listing, npy/npz
+        metadata) — never decodes media. Cached per corpus instance."""
+        cached = self._lengths.get(idx)
+        if cached is not None:
+            return cached
+        import wave as wave_mod
+
+        from mmbidaf_tpu.data.text import sent_tokenize
+        from mmbidaf_tpu.data.video import audio_frames_valid
+
+        d = self.cfg.data
+        vdir = os.path.join(self.root, self.video_ids[idx])
+        with open(os.path.join(vdir, "transcript.txt")) as f:
+            sents = sent_tokenize(f.read())[: d.max_sentences]
+        n_sent = max(len(sents), 1)
+        n_word = max((len(word_tokenize(s)) for s in sents), default=1)
+        n_word = max(min(n_word, d.max_words), 1)
+
+        fpath = os.path.join(vdir, "features.npz")
+        if self.use_precomputed and os.path.exists(fpath):
+            with np.load(fpath) as z:
+                n_img = max(int(z["img_mask"].sum()), 1)
+                n_aud = max(int(z["aud_mask"].sum()), 1)
+        else:
+            fdir = os.path.join(vdir, "frames")
+            if os.path.exists(os.path.join(vdir, "frames.npy")):
+                n_raw = np.load(os.path.join(vdir, "frames.npy"), mmap_mode="r").shape[0]
+            elif os.path.isdir(fdir):
+                n_raw = sum(
+                    1 for f in os.listdir(fdir)
+                    if f.lower().endswith((".png", ".jpg", ".jpeg", ".ppm", ".bmp"))
+                )
+            else:
+                n_raw = 0
+            n_img = max(min(n_raw, d.max_keyframes), 1)
+            if os.path.exists(os.path.join(vdir, "audio.npy")):
+                n_samples = np.load(
+                    os.path.join(vdir, "audio.npy"), mmap_mode="r"
+                ).shape[0]
+            elif os.path.exists(os.path.join(vdir, "audio.wav")):
+                with wave_mod.open(os.path.join(vdir, "audio.wav"), "rb") as w:
+                    n_samples = w.getnframes()
+            else:
+                n_samples = self.num_audio_samples  # silent track, full bucket
+            n_aud = audio_frames_valid(
+                min(n_samples, self.num_audio_samples), d.hop_length,
+                d.max_audio_frames,
+            )
+        out = {"sentences": n_sent, "words": n_word, "keyframes": n_img,
+               "audio_frames": n_aud}
+        self._lengths[idx] = out
+        return out
 
     def example_text(self, idx: int) -> tuple[list[str], str | None]:
         """The idx-th video's real transcript sentences (truncated/ordered
@@ -187,6 +258,11 @@ def bucket_for(count: int, buckets: Sequence[int]) -> int:
     return buckets[-1]
 
 
+def default_axis_buckets(max_size: int) -> tuple[int, ...]:
+    """Quarter/half/full ladder for a secondary bucketed axis."""
+    return tuple(sorted({max(1, max_size // 4), max(1, max_size // 2), max_size}))
+
+
 def bucketed_iterator(
     corpus: VideoCorpus,
     batch_size: int,
@@ -194,28 +270,81 @@ def bucketed_iterator(
     seed: int = 0,
     shuffle: bool = True,
     skip: int = 0,
+    word_buckets: Sequence[int] | None = None,
+    img_buckets: Sequence[int] | None = None,
+    aud_buckets: Sequence[int] | None = None,
 ) -> Iterator[dict[str, np.ndarray]]:
     """Bucketed-shape batched stream (SURVEY.md §8 ground rules / risk R3).
 
     Examples are grouped by transcript sentence count into the smallest
-    fitting bucket; each batch's text arrays are trimmed to its bucket's
-    T_sent, so ragged corpora stop paying worst-case padding on every
-    batch. XLA compiles one program per bucket shape (jit caches by shape
-    — the per-bucket "jit cache" is free); frames/audio keep their static
-    shapes. Short buckets wrap-fill like ``batched_iterator``.
+    fitting T_sent bucket; each batch's text arrays are trimmed to that
+    bucket. The OTHER ragged axes — W (words/sentence), T_img (keyframes),
+    T_aud (MFCC frames, the costliest static bucket) — are trimmed
+    per-batch to the smallest bucket covering the batch's true lengths
+    (``VideoCorpus.example_lengths``, header-only IO, cached). Trimming is
+    semantics-preserving: masks reflect true lengths, so the model never
+    attends over what was cut. XLA compiles one program per shape tuple
+    (jit caches by shape); pass ``()`` for an axis to keep it static.
+
+    Defaults: quarter/half/full ladders per axis. Note for
+    ``MeshConfig.sp_audio``: audio buckets must divide the ``seq`` axis —
+    pass ``aud_buckets`` as multiples of ``num_seq``.
     """
-    buckets = sorted({min(b, corpus.cfg.data.max_sentences) for b in buckets})
+    d = corpus.cfg.data
+    buckets = sorted({min(b, d.max_sentences) for b in buckets})
     if not buckets:
         raise ValueError("need at least one bucket")
-    counts = [len(corpus.example_text(i)[0]) for i in range(len(corpus))]
-    groups: dict[int, list[int]] = {}
-    for i, n in enumerate(counts):
-        groups.setdefault(bucket_for(n, buckets), []).append(i)
+    word_buckets = sorted(
+        {min(b, d.max_words) for b in (
+            default_axis_buckets(d.max_words) if word_buckets is None else word_buckets
+        )}
+    ) or [d.max_words]
+    img_buckets = sorted(
+        {min(b, d.max_keyframes) for b in (
+            default_axis_buckets(d.max_keyframes) if img_buckets is None else img_buckets
+        )}
+    ) or [d.max_keyframes]
+    aud_buckets = sorted(
+        {min(b, d.max_audio_frames) for b in (
+            default_axis_buckets(d.max_audio_frames) if aud_buckets is None else aud_buckets
+        )}
+    ) or [d.max_audio_frames]
 
-    def trim(ex: dict, b: int) -> dict:
+    lengths = [corpus.example_lengths(i) for i in range(len(corpus))]
+    groups: dict[int, list[int]] = {}
+    for i, ln in enumerate(lengths):
+        groups.setdefault(bucket_for(ln["sentences"], buckets), []).append(i)
+
+    def batch_axis_buckets(sel: np.ndarray) -> tuple[int, int, int]:
+        """Smallest (W, T_img, T_aud) buckets covering the batch."""
+        w = max(lengths[int(i)]["words"] for i in sel)
+        ti = max(lengths[int(i)]["keyframes"] for i in sel)
+        ta = max(lengths[int(i)]["audio_frames"] for i in sel)
+        return (
+            bucket_for(w, word_buckets),
+            bucket_for(ti, img_buckets),
+            bucket_for(ta, aud_buckets),
+        )
+
+    def trim(ex: dict, b: int, bw: int, bi: int, ba: int) -> dict:
         out = dict(ex)
-        for k in ("text_ids", "word_mask", "sent_mask"):
-            out[k] = ex[k][:b]
+        out["text_ids"] = ex["text_ids"][:b, :bw]
+        out["word_mask"] = ex["word_mask"][:b, :bw]
+        out["sent_mask"] = ex["sent_mask"][:b]
+        if "frames" in ex:
+            out["frames"] = ex["frames"][:bi]
+        if "images" in ex:
+            out["images"] = ex["images"][:bi]
+        if "img_mask" in ex:
+            out["img_mask"] = ex["img_mask"][:bi]
+        if "waveform" in ex:
+            # ba frames need (ba-1)*hop + win ≤ ba*hop + win samples; keep
+            # the same static relation the frontend assumes
+            out["waveform"] = ex["waveform"][: ba * d.hop_length + d.win_length]
+        if "audio" in ex:
+            out["audio"] = ex["audio"][:ba]
+        if "aud_mask" in ex:
+            out["aud_mask"] = ex["aud_mask"][:ba]
         return out
 
     rng = np.random.default_rng(seed)
@@ -238,7 +367,73 @@ def bucketed_iterator(
             if skipped < skip:
                 skipped += 1
                 continue
-            yield collate([trim(corpus[int(i)], b) for i in sel])
+            bw, bi, ba = batch_axis_buckets(sel)
+            yield collate([trim(corpus[int(i)], b, bw, bi, ba) for i in sel])
+
+
+def translate_grain_state(
+    state: bytes, new_worker_count: int, batch_size: int
+) -> tuple[bytes, int]:
+    """Translate a grain DataLoader iterator snapshot to a different worker
+    topology (round-3 review item: loader state was tied to worker_count).
+
+    grain workers consume interleaved arithmetic progressions of sampler
+    indices (worker w takes w, w+W, …), so a mid-epoch snapshot's consumed
+    set is generally NOT expressible under a different W — exact-order
+    translation is impossible by construction. This performs the no-loss
+    translation instead: find the longest contiguous prefix of sampler
+    indices all workers have consumed, round it DOWN to a whole round of
+    the new topology (new_W × batch_size), and emit a clean end-of-round
+    state there. Records consumed beyond that prefix are re-served —
+    returns ``(new_state, n_repeated_records)``; nothing is ever skipped.
+
+    Raises ``ValueError`` (with the remediation spelled out) for snapshot
+    formats this translator doesn't understand.
+    """
+    import json
+
+    try:
+        st = json.loads(state)
+    except Exception as e:
+        raise ValueError(f"unreadable grain loader state: {e}") from e
+    if st.get("version") != 2 or "last_seen_indices" not in st:
+        raise ValueError(
+            "grain loader state version "
+            f"{st.get('version')!r} is not translatable — resume with the "
+            "saved worker topology (--loader_workers "
+            f"{st.get('worker_count', '?')}), or delete loader_state.bin to "
+            "restart the data order"
+        )
+    w_old = max(int(st.get("worker_count", 0)), 1)
+    last = {int(k): int(v) for k, v in st["last_seen_indices"].items()}
+    # per-worker consumed counts; first-unconsumed index per progression
+    counts = []
+    first_unconsumed = []
+    for w in range(w_old):
+        ls = last.get(w, w - w_old)
+        c = (ls - w) // w_old + 1 if ls >= w else 0
+        counts.append(c)
+        first_unconsumed.append(w + c * w_old)
+    total = sum(counts)
+    prefix = min(first_unconsumed)  # indices [0, prefix) are all consumed
+
+    w_new = max(new_worker_count, 1)
+    align = w_new * batch_size
+    prefix = (prefix // align) * align
+    repeats = total - prefix
+
+    c_new = prefix // w_new
+    new_last = {
+        str(w): (w + (c_new - 1) * w_new if c_new > 0 else w - w_new)
+        for w in range(w_new)
+    }
+    out = dict(
+        st,
+        worker_count=new_worker_count,
+        last_seen_indices=new_last,
+        last_worker_index=(-1 if prefix == 0 else w_new - 1),
+    )
+    return json.dumps(out).encode(), repeats
 
 
 def make_grain_loader(

@@ -120,6 +120,16 @@ def pad_waveform(wave: np.ndarray, num_samples: int) -> tuple[np.ndarray, int]:
     return out, n
 
 
+def audio_frames_valid(n_samples: int, hop_length: int, max_frames: int) -> int:
+    """Number of MFCC frames touching real (non-padding) samples: frame t
+    covers samples [t·hop, t·hop+win), so frames with t·hop < n are valid.
+    Masks built from this make T_aud bucketing semantics-preserving (the
+    masked LSTM/attention never look past the real audio)."""
+    if n_samples <= 0:
+        return 1  # a silent track still occupies one (masked-softmax-safe) frame
+    return int(min(max_frames, -(-n_samples // hop_length)))
+
+
 def ffmpeg_available() -> bool:
     return shutil.which("ffmpeg") is not None
 
@@ -224,11 +234,14 @@ def load_video_assets(
 
     if os.path.exists(os.path.join(video_dir, "audio.npy")):
         wave = np.load(os.path.join(video_dir, "audio.npy")).astype(np.float32)
+        n_valid = len(wave)
     elif os.path.exists(os.path.join(video_dir, "audio.wav")):
         wave, _ = load_wav(os.path.join(video_dir, "audio.wav"))
+        n_valid = len(wave)
     else:
         wave = np.zeros((num_audio_samples,), np.float32)  # silent track
-    wave, _ = pad_waveform(wave, num_audio_samples)
+        n_valid = num_audio_samples
+    wave, n_valid = pad_waveform(wave, num_audio_samples)
 
     with open(os.path.join(video_dir, "transcript.txt")) as f:
         transcript = f.read()
@@ -241,6 +254,7 @@ def load_video_assets(
         "frames": frames,
         "img_mask": img_mask,
         "waveform": wave,
+        "valid_samples": n_valid,
         "transcript": transcript,
         "summary": summary,
     }

@@ -74,10 +74,20 @@ def make_sp_audio_tower(mesh: Mesh, cfg: Config, use_batch_axis: bool = True):
     consts = make_audio_frontend_consts(
         d.sample_rate, d.n_fft, d.win_length, d.n_mels, d.n_mfcc, d.fmin, d.fmax
     )
-    frontend = make_sp_audio_frontend(
-        mesh, consts, d.win_length, d.hop_length, d.max_audio_frames,
-        feature="mfcc", axis=axis, gather=False, batch_axis=batch_axis,
-    )
+    # frontends are built per frame-axis length at trace time (bucketed
+    # batches carry trimmed audio axes; each bucket shape jits once)
+    frontends: dict[int, object] = {}
+
+    def frontend_for(num_frames: int):
+        fe = frontends.get(num_frames)
+        if fe is None:
+            fe = frontends[num_frames] = make_sp_audio_frontend(
+                mesh, consts, d.win_length, d.hop_length, num_frames,
+                feature="mfcc", axis=axis, gather=False, batch_axis=batch_axis,
+            )
+        return fe
+
+    frontend_for(d.max_audio_frames)  # validate the static bucket eagerly
     sp_lstm = make_sp_bilstm(mesh, axis=axis, batch_axis=batch_axis)
     ring = make_ring_bidaf(mesh, axis=axis, batch_axis=batch_axis)
     ring_drop = make_ring_bidaf(mesh, axis=axis, batch_axis=batch_axis, dropout=True)
@@ -87,7 +97,7 @@ def make_sp_audio_tower(mesh: Mesh, cfg: Config, use_batch_axis: bool = True):
         aud_mask = batch["aud_mask"].astype(jnp.float32)
         # frontend in f32 (matmul-DFT numerics), like the local path where
         # featurization precedes the model's compute-dtype cast
-        feats = frontend(batch["waveform"].astype(jnp.float32))
+        feats = frontend_for(aud_mask.shape[1])(batch["waveform"].astype(jnp.float32))
         feats = feats * aud_mask[:, :, None]
         enc = sp_lstm(
             params["aud_lstm"],

@@ -243,6 +243,8 @@ class Summarizer:
     # -- inference ----------------------------------------------------------
 
     def _raw_batch(self, video_dirs: Sequence[str]) -> tuple[dict, list[list[str]]]:
+        from mmbidaf_tpu.data.video import audio_frames_valid
+
         d = self.cfg.data
         rows, sentences = [], []
         for vd in video_dirs:
@@ -251,6 +253,9 @@ class Summarizer:
                 assets["transcript"], self.word2idx, d.max_sentences, d.max_words
             )
             sentences.append(enc["sentences"])
+            n_aud = audio_frames_valid(
+                assets["valid_samples"], d.hop_length, d.max_audio_frames
+            )
             rows.append(
                 {
                     "text_ids": enc["text_ids"],
@@ -259,7 +264,11 @@ class Summarizer:
                     "frames": assets["frames"],
                     "img_mask": assets["img_mask"],
                     "waveform": assets["waveform"],
-                    "aud_mask": np.ones((d.max_audio_frames,), np.float32),
+                    # mask reflects the true audio length (matches the
+                    # training corpus's VideoCorpus semantics)
+                    "aud_mask": (
+                        np.arange(d.max_audio_frames) < n_aud
+                    ).astype(np.float32),
                 }
             )
         batch = {k: jnp.asarray(np.stack([r[k] for r in rows])) for k in rows[0]}
@@ -334,14 +343,19 @@ class Summarizer:
         ``serve_batch_size`` is set, window batches are padded/chunked to
         that one static shape.
         """
+        from mmbidaf_tpu.data.video import audio_frames_valid
+
         d, m = self.cfg.data, self.cfg.model
         assets = load_video_assets(video_dir, d.max_keyframes, self._num_audio_samples)
         sentences = sent_tokenize(assets["transcript"])
+        n_aud = audio_frames_valid(
+            assets["valid_samples"], d.hop_length, d.max_audio_frames
+        )
         media = {
             "frames": assets["frames"],
             "img_mask": assets["img_mask"],
             "waveform": assets["waveform"],
-            "aud_mask": np.ones((d.max_audio_frames,), np.float32),
+            "aud_mask": (np.arange(d.max_audio_frames) < n_aud).astype(np.float32),
         }
 
         def window_row(sents, media_row):

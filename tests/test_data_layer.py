@@ -325,6 +325,132 @@ def test_bucketed_iterator(tmp_path, rng):
     assert bucket_waste < flat_waste, (bucket_waste, flat_waste)
 
 
+def test_bucketed_iterator_all_axes(tmp_path, rng):
+    """Round-3: the remaining ragged axes — W, T_img, T_aud — are trimmed
+    per batch to the smallest covering bucket (SURVEY §8 ground rules),
+    masks reflect TRUE lengths, and trimming is semantics-preserving (the
+    trimmed batch's forward == the full-shape batch's forward)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from mmbidaf_tpu.data.frontend import apply_frontend, frontend_init
+    from mmbidaf_tpu.data.pipeline import VideoCorpus, bucketed_iterator, collate
+    from mmbidaf_tpu.data.synthetic import random_word_vectors
+    from mmbidaf_tpu.data.vocab import vocab_from_corpus_dir
+    from mmbidaf_tpu.models.mmbidaf import mmbidaf_init, mmbidaf_decode
+    from mmbidaf_tpu.ops.vgg import TINY_SPEC
+
+    cfg = tiny_test_config()
+    cfg = dataclasses.replace(
+        cfg,
+        data=dataclasses.replace(
+            cfg.data, max_sentences=8, max_words=12, max_keyframes=8,
+            max_audio_frames=16,
+        ),
+        model=dataclasses.replace(
+            cfg.model, audio_feat_dim=cfg.data.n_mfcc, img_feat_dim=32
+        ),
+    )
+    d = cfg.data
+    n_samples = d.max_audio_frames * d.hop_length + d.win_length
+    # ragged on every axis: (sentences, words/sentence, frames, audio_frac);
+    # every video has ≥ max_decode_steps sentences — with fewer, the
+    # decoder's all-picked uniform fallback depends on T_s and trimming
+    # would (harmlessly) differ on those dead steps
+    specs = [(3, 2, 1, 0.2), (4, 4, 2, 0.3), (6, 9, 5, 0.9), (8, 11, 7, 1.0)]
+    for v, (n_s, n_w, n_f, a_frac) in enumerate(specs):
+        vd = tmp_path / f"video{v}"
+        (vd / "frames").mkdir(parents=True)
+        for i in range(n_f):
+            Image.fromarray((rng.random((12, 16, 3)) * 255).astype(np.uint8)).save(
+                vd / "frames" / f"f{i:03d}.png"
+            )
+        sig = (rng.standard_normal(int(n_samples * a_frac)) * 8000).astype(np.int16)
+        with wave_mod.open(str(vd / "audio.wav"), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(d.sample_rate)
+            w.writeframes(sig.tobytes())
+        # capitalized first word so the sentence splitter sees boundaries
+        sents = [
+            f"Topic{v}n{j} " + " ".join(f"w{v}x{j}y{k}" for k in range(n_w - 1)) + "."
+            for j in range(n_s)
+        ]
+        (vd / "transcript.txt").write_text(" ".join(sents))
+        (vd / "summary.txt").write_text(sents[0])
+
+    w2i = vocab_from_corpus_dir(str(tmp_path))
+    corpus = VideoCorpus(str(tmp_path), cfg, w2i)
+
+    # true-length metadata (header-only IO) and the true-length aud_mask
+    ln = corpus.example_lengths(0)
+    assert ln["sentences"] == 3 and ln["keyframes"] == 1
+    assert ln["audio_frames"] < d.max_audio_frames
+    ex0 = corpus[0]
+    assert ex0["aud_mask"].sum() == ln["audio_frames"]
+
+    it = bucketed_iterator(
+        corpus, batch_size=2, buckets=(4, 8), seed=0,
+        word_buckets=(4, 12), img_buckets=(2, 8), aud_buckets=(4, 8, 16),
+    )
+    shapes = set()
+    for _ in range(6):
+        b = next(it)
+        B, T_s, W = b["text_ids"].shape
+        T_i = b["img_mask"].shape[1]
+        T_a = b["aud_mask"].shape[1]
+        assert T_s in (4, 8) and W in (4, 12) and T_i in (2, 8)
+        assert T_a in (4, 8, 16)
+        assert b["waveform"].shape[1] == T_a * d.hop_length + d.win_length
+        # nothing real was cut
+        assert (b["sent_mask"].sum(1) > 0).all()
+        assert (b["word_mask"].sum(2) <= W).all()
+        shapes.add((T_s, W, T_i, T_a))
+    assert len(shapes) > 1, "bucketing never varied the shapes"
+
+    # semantics-preserving: trimmed forward == full-shape forward
+    wv = random_word_vectors(rng, len(w2i), cfg.model.emb_dim)
+    params = mmbidaf_init(jax.random.key(0), cfg, jnp.asarray(wv))
+    fe = frontend_init(jax.random.key(1), cfg, vgg_spec=TINY_SPEC)
+    it2 = bucketed_iterator(
+        corpus, batch_size=2, buckets=(4, 8), seed=3,
+        word_buckets=(4, 12), img_buckets=(2, 8), aud_buckets=(4, 8, 16),
+        shuffle=False,
+    )
+    trimmed = next(it2)
+    full = collate([corpus[i] for i in [0, 1]])  # shuffle=False: first batch
+    lp_t, picks_t = mmbidaf_decode(
+        params,
+        apply_frontend(fe, {k: jnp.asarray(v) for k, v in trimmed.items()},
+                       cfg, TINY_SPEC),
+        cfg,
+    )
+    lp_f, picks_f = mmbidaf_decode(
+        params,
+        apply_frontend(fe, {k: jnp.asarray(v) for k, v in full.items()},
+                       cfg, TINY_SPEC),
+        cfg,
+    )
+    np.testing.assert_array_equal(np.asarray(picks_t), np.asarray(picks_f))
+    T_s = trimmed["sent_mask"].shape[1]
+    np.testing.assert_allclose(
+        np.asarray(lp_t), np.asarray(lp_f)[:, :, :T_s], rtol=2e-4, atol=1e-5
+    )
+
+    # lengths are cached on the corpus: a second iterator construction does
+    # no corpus IO (delete the files and construct again)
+    assert len(corpus._lengths) == len(corpus)
+    import shutil
+
+    for v in range(len(specs)):
+        shutil.rmtree(tmp_path / f"video{v}" / "frames")
+        os.remove(tmp_path / f"video{v}" / "audio.wav")
+    bucketed_iterator(corpus, batch_size=2, buckets=(4, 8), seed=1)
+
+
 def test_precomputed_features_roundtrip(disk_corpus):
     """tools/precompute_features.py artifacts: VideoCorpus auto-serves
     features.npz (no media decode), batches skip the frontend, and the
@@ -444,6 +570,69 @@ def test_grain_loader_parallel_workers(disk_corpus):
     batched = list(make_grain_loader(corpus, 2, seed=0, worker_count=2, num_epochs=2))
     assert len(batched) == 2
     assert all(b["text_ids"].shape[0] == 2 for b in batched)
+
+
+def test_grain_state_translates_across_worker_topologies(disk_corpus):
+    """Round-3 review item: a loader snapshot restores under a DIFFERENT
+    worker_count via translate_grain_state — no record skipped for the
+    epoch (a bounded tail may repeat), and unusable formats raise an
+    actionable error instead of silently restarting."""
+    import json
+
+    import pytest as _pytest
+
+    from mmbidaf_tpu.data.pipeline import (
+        VideoCorpus, make_grain_loader, translate_grain_state,
+    )
+
+    root, cfg = disk_corpus
+    corpus_tokens = []
+    for vid in sorted(os.listdir(root)):
+        with open(os.path.join(root, vid, "transcript.txt")) as f:
+            for s in text.sent_tokenize(f.read()):
+                corpus_tokens.append(text.word_tokenize(s))
+    w2i = vocab.build_vocab(corpus_tokens)
+    corpus = VideoCorpus(root, cfg, w2i)
+    n = len(corpus)
+
+    def record_ids(batch):
+        # identify records by their text ids' first row (unique per video)
+        return [tuple(np.asarray(batch["text_ids"])[i, 0, :4].tolist())
+                for i in range(np.asarray(batch["text_ids"]).shape[0])]
+
+    all_ids = {tuple(np.asarray(corpus[i]["text_ids"])[0, :4].tolist())
+               for i in range(n)}
+
+    for w_from, w_to in ((0, 2), (2, 0)):
+        # consume one batch in the source topology, snapshot
+        it = iter(make_grain_loader(corpus, 1, seed=0, worker_count=w_from,
+                                    num_epochs=1))
+        seen = record_ids(next(it))
+        state = it.get_state()
+
+        # native restore under the new topology fails (grain's own check)…
+        it2 = iter(make_grain_loader(corpus, 1, seed=0, worker_count=w_to,
+                                     num_epochs=1))
+        with _pytest.raises(ValueError, match="[Ww]orker count"):
+            it2.set_state(state)
+
+        # …but the translated state restores, and the rest of the epoch
+        # together with what was already seen covers EVERY record
+        new_state, repeats = translate_grain_state(state, w_to, batch_size=1)
+        assert json.loads(new_state)["worker_count"] == w_to
+        assert 0 <= repeats <= len(seen)
+        it3 = iter(make_grain_loader(corpus, 1, seed=0, worker_count=w_to,
+                                     num_epochs=1))
+        it3.set_state(new_state)
+        rest = [rid for b in it3 for rid in record_ids(b)]
+        assert set(seen) | set(rest) == all_ids, (w_from, w_to)
+        # repeats bound honored: nothing seen more than twice
+        assert len(rest) <= n  # no runaway duplication
+
+    # unusable snapshot: actionable error
+    bad = json.dumps({"version": 99}).encode()
+    with _pytest.raises(ValueError, match="loader_workers"):
+        translate_grain_state(bad, 2, batch_size=1)
 
 
 def test_iterator_skip_resumes_data_order(disk_corpus):

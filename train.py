@@ -54,7 +54,17 @@ def parse_args():
     ap.add_argument("--buckets", default=None,
                     help="comma-separated T_sent buckets (e.g. 16,32,64) for "
                          "--data_dir: batches are padded to the smallest "
-                         "fitting bucket instead of max_sentences")
+                         "fitting bucket instead of max_sentences; also "
+                         "enables W/T_img/T_aud per-batch bucketing "
+                         "(quarter/half/full ladders unless overridden)")
+    ap.add_argument("--word_buckets", default=None,
+                    help="W (words/sentence) buckets, e.g. 8,16,32; 'off' "
+                         "keeps the axis static (needs --buckets)")
+    ap.add_argument("--img_buckets", default=None,
+                    help="T_img (keyframe) buckets; 'off' = static")
+    ap.add_argument("--aud_buckets", default=None,
+                    help="T_aud (MFCC frame) buckets; 'off' = static. With "
+                         "--sp_audio pass multiples of --num_seq")
     ap.add_argument("--lr", type=float, default=0.5)
     ap.add_argument("--optimizer", default="adadelta", choices=["adadelta", "adam"])
     ap.add_argument("--max_grad_norm", type=float, default=5.0)
@@ -258,13 +268,25 @@ def main():
             else VideoCorpus(dev_dir, cfg, w2i, require_summary=True)
         )
         if a.buckets:
-            # Bucketed T_sent shapes: jit compiles one program per bucket;
-            # ragged corpora stop paying worst-case padding (SURVEY §8 R3).
+            # Bucketed shapes on all four ragged axes (SURVEY §8 R3): jit
+            # compiles one program per shape tuple; ragged corpora stop
+            # paying worst-case padding (T_aud's static 512-frame bucket
+            # was the costliest).
             from mmbidaf_tpu.data.pipeline import bucketed_iterator
 
-            buckets = tuple(int(b) for b in a.buckets.split(","))
+            def parse_buckets(s):
+                if s is None:
+                    return None  # auto quarter/half/full ladder
+                if s.lower() in ("off", "none"):
+                    return ()    # keep the axis static
+                return tuple(int(b) for b in s.split(","))
+
+            buckets = parse_buckets(a.buckets)
             stream_factory = lambda skip=0: bucketed_iterator(  # noqa: E731
-                corpus, cfg.train.batch_size, buckets, cfg.train.seed, skip=skip
+                corpus, cfg.train.batch_size, buckets, cfg.train.seed, skip=skip,
+                word_buckets=parse_buckets(a.word_buckets),
+                img_buckets=parse_buckets(a.img_buckets),
+                aud_buckets=parse_buckets(a.aud_buckets),
             )
         elif a.loader_workers > 0:
             # grain DataLoader: PNG/WAV decode in worker subprocesses
@@ -286,15 +308,38 @@ def main():
                     with open(step_path) as f:
                         saved_step = int(f.read().strip() or 0)
                     if saved_step == skip:
+                        with open(state_path, "rb") as f:
+                            raw_state = f.read()
                         try:
-                            with open(state_path, "rb") as f:
-                                it.set_state(f.read())
+                            it.set_state(raw_state)
                             print(f"grain loader state restored at step {skip}")
                             return it
-                        except Exception as e:  # stale/incompatible state
-                            print(f"grain loader state unusable ({e}); "
-                                  "data order restarts")
-                            return it
+                        except Exception as e:
+                            # worker topology changed between runs: translate
+                            # the snapshot (no records skipped; a few tail
+                            # records repeat) instead of restarting the order
+                            from mmbidaf_tpu.data.pipeline import (
+                                translate_grain_state,
+                            )
+
+                            try:
+                                new_state, repeats = translate_grain_state(
+                                    raw_state, a.loader_workers,
+                                    cfg.train.batch_size,
+                                )
+                                it.set_state(new_state)
+                                print(
+                                    "grain loader state translated to "
+                                    f"worker_count={a.loader_workers} "
+                                    f"({repeats} already-seen records will "
+                                    "repeat this epoch; none skipped)"
+                                )
+                                return it
+                            except Exception as e2:
+                                print(f"grain loader state unusable "
+                                      f"({e}; translation: {e2}); "
+                                      "data order restarts")
+                                return it
                 print("grain loader: no matching saved loader state — "
                       "data order restarts on resume")
                 return it
@@ -433,7 +478,23 @@ def main():
             with open(path + ".step", "w") as f:
                 f.write(str(int(state.step)))
 
-    pad_meter = AverageMeter()
+    # per-axis padding waste actually paid each step (bucketed shapes
+    # shrink these — SURVEY §8 R3); word_mask waste is measured within
+    # real sentences so it isolates the W axis from T_sent padding
+    pad_axes = {"sent": "sent_mask", "img": "img_mask", "aud": "aud_mask"}
+    pad_meters = {k: AverageMeter() for k in (*pad_axes, "word")}
+
+    def update_pad_meters(nb):
+        for name, key in pad_axes.items():
+            if key in nb:
+                pad_meters[name].update(1.0 - float(np.asarray(nb[key]).mean()))
+        if "word_mask" in nb:
+            wm = np.asarray(nb["word_mask"])
+            sm = np.asarray(nb["sent_mask"])[:, :, None]
+            denom = max(float(sm.sum()) * wm.shape[2], 1.0)
+            pad_meters["word"].update(1.0 - float((wm * sm).sum()) / denom)
+
+    pad_meter = pad_meters["sent"]  # headline scalar keeps its name
     for _ in step_iter:
         if _PREEMPTED["sig"] is not None:
             ckpt.save_unranked(manager, state)
@@ -443,9 +504,7 @@ def main():
                   f"{int(state.step)}; rerun with the same --save_dir to resume")
             return
         nb = next(stream)
-        # T_sent padding waste actually paid this step (bucketed shapes
-        # shrink this — SURVEY §8 R3).
-        pad_meter.update(1.0 - float(np.asarray(nb["sent_mask"]).mean()))
+        update_pad_meters(nb)
         batch = shard_batch({k: jnp.asarray(v) for k, v in nb.items()}, mesh)
         state, metrics = train_step(state, batch)
         loss = float(metrics["loss"])
@@ -457,12 +516,15 @@ def main():
                 "grad_norm": float(metrics["grad_norm"]),
                 "lr": float(make_lr_schedule(cfg)(step)),
                 "pad_frac": pad_meter.avg,
+                **{f"pad_frac_{k}": m.avg for k, m in pad_meters.items()
+                   if k != "sent" and m.count},
             }
             logger.log(step, scalars)
             tb.log(step, scalars)
             print(f"step {step}: loss {meter.avg:.4f} pad_frac {pad_meter.avg:.3f}")
             meter.reset()
-            pad_meter.reset()
+            for m in pad_meters.values():
+                m.reset()
         if step % cfg.train.eval_steps == 0:
             # Full dev-set eval: EMA decode over every eval batch, ROUGE
             # from the REAL on-disk transcript sentences vs summary.txt
@@ -480,11 +542,13 @@ def main():
                     )
                 else:
                     # synthetic corpus has no text: ROUGE over placeholder
-                    # sentence strings = a pick-vs-target overlap proxy.
+                    # sentence strings = a pick-vs-target overlap proxy,
+                    # scored over the FULL batch (host-side ROUGE on these
+                    # short strings is cheap).
                     sentences = [f"transcript sentence {i}."
                                  for i in range(cfg.data.max_sentences)]
                     targets_np = np.asarray(jax.device_get(eval_batch["targets"]))
-                    n_b = min(8, picks.shape[0])
+                    n_b = picks.shape[0]
                     golds = [" ".join(sentences[i] for i in targets_np[b])
                              for b in range(n_b)]
                     scores, n_b = batch_rouge(picks[:n_b], [sentences] * n_b, golds)
