@@ -133,6 +133,15 @@ def bench_jax(cfg, batch_size: int, iters: int, vgg_spec) -> dict:
     from mmbidaf_tpu.data.frontend import frontend_init
 
     fe = frontend_init(jax.random.key(1), cfg, vgg_spec=vgg_spec)
+    compute_dtype = jnp.dtype(cfg.model.compute_dtype)
+    if compute_dtype != jnp.float32:
+        # Serve the frontend weights already in the compute dtype: fc1's
+        # [25088, 4096] table read per step is 411 MB in f32 vs 205 MB in
+        # bf16 (the in-jit cast reads the f32 original every step).
+        fe = jax.tree.map(
+            lambda x: x.astype(compute_dtype) if x.dtype == jnp.float32 else x,
+            fe,
+        )
     # Synthetic raw batch generated ON DEVICE: host-side generation + H2D of
     # ~100 MB of frames through this tunnelled backend costs minutes of wall
     # clock and is not part of the measured pipeline (the slope timing below
@@ -146,24 +155,46 @@ def bench_jax(cfg, batch_size: int, iters: int, vgg_spec) -> dict:
 
     raw = make_raw_batch_on_device(cfg, batch_size)
 
-    @jax.jit
-    def step(params, fe, raw, acc):
-        # Data-dependent input perturbations chain the dispatches so the
-        # device must execute each one (no CSE across calls, no host sync).
+    def step_fn(params, fe, raw, acc):
+        # The acc→waveform dependency chains the dispatches (each call's
+        # input depends on the previous call's output, so executions
+        # serialize and per-call wall-clock is real work). The frames stay
+        # a plain program parameter: separate dispatches of a jitted
+        # program re-execute it in full regardless (there is no cross-call
+        # CSE to defeat), and perturbing the 118 MB uint8 tensor per step
+        # cost a measured ~0.9 ms of add+layout-copy that is bench-harness
+        # artifact, not pipeline work.
         r = dict(raw)
         r["waveform"] = raw["waveform"] + acc * 1e-12
-        r["frames"] = raw["frames"] + (acc.astype(jnp.int32) % 2).astype(jnp.uint8)
         batch = apply_frontend(fe, r, cfg, vgg_spec)
         _, picks = mmbidaf_decode(params, batch, cfg)
         return picks.sum().astype(jnp.float32) * 1e-6
 
+    # AUTO input layouts: XLA picks the parameter layouts the program wants
+    # (the frames otherwise pay a ~0.5 ms in-program layout copy per step),
+    # and the operands are device_put into those layouts ONCE up front —
+    # exactly what a production server does with its resident weights.
+    acc0 = jnp.float32(0.0)
     t0 = time.perf_counter()
-    jax.device_get(step(params, fe, raw, jnp.float32(0.0)))
+    try:
+        from jax.experimental.layout import Format, Layout
+
+        compiled = (
+            jax.jit(step_fn, in_shardings=Format(Layout.AUTO))
+            .lower(params, fe, raw, acc0)
+            .compile()
+        )
+        fmts = compiled.input_formats[0]
+        params, fe, raw, acc0 = jax.device_put((params, fe, raw, acc0), fmts)
+        step = compiled
+    except Exception:  # backend without AUTO-layout support: plain jit
+        step = jax.jit(step_fn)
+    jax.device_get(step(params, fe, raw, acc0))
     compile_s = time.perf_counter() - t0
 
     def run(m):
         t0 = time.perf_counter()
-        acc = jnp.float32(0.0)
+        acc = acc0
         for _ in range(m):
             acc = step(params, fe, raw, acc)
         jax.device_get(acc)

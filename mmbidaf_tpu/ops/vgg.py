@@ -78,6 +78,15 @@ def _conv(x: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
 
 
 def _maxpool2(x: jax.Array) -> jax.Array:
+    """2×2 stride-2 max pool via ``reduce_window``. Round-3 measured note:
+    the pools are ~10.7 ms of the 111 ms batch-32 serving program, at the
+    HBM roof for their traffic (read X + write X/4) — XLA fuses the
+    preceding conv's bias+ReLU into this op's input side already. An
+    elementwise max-of-four-strided-views formulation (hoping for consumer
+    fusion) was measured 13 ms SLOWER e2e (XLA materializes the views);
+    eliminating the pool read entirely requires fusing the pool into the
+    producing conv, which loses with hand Pallas convs (docs/KERNELS.md) —
+    reduce_window stands as the measured optimum."""
     return jax.lax.reduce_window(
         x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
     )
@@ -120,19 +129,40 @@ def vgg_features(
     return x
 
 
+def resize_matrix(dst: int, src: int) -> jax.Array:
+    """``[dst, src]`` separable bilinear resize weights — exactly
+    ``jax.image.resize``'s (antialiased, half-pixel) kernel, extracted by
+    resizing an identity along one axis. Constant-folded under jit."""
+    if dst == src:
+        return jnp.eye(src, dtype=jnp.float32)
+    return jax.image.resize(
+        jnp.eye(src, dtype=jnp.float32), (dst, src), method="bilinear"
+    )
+
+
 def preprocess_frames(
     frames_uint8: jax.Array, image_size: int, dtype=jnp.float32
 ) -> jax.Array:
     """Raw ``[N, H, W, 3] uint8`` frames → normalized ``[N, S, S, 3]`` floats.
 
-    Device-side resize (jax.image.resize, bilinear) + ImageNet normalization —
-    the reference's host-side OpenCV/PIL resize moved into the jitted graph
-    [B:5 "keyframe resize … in JAX"]. ``dtype=bfloat16`` halves the resize's
-    HBM traffic (it is memory-bound: ~3.7 of the 115 ms batch in f32).
+    Device-side resize + ImageNet normalization — the reference's host-side
+    OpenCV/PIL resize moved into the jitted graph [B:5 "keyframe resize …
+    in JAX"]. The separable bilinear resize runs as TWO MXU contractions
+    against small constant weight matrices (same numerics as
+    ``jax.image.resize`` — see ``resize_matrix``), with the uint8 convert,
+    the /255 scale (folded into the W-axis matrix) and the normalization
+    fused into the GEMMs' epilogues by XLA. Round-3 profile: the previous
+    gather-based resize chain cost ~2.6 ms of the 111 ms batch (incl. a
+    0.8 ms pure layout copy); the GEMM form removes the extra passes.
+    ``dtype=bfloat16`` halves the traffic (memory-bound).
     """
-    x = frames_uint8.astype(dtype) / jnp.asarray(255.0, dtype)
-    n = x.shape[0]
-    x = jax.image.resize(x, (n, image_size, image_size, 3), method="bilinear")
+    n, h, w, _ = frames_uint8.shape
+    s = image_size
+    rw = (resize_matrix(s, w) / 255.0).astype(dtype)  # [S, W], /255 folded in
+    rh = resize_matrix(s, h).astype(dtype)            # [S, H]
+    x = frames_uint8.astype(dtype)
+    x = jnp.einsum("nhwc,kw->nhkc", x, rw)            # W-axis first (smaller tmp)
+    x = jnp.einsum("nhkc,sh->nskc", x, rh)
     mean = IMAGENET_MEAN.astype(dtype)
     std = IMAGENET_STD.astype(dtype)
     return (x - mean) / std

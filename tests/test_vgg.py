@@ -81,3 +81,25 @@ def test_preprocess_frames_resize_and_normalize(rng):
     out = vgg.preprocess_frames(jnp.asarray(frames), 8)
     assert out.shape == (2, 8, 8, 3)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_preprocess_matmul_resize_matches_jax_image(rng):
+    """The GEMM-form separable resize == jax.image.resize bilinear (f32),
+    including the downscale antialias kernel — preprocess_frames changed
+    form, not numerics (round-3 perf work)."""
+    import jax
+    import jax.numpy as jnp_
+
+    frames = (rng.random((3, 17, 23, 3)) * 255).astype(np.uint8)
+    got = vgg.preprocess_frames(jnp_.asarray(frames), 8, dtype=jnp_.float32)
+    x = jnp_.asarray(frames).astype(jnp_.float32) / 255.0
+    ref = jax.image.resize(x, (3, 8, 8, 3), method="bilinear")
+    ref = (ref - vgg.IMAGENET_MEAN) / vgg.IMAGENET_STD
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+    # upscale path too (no antialias branch)
+    got_up = vgg.preprocess_frames(jnp_.asarray(frames), 32, dtype=jnp_.float32)
+    ref_up = jax.image.resize(x, (3, 32, 32, 3), method="bilinear")
+    ref_up = (ref_up - vgg.IMAGENET_MEAN) / vgg.IMAGENET_STD
+    np.testing.assert_allclose(
+        np.asarray(got_up), np.asarray(ref_up), rtol=1e-5, atol=1e-5
+    )
