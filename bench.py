@@ -134,14 +134,15 @@ def bench_jax(cfg, batch_size: int, iters: int, vgg_spec) -> dict:
 
     fe = frontend_init(jax.random.key(1), cfg, vgg_spec=vgg_spec)
     compute_dtype = jnp.dtype(cfg.model.compute_dtype)
-    if compute_dtype != jnp.float32:
-        # Serve the frontend weights already in the compute dtype: fc1's
+    if compute_dtype != jnp.float32 and "vgg" in fe:
+        # Serve the VGG weights already in the compute dtype: fc1's
         # [25088, 4096] table read per step is 411 MB in f32 vs 205 MB in
-        # bf16 (the in-jit cast reads the f32 original every step).
-        fe = jax.tree.map(
+        # bf16 (the in-jit cast reads the f32 original every step). Audio
+        # DFT/mel consts stay f32 — same as Summarizer (serving.py).
+        fe = dict(fe, vgg=jax.tree.map(
             lambda x: x.astype(compute_dtype) if x.dtype == jnp.float32 else x,
-            fe,
-        )
+            fe["vgg"],
+        ))
     # Synthetic raw batch generated ON DEVICE: host-side generation + H2D of
     # ~100 MB of frames through this tunnelled backend costs minutes of wall
     # clock and is not part of the measured pipeline (the slope timing below
