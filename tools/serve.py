@@ -1,0 +1,122 @@
+"""Minimal HTTP serving daemon around ``Summarizer`` (stdlib-only).
+
+The reference's serving story ends at "run the eval script"; this closes
+the deployment gap: one resident process holds the jitted programs warm
+and answers requests over HTTP.
+
+    python tools/serve.py --run_dir runs/mmbidaf [--port 8080] \
+        [--mode greedy|topk|beam] [--serve_batch_size 8] [--long]
+
+Endpoints:
+    GET  /healthz                 → {"ok": true, "backend": ...}
+    POST /summarize               {"video_dir": "/path"}           → {"summary": ...}
+    POST /summarize_batch         {"video_dirs": ["/a", "/b"]}     → {"summaries": [...]}
+
+Requests are served from a thread pool; ``Summarizer`` is share-safe
+(greedy/beam decodes are stateless; top-k's rng advance is behind a
+lock). ``serve_batch_size`` pins ONE compiled batch shape so request
+sizes never trigger recompiles. Bad assets return 400 with the error
+string — a poisoned request never takes the server down
+(tests/test_serve_daemon.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+
+def make_handler(summarizer, use_long: bool):
+    import jax
+
+    backend = jax.default_backend()
+
+    class Handler(BaseHTTPRequestHandler):
+        # one summarize at a time keeps device memory bounded; host decode
+        # of the NEXT request still overlaps via the server's thread pool
+        _lock = threading.Lock()
+
+        def _reply(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._reply(200, {"ok": True, "backend": backend})
+            else:
+                self._reply(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self):
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+            except Exception as e:
+                return self._reply(400, {"error": f"bad request body: {e}"})
+            try:
+                if self.path == "/summarize":
+                    vd = req["video_dir"]
+                    with self._lock:
+                        out = (summarizer.summarize_long(vd) if use_long
+                               else summarizer.summarize(vd))
+                    return self._reply(200, {"summary": out})
+                if self.path == "/summarize_batch":
+                    vds = list(req["video_dirs"])
+                    with self._lock:
+                        outs = summarizer.summarize_batch(vds)
+                    return self._reply(200, {"summaries": outs})
+                return self._reply(404, {"error": f"unknown path {self.path}"})
+            except KeyError as e:
+                return self._reply(400, {"error": f"missing field {e}"})
+            except Exception as e:
+                # bad assets (corrupt PNG/WAV, missing transcript) fail the
+                # REQUEST, not the server
+                return self._reply(400, {"error": f"{type(e).__name__}: {e}"})
+
+    return Handler
+
+
+def serve(summarizer, port: int = 8080, host: str = "127.0.0.1",
+          use_long: bool = False) -> ThreadingHTTPServer:
+    """Build (but don't run) the server — callers own serve_forever()."""
+    return ThreadingHTTPServer((host, port), make_handler(summarizer, use_long))
+
+
+def main():
+    ap = argparse.ArgumentParser(description="MMBiDAF-TPU serving daemon")
+    ap.add_argument("--run_dir", required=True,
+                    help="train.py run directory (config + vocab + ckpts)")
+    ap.add_argument("--port", type=int, default=8080)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--mode", default="greedy", choices=["greedy", "topk", "beam"])
+    ap.add_argument("--topk", type=int, default=4)
+    ap.add_argument("--serve_batch_size", type=int, default=None,
+                    help="pin ONE compiled batch shape (recommended)")
+    ap.add_argument("--long", action="store_true",
+                    help="windowed decode for transcripts beyond max_sentences")
+    a = ap.parse_args()
+
+    from mmbidaf_tpu.serving import Summarizer
+
+    s = Summarizer.from_run(
+        a.run_dir, mode=a.mode, topk=a.topk, serve_batch_size=a.serve_batch_size
+    )
+    srv = serve(s, port=a.port, host=a.host, use_long=a.long)
+    print(f"serving {a.run_dir} on http://{a.host}:{srv.server_address[1]} "
+          f"(mode={a.mode}{', long' if a.long else ''})")
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        srv.shutdown()
+
+
+if __name__ == "__main__":
+    main()
