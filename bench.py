@@ -171,25 +171,18 @@ def bench_jax(cfg, batch_size: int, iters: int, vgg_spec) -> dict:
         _, picks = mmbidaf_decode(params, batch, cfg)
         return picks.sum().astype(jnp.float32) * 1e-6
 
-    # AUTO input layouts: XLA picks the parameter layouts the program wants
-    # (the frames otherwise pay a ~0.5 ms in-program layout copy per step),
-    # and the operands are device_put into those layouts ONCE up front —
-    # exactly what a production server does with its resident weights.
+    # NOTE (round-3 negative result): AUTO input layouts
+    # (jax.experimental.layout Format(Layout.AUTO) + device_put into
+    # compiled.input_formats) are NOT usable on this backend — device_put
+    # does not actually re-lay-out committed on-device arrays here, so the
+    # call either coincidentally matches the default layouts (measured: no
+    # benefit, 288.1 vs 289.2 plain jit) or rejects the arguments with a
+    # layout mismatch; at B=1 the AUTO path hangs at execution. Plain jit
+    # stands; the frames' ~0.5 ms in-program layout copy is accepted as
+    # part of the measured pipeline.
     acc0 = jnp.float32(0.0)
+    step = jax.jit(step_fn)
     t0 = time.perf_counter()
-    try:
-        from jax.experimental.layout import Format, Layout
-
-        compiled = (
-            jax.jit(step_fn, in_shardings=Format(Layout.AUTO))
-            .lower(params, fe, raw, acc0)
-            .compile()
-        )
-        fmts = compiled.input_formats[0]
-        params, fe, raw, acc0 = jax.device_put((params, fe, raw, acc0), fmts)
-        step = compiled
-    except Exception:  # backend without AUTO-layout support: plain jit
-        step = jax.jit(step_fn)
     jax.device_get(step(params, fe, raw, acc0))
     compile_s = time.perf_counter() - t0
 
