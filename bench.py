@@ -56,12 +56,14 @@ def build_bench_config(quick: bool):
         )
         # TPU-native serving config: bf16 compute (conv/LSTM/attention on the
         # bf16 MXU path) + fused Pallas attention + Pallas LSTM kernel
-        # (neutral at batch 32, -27% single-video latency: 8.7 -> 6.3 ms).
-        # The torch-CPU baseline stays fp32 — that's what the reference runs.
+        # (neutral at batch 32, -27% single-video latency) + the one-pass
+        # whole-example MFCC kernel (round 3: B=1 latency 6.6 -> 6.03 ms,
+        # neutral at batch 32). The torch-CPU baseline stays fp32 — that's
+        # what the reference runs.
         model = ModelConfig(hidden_size=128, img_feat_dim=4096, audio_feat_dim=40,
                             drop_prob=0.0, max_decode_steps=4,
                             compute_dtype="bfloat16", use_pallas_attention=True,
-                            use_pallas_lstm=True)
+                            use_pallas_lstm=True, use_pallas_melspec=True)
     return Config(model=model, data=data)
 
 

@@ -82,3 +82,62 @@ def log_mel_fused(
         ),
     )(flat, consts["cos"], consts["sin"], consts["mel_fb"])
     return out[:n].reshape(*lead, n_mels)
+
+
+def _mfcc_kernel(frames_ref, cos_ref, sin_ref, mel_ref, dct_ref, out_ref):
+    """One batch example per program: window∘DFT∘|·|²∘mel∘dB(global max)∘DCT
+    entirely in VMEM. The per-example dB reference (librosa's ref=max) is
+    what forces whole-example programs — a frame-tiled grid would need a
+    cross-tile max pass (this is ROADMAP round-2 open item 4, closed)."""
+    frames = frames_ref[0]            # [T, win]
+    re = jnp.dot(frames, cos_ref[:], preferred_element_type=jnp.float32)
+    im = jnp.dot(frames, sin_ref[:], preferred_element_type=jnp.float32)
+    power = re * re + im * im         # [T, bins] — never leaves VMEM
+    mel = jnp.dot(power, mel_ref[:], preferred_element_type=jnp.float32)
+    logspec = 10.0 * jnp.log10(jnp.maximum(mel, 1e-10))
+    db = jnp.maximum(logspec - jnp.max(logspec), -80.0)
+    out_ref[0] = jnp.dot(db, dct_ref[:], preferred_element_type=jnp.float32)
+
+
+# whole-example VMEM budget: frames + power are the big residents; beyond
+# this, fall back to the tiled mel kernel + jnp dB/DCT tail (audio.py).
+_MFCC_FUSED_MAX_ELEMS = 1024 * 512
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def mfcc_fused(frames: jax.Array, consts: dict, interpret: bool | None = None) -> jax.Array:
+    """``[B, T, win] → [B, T, n_mfcc]`` librosa-default MFCC in ONE Pallas
+    pass per example (incl. the per-example global-max dB reference).
+    Numerically identical math to ``ops.audio.mfcc`` in f32."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, T, win = frames.shape
+    bins = consts["cos"].shape[1]
+    n_mels = consts["mel_fb"].shape[1]
+    n_mfcc = consts["dct"].shape[1]
+
+    grid_spec = pl.GridSpec(
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, T, win), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((win, bins), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((win, bins), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bins, n_mels), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_mels, n_mfcc), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, T, n_mfcc), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        _mfcc_kernel,
+        out_shape=jax.ShapeDtypeStruct((B, T, n_mfcc), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=B * (2 * T * win * bins * 2 + 2 * T * bins * n_mels
+                       + 2 * T * n_mels * n_mfcc),
+            bytes_accessed=4 * B * (T * win + T * n_mfcc)
+            + 4 * (2 * win * bins + bins * n_mels + n_mels * n_mfcc),
+            transcendentals=B * T * n_mels,
+        ),
+    )(frames.astype(jnp.float32), consts["cos"], consts["sin"],
+      consts["mel_fb"], consts["dct"])

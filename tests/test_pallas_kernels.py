@@ -42,6 +42,35 @@ def test_fused_logmel_matches_jnp(rng):
     np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), rtol=2e-4, atol=1e-5)
 
 
+def test_fused_mfcc_matches_jnp(rng):
+    """One-pass whole-example MFCC kernel (incl. the per-example global-max
+    dB reference) == the jnp chain, and the waveform_to_features fused path
+    dispatches to it under the size bound."""
+    from mmbidaf_tpu.ops.pallas.melspec_kernel import mfcc_fused
+
+    n_fft, win, hop = 64, 48, 16
+    consts = audio.make_audio_frontend_consts(16000, n_fft, win, 12, 8)
+    frames = jnp.asarray(rng.standard_normal((3, 37, win)).astype(np.float32))
+    ref = audio.mfcc(frames, consts)
+    fused = mfcc_fused(frames, consts, interpret=True)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+    # silent example (all-zero frames): the ref=max(db) degenerate case
+    silent = frames.at[1].set(0.0)
+    np.testing.assert_allclose(
+        np.asarray(mfcc_fused(silent, consts, interpret=True)),
+        np.asarray(audio.mfcc(silent, consts)),
+        rtol=2e-4, atol=2e-5,
+    )
+
+    # end-to-end fused dispatch path
+    T = 20
+    sig = jnp.asarray(rng.standard_normal((2, T * hop + win)).astype(np.float32))
+    out_f = audio.waveform_to_features(sig, consts, win, hop, T, feature="mfcc", fused=True)
+    out_r = audio.waveform_to_features(sig, consts, win, hop, T, feature="mfcc", fused=False)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_r), rtol=2e-4, atol=2e-5)
+
+
 def test_model_decode_with_pallas_attention_matches(rng):
     """Full-model greedy decode with the fused kernel == jnp path (CPU interpret)."""
     import dataclasses
