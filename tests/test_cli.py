@@ -86,6 +86,44 @@ def test_train_cli_real_corpus_rouge(tmp_path, synthetic_corpus):
 
 
 @pytest.mark.slow
+def test_train_infer_cli_sp_audio(tmp_path, synthetic_corpus):
+    """--sp_audio end-to-end through the real CLIs on a faked 8-device
+    mesh: train builds the ('data','seq') DP x SP mesh and trains through
+    the sequence-parallel audio tower; infer auto-loads the run config
+    (sp_audio persisted) and decodes through the same chain."""
+    env = _cpu_env()
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    res = subprocess.run(
+        [
+            sys.executable, "train.py",
+            "--data_dir", synthetic_corpus, "--vgg", "tiny",
+            "--config_json", "examples/tiny_config.json",
+            "--sp_audio", "--num_seq", "4",
+            "--num_steps", "4", "--eval_steps", "2",
+            "--save_dir", str(tmp_path),
+        ],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "'data': 2, 'seq': 4" in res.stdout, res.stdout[:500]
+    run_dir = tmp_path / "mmbidaf"
+    saved = json.loads((run_dir / "config.json").read_text())
+    assert saved["mesh"]["sp_audio"] is True and saved["mesh"]["num_seq"] == 4
+
+    res = subprocess.run(
+        [
+            sys.executable, "infer.py",
+            "--data_dir", synthetic_corpus, "--vgg", "tiny",
+            "--load_dir", str(run_dir / "ckpts"),
+            "--batch_size", "2",
+        ],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "(4 videos scored)" in res.stdout
+
+
+@pytest.mark.slow
 def test_infer_cli_real_corpus(synthetic_corpus):
     """infer.py --data_dir decodes every video, assembles summaries from the
     real transcript text, and scores ROUGE against summary.txt."""
