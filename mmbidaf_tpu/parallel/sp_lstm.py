@@ -86,13 +86,21 @@ def make_sp_bilstm(
     def body(params, x, mask):
         d = jax.lax.axis_index(axis)
         B, Tc, _ = x.shape  # local chunk shapes
-        M = microbatches or min(D, B)
-        if B % M:
-            raise ValueError(
-                f"SP BiLSTM: microbatches {M} must divide the per-shard "
-                f"batch {B} — pass microbatches= a divisor of the batch, or "
-                f"size the batch as a multiple of the {axis!r} axis ({D})"
-            )
+        if microbatches is None:
+            # largest divisor of B that fits the device count: arbitrary
+            # batch sizes (e.g. summarize_long's window batches) stay
+            # valid, at worst with a shallower wavefront
+            M = min(D, B)
+            while B % M:
+                M -= 1
+        else:
+            M = microbatches
+            if B % M:
+                raise ValueError(
+                    f"SP BiLSTM: microbatches {M} must divide the per-shard "
+                    f"batch {B} — pass microbatches= a divisor of the batch, "
+                    f"or size the batch as a multiple of the {axis!r} axis ({D})"
+                )
         Bm = B // M
         h_dim = params["fwd"]["w_h"].shape[0]
         dtype = x.dtype

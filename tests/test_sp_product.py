@@ -206,3 +206,11 @@ def test_summarizer_consumes_sp_flag(setup, tmp_path, rng):
     s_l = Summarizer.init_random(cfg_local, seed=3, vgg_spec=TINY_SPEC)
     assert s_sp._audio_g_fn is not None and s_l._audio_g_fn is None
     assert s_sp.summarize(str(vd)) == s_l.summarize(str(vd))
+
+    # long-transcript windowed serving composes with the SP tower: each
+    # window re-featurizes the raw waveform sharded (no gathered cache)
+    long_sents = " ".join(
+        f"Windowed sentence {j} talks about item {j}." for j in range(20)
+    )
+    (vd / "transcript.txt").write_text(long_sents)
+    assert s_sp.summarize_long(str(vd)) == s_l.summarize_long(str(vd))
