@@ -23,20 +23,13 @@ import numpy as np
 
 
 def enable_compilation_cache():
-    """Point JAX's persistent compilation cache at a repo-local directory.
+    """Repo-local persistent compilation cache: a local hit skips the
+    ~10-min remote server compile, so the driver's end-of-round
+    `python bench.py` reuses what the builder's final warm-up run
+    populated, regardless of server-side cache eviction."""
+    from mmbidaf_tpu.utils.cache import enable_compilation_cache as enable
 
-    The axon backend supports executable serialization, so a cache hit skips
-    the remote server compile entirely (measured: VGG-sized programs compile
-    in ~10 min cold server-side; a local cache hit deserializes in ms). The
-    driver's end-of-round `python bench.py` then hits the cache the builder's
-    final warm-up run populated, regardless of server-side cache eviction.
-    """
-    import jax
-
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    enable(os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
 
 
 def build_bench_config(quick: bool):
@@ -135,16 +128,9 @@ def bench_jax(cfg, batch_size: int, iters: int, vgg_spec) -> dict:
     from mmbidaf_tpu.data.frontend import frontend_init
 
     fe = frontend_init(jax.random.key(1), cfg, vgg_spec=vgg_spec)
-    compute_dtype = jnp.dtype(cfg.model.compute_dtype)
-    if compute_dtype != jnp.float32 and "vgg" in fe:
-        # Serve the VGG weights already in the compute dtype: fc1's
-        # [25088, 4096] table read per step is 411 MB in f32 vs 205 MB in
-        # bf16 (the in-jit cast reads the f32 original every step). Audio
-        # DFT/mel consts stay f32 — same as Summarizer (serving.py).
-        fe = dict(fe, vgg=jax.tree.map(
-            lambda x: x.astype(compute_dtype) if x.dtype == jnp.float32 else x,
-            fe["vgg"],
-        ))
+    from mmbidaf_tpu.data.frontend import cast_vgg_weights
+
+    fe = cast_vgg_weights(fe, cfg.model.compute_dtype)
     # Synthetic raw batch generated ON DEVICE: host-side generation + H2D of
     # ~100 MB of frames through this tunnelled backend costs minutes of wall
     # clock and is not part of the measured pipeline (the slope timing below

@@ -129,7 +129,9 @@ def main():
             dev = os.path.join(a.data_dir, "dev")
             decode_dir = dev if os.path.isdir(dev) else vocab_dir
         w2i = vocab_from_corpus_dir(vocab_dir, max_size=cfg.data.vocab_size)
-        corpus = VideoCorpus(decode_dir, cfg, w2i)
+        # sp_audio needs raw waveforms — skip features.npz shortcuts so the
+        # sharded frontend has real audio to featurize
+        corpus = VideoCorpus(decode_dir, cfg, w2i, use_precomputed=not sp)
         fe_params = frontend_init(jax.random.key(a.seed + 2), cfg, vgg_spec=vgg_spec)
         wv = random_word_vectors(np_rng, len(w2i), cfg.model.emb_dim)
     else:

@@ -35,6 +35,21 @@ def frontend_init(key: jax.Array, cfg: Config, vgg_spec=vgg_ops.VGG16_SPEC) -> d
     return params
 
 
+def cast_vgg_weights(fe_params: dict | None, compute_dtype) -> dict | None:
+    """Hold the (frozen) VGG subtree in the compute dtype: the in-jit cast
+    otherwise re-reads the f32 originals every call (fc1's [25088, 4096]
+    table alone is 411 MB f32 vs 205 MB bf16 — ~0.25 ms/batch measured
+    round 3). Bitwise identical to casting at use. The audio DFT/mel consts
+    stay f32 (the MFCC frontend computes in f32 — same decision as the SP
+    tower's stage dtypes). Shared by Summarizer and bench.py so serving and
+    the benchmark measure the same program."""
+    compute_dtype = jnp.dtype(compute_dtype)
+    if fe_params is None or compute_dtype == jnp.float32 or "vgg" not in fe_params:
+        return fe_params
+    cast = lambda x: x.astype(compute_dtype) if x.dtype == jnp.float32 else x
+    return dict(fe_params, vgg=jax.tree.map(cast, fe_params["vgg"]))
+
+
 def apply_frontend(
     fe_params: dict,
     raw: Mapping[str, jax.Array],

@@ -162,13 +162,14 @@ class VideoCorpus:
                 n_img = max(int(z["img_mask"].sum()), 1)
                 n_aud = max(int(z["aud_mask"].sum()), 1)
         else:
+            from mmbidaf_tpu.data.video import IMAGE_EXTS
+
             fdir = os.path.join(vdir, "frames")
             if os.path.exists(os.path.join(vdir, "frames.npy")):
                 n_raw = np.load(os.path.join(vdir, "frames.npy"), mmap_mode="r").shape[0]
             elif os.path.isdir(fdir):
                 n_raw = sum(
-                    1 for f in os.listdir(fdir)
-                    if f.lower().endswith((".png", ".jpg", ".jpeg", ".ppm", ".bmp"))
+                    1 for f in os.listdir(fdir) if f.lower().endswith(IMAGE_EXTS)
                 )
             else:
                 n_raw = 0

@@ -64,6 +64,9 @@ def sample_keyframes_shot_change(
     return out, mask
 
 
+IMAGE_EXTS = (".png", ".jpg", ".jpeg", ".ppm", ".bmp")
+
+
 def load_image_dir(path: str) -> np.ndarray:
     """Directory of image files (sorted) → ``[T, H, W, 3] uint8``.
 
@@ -71,8 +74,7 @@ def load_image_dir(path: str) -> np.ndarray:
     (`native.image_decode_batch`, off the GIL); anything else via PIL.
     """
     names = sorted(
-        f for f in os.listdir(path)
-        if f.lower().endswith((".png", ".jpg", ".jpeg", ".ppm", ".bmp"))
+        f for f in os.listdir(path) if f.lower().endswith(IMAGE_EXTS)
     )
     if not names:
         raise FileNotFoundError(f"no images in {path}")
@@ -234,13 +236,11 @@ def load_video_assets(
 
     if os.path.exists(os.path.join(video_dir, "audio.npy")):
         wave = np.load(os.path.join(video_dir, "audio.npy")).astype(np.float32)
-        n_valid = len(wave)
     elif os.path.exists(os.path.join(video_dir, "audio.wav")):
         wave, _ = load_wav(os.path.join(video_dir, "audio.wav"))
-        n_valid = len(wave)
     else:
         wave = np.zeros((num_audio_samples,), np.float32)  # silent track
-        n_valid = num_audio_samples
+    # valid count = min(len(wave), num_audio_samples) — pad_waveform's return
     wave, n_valid = pad_waveform(wave, num_audio_samples)
 
     with open(os.path.join(video_dir, "transcript.txt")) as f:

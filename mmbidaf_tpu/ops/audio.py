@@ -189,15 +189,18 @@ def waveform_to_features(
     frames = frame_signal(signal, win_length, hop_length, num_frames)
     if fused:
         from mmbidaf_tpu.ops.pallas.melspec_kernel import (
-            _MFCC_FUSED_MAX_ELEMS,
             log_mel_fused,
             mfcc_fused,
+            mfcc_fused_fits,
         )
 
         if feature == "logmel":
             return log_mel_fused(frames, consts, log=True)
         if feature == "mfcc":
-            if num_frames * win_length <= _MFCC_FUSED_MAX_ELEMS:
+            if mfcc_fused_fits(
+                num_frames, win_length,
+                consts["cos"].shape[1], consts["mel_fb"].shape[1],
+            ):
                 # whole MFCC (incl. the global-max dB ref) in one Pallas
                 # pass per example — the B=1 audio path was per-op dispatch
                 # overhead, not op-chain work (docs/KERNELS.md)

@@ -99,9 +99,18 @@ def _mfcc_kernel(frames_ref, cos_ref, sin_ref, mel_ref, dct_ref, out_ref):
     out_ref[0] = jnp.dot(db, dct_ref[:], preferred_element_type=jnp.float32)
 
 
-# whole-example VMEM budget: frames + power are the big residents; beyond
-# this, fall back to the tiled mel kernel + jnp dB/DCT tail (audio.py).
-_MFCC_FUSED_MAX_ELEMS = 1024 * 512
+# whole-example VMEM budget (bytes): frames [T, win] plus the re/im/power
+# residents [T, bins] are the big VMEM tenants; past this, fall back to the
+# tiled mel kernel + jnp dB/DCT tail (audio.py). Serving shapes (T=512,
+# win=400, bins=257) use ~2.5 MB; the 4096-frame long-audio config (~20 MB)
+# correctly falls back.
+_MFCC_FUSED_MAX_BYTES = 8 * 1024 * 1024
+
+
+def mfcc_fused_fits(num_frames: int, win_length: int, n_bins: int, n_mels: int) -> bool:
+    """Whether the whole-example kernel's VMEM residents fit the budget."""
+    per_example = 4 * num_frames * (win_length + 3 * n_bins + n_mels)
+    return per_example <= _MFCC_FUSED_MAX_BYTES
 
 
 @partial(jax.jit, static_argnames=("interpret",))

@@ -87,22 +87,10 @@ class Summarizer:
         serve_batch_size: int | None = None,
     ):
         self.params = params
-        # Hold the (frozen) VGG weights in the compute dtype: the in-jit
-        # cast otherwise re-reads the f32 originals every call (fc1's
-        # [25088, 4096] table alone is 411 MB f32 vs 205 MB bf16 —
-        # ~0.25 ms/batch measured round 3). Bitwise identical to casting
-        # at use. The audio DFT/mel consts stay f32 (the MFCC frontend
-        # computes in f32 — same decision as the SP tower's stage dtypes).
-        compute_dtype = jnp.dtype(cfg.model.compute_dtype)
-        if fe_params is not None and compute_dtype != jnp.float32 and "vgg" in fe_params:
-            fe_params = dict(
-                fe_params,
-                vgg=jax.tree.map(
-                    lambda x: x.astype(compute_dtype) if x.dtype == jnp.float32 else x,
-                    fe_params["vgg"],
-                ),
-            )
-        self.fe_params = fe_params
+        from mmbidaf_tpu.data.frontend import cast_vgg_weights
+
+        # frozen VGG weights held in the compute dtype (see cast_vgg_weights)
+        self.fe_params = cast_vgg_weights(fe_params, cfg.model.compute_dtype)
         self.word2idx = word2idx
         self.cfg = cfg
         self.vgg_spec = vgg_spec

@@ -34,12 +34,19 @@ assert jax.default_backend() == "cpu", "tests must run on the CPU backend"
 # Persistent compilation cache for the CPU test mesh: repeated full-suite
 # runs skip recompiling the (many) jitted programs. Kept separate from the
 # TPU bench cache (.jax_cache) so neither evicts the other's entries.
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache_cpu"),
-)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+# Accepted tradeoff vs __graft_entry__'s CPU-dryrun policy: XLA:CPU AOT
+# reload can in principle SIGILL on a machine-feature change; this cache
+# only serves LOCAL test iteration (the driver never runs pytest) — if a
+# suite run ever SIGILLs, delete .jax_cache_cpu/ or set MMB_NO_CPU_CACHE=1.
+if not os.environ.get("MMB_NO_CPU_CACHE"):
+    from mmbidaf_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache(
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".jax_cache_cpu",
+        )
+    )
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

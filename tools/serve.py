@@ -56,30 +56,46 @@ def make_handler(summarizer, use_long: bool):
                 self._reply(404, {"error": f"unknown path {self.path}"})
 
         def do_POST(self):
+            import wave as wave_mod
+
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(n) or b"{}")
             except Exception as e:
                 return self._reply(400, {"error": f"bad request body: {e}"})
+            # request-field validation OUTSIDE the handler try: a KeyError
+            # raised inside the summarizer must not masquerade as a
+            # missing request field
+            if self.path == "/summarize":
+                if "video_dir" not in req:
+                    return self._reply(400, {"error": "missing field 'video_dir'"})
+            elif self.path == "/summarize_batch":
+                if "video_dirs" not in req:
+                    return self._reply(400, {"error": "missing field 'video_dirs'"})
+            else:
+                return self._reply(404, {"error": f"unknown path {self.path}"})
             try:
                 if self.path == "/summarize":
-                    vd = req["video_dir"]
                     with self._lock:
-                        out = (summarizer.summarize_long(vd) if use_long
-                               else summarizer.summarize(vd))
+                        out = (summarizer.summarize_long(req["video_dir"])
+                               if use_long
+                               else summarizer.summarize(req["video_dir"]))
                     return self._reply(200, {"summary": out})
-                if self.path == "/summarize_batch":
-                    vds = list(req["video_dirs"])
-                    with self._lock:
-                        outs = summarizer.summarize_batch(vds)
-                    return self._reply(200, {"summaries": outs})
-                return self._reply(404, {"error": f"unknown path {self.path}"})
-            except KeyError as e:
-                return self._reply(400, {"error": f"missing field {e}"})
+                with self._lock:
+                    outs = summarizer.summarize_batch(list(req["video_dirs"]))
+                return self._reply(200, {"summaries": outs})
+            except (OSError, ValueError, wave_mod.Error, EOFError) as e:
+                # bad assets (corrupt/unreadable PNG/WAV, missing files,
+                # malformed dirs) fail the REQUEST, not the server
+                return self._reply(
+                    400, {"error": f"{type(e).__name__}: {e}", "kind": "bad_asset"}
+                )
             except Exception as e:
-                # bad assets (corrupt PNG/WAV, missing transcript) fail the
-                # REQUEST, not the server
-                return self._reply(400, {"error": f"{type(e).__name__}: {e}"})
+                # anything else is a SERVER fault — 500 so retry/alerting
+                # infrastructure doesn't file it as a client mistake
+                return self._reply(
+                    500, {"error": f"{type(e).__name__}: {e}", "kind": "server_error"}
+                )
 
     return Handler
 

@@ -219,6 +219,14 @@ def main():
             )
         if not cfg.model.use_audio:
             raise SystemExit("--sp_audio requires the audio tower (drop --no_audio)")
+        if cfg.mesh.num_seq <= 1:
+            # without a 'seq' axis the tower would silently shard frames
+            # over the DATA axis with the batch replicated inside it —
+            # data parallelism lost with no visible signal
+            raise SystemExit(
+                "--sp_audio needs a sequence axis: pass --num_seq N > 1 "
+                "(devices split as data x seq)"
+            )
         from mmbidaf_tpu.parallel.sp_tower import make_sp_audio_tower
 
         audio_g_fn = make_sp_audio_tower(mesh, cfg)
@@ -262,26 +270,36 @@ def main():
         save_vocab(w2i, np.asarray(wv),
                    os.path.join(run_dir, "vocab.json"),
                    os.path.join(run_dir, "emb.npz"))
-        corpus = VideoCorpus(train_dir, cfg, w2i, require_summary=True)
+        # sp_audio needs raw waveforms: skip features.npz shortcuts so the
+        # sharded frontend has real audio to featurize
+        use_pre = not cfg.mesh.sp_audio
+        corpus = VideoCorpus(
+            train_dir, cfg, w2i, require_summary=True, use_precomputed=use_pre
+        )
         eval_corpus = (
             corpus if dev_dir == train_dir
-            else VideoCorpus(dev_dir, cfg, w2i, require_summary=True)
+            else VideoCorpus(
+                dev_dir, cfg, w2i, require_summary=True, use_precomputed=use_pre
+            )
         )
-        if a.buckets:
+        def parse_buckets(s):
+            if s is None:
+                return None  # auto quarter/half/full ladder
+            if s.lower() in ("off", "none"):
+                return ()    # keep the axis static
+            return tuple(int(b) for b in s.split(","))
+
+        # '--buckets off' == omitting --buckets (the sibling axis flags
+        # document 'off'; the primary axis accepts it too instead of
+        # surfacing bucketed_iterator's 'need at least one bucket')
+        buckets = parse_buckets(a.buckets)
+        if buckets:
             # Bucketed shapes on all four ragged axes (SURVEY §8 R3): jit
             # compiles one program per shape tuple; ragged corpora stop
             # paying worst-case padding (T_aud's static 512-frame bucket
             # was the costliest).
             from mmbidaf_tpu.data.pipeline import bucketed_iterator
 
-            def parse_buckets(s):
-                if s is None:
-                    return None  # auto quarter/half/full ladder
-                if s.lower() in ("off", "none"):
-                    return ()    # keep the axis static
-                return tuple(int(b) for b in s.split(","))
-
-            buckets = parse_buckets(a.buckets)
             stream_factory = lambda skip=0: bucketed_iterator(  # noqa: E731
                 corpus, cfg.train.batch_size, buckets, cfg.train.seed, skip=skip,
                 word_buckets=parse_buckets(a.word_buckets),
