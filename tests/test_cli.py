@@ -123,6 +123,28 @@ def test_train_infer_cli_sp_audio(tmp_path, synthetic_corpus):
     assert "(4 videos scored)" in res.stdout
 
 
+def test_train_cli_sp_audio_misuse_errors(synthetic_corpus, tmp_path):
+    """--sp_audio misconfigurations fail fast with actionable messages:
+    no --num_seq (would silently lose DP), no --data_dir (no waveforms)."""
+    env = _cpu_env()
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    res = subprocess.run(
+        [sys.executable, "train.py", "--data_dir", synthetic_corpus,
+         "--vgg", "tiny", "--config_json", "examples/tiny_config.json",
+         "--sp_audio", "--num_steps", "1", "--save_dir", str(tmp_path)],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert res.returncode != 0
+    assert "--num_seq" in res.stderr
+    res = subprocess.run(
+        [sys.executable, "train.py", "--sp_audio", "--num_seq", "4",
+         "--num_steps", "1", "--save_dir", str(tmp_path)],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert res.returncode != 0
+    assert "--data_dir" in res.stderr
+
+
 @pytest.mark.slow
 def test_infer_cli_real_corpus(synthetic_corpus):
     """infer.py --data_dir decodes every video, assembles summaries from the

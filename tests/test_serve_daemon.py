@@ -108,6 +108,48 @@ def test_poisoned_request_returns_400_and_server_survives(server):
     assert status == 200 and out["summary"]
 
 
+def test_long_mode_server(server, tmp_path, rng):
+    """A use_long server windows past the max_sentences bucket and matches
+    the library's summarize_long."""
+    import sys
+    sys.path.insert(0, "tools")
+    from serve import serve
+
+    port, dirs, s = server
+    srv = serve(s, port=0, use_long=True)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        cfg = s.cfg
+        vd = tmp_path / "longvid"
+        (vd / "frames").mkdir(parents=True)
+        from PIL import Image
+
+        Image.fromarray((rng.random((10, 12, 3)) * 255).astype(np.uint8)).save(
+            vd / "frames" / "f0.png"
+        )
+        d = cfg.data
+        n_samples = d.max_audio_frames * d.hop_length + d.win_length
+        sig = (rng.standard_normal(n_samples // 4) * 8000).astype(np.int16)
+        with wave_mod.open(str(vd / "audio.wav"), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(d.sample_rate)
+            w.writeframes(sig.tobytes())
+        # transcript well beyond the T_sent bucket forces windowing
+        (vd / "transcript.txt").write_text(
+            " ".join(f"Long sentence {j} covers point {j}."
+                     for j in range(3 * d.max_sentences))
+        )
+        status, out = _req(
+            srv.server_address[1], "POST", "/summarize", {"video_dir": str(vd)}
+        )
+        assert status == 200
+        assert out["summary"] == s.summarize_long(str(vd))
+    finally:
+        srv.shutdown()
+
+
 def test_bad_payloads(server):
     port, _, _ = server
     status, out = _req(port, "POST", "/summarize", {"wrong_field": 1})
