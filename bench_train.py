@@ -27,6 +27,9 @@ def main():
                          "(supports dropout: similarity-only cd/qd operands)")
     ap.add_argument("--drop", type=float, default=0.2,
                     help="dropout prob (reference default 0.2; both paths)")
+    ap.add_argument("--tree_opt", action="store_true",
+                    help="per-leaf optimizer tree_maps instead of the default "
+                         "flat raveled update (A/B for TrainConfig.flat_updates)")
     a = ap.parse_args()
 
     import jax
@@ -49,7 +52,8 @@ def main():
             use_pallas_lstm=a.pallas,
             drop_prob=a.drop,
         ),
-        train=dataclasses.replace(cfg.train, optimizer="adadelta"),
+        train=dataclasses.replace(cfg.train, optimizer="adadelta",
+                                  flat_updates=not a.tree_opt),
     )
     B = a.batch or (8 if a.quick else 32)
 

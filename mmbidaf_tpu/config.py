@@ -99,6 +99,13 @@ class TrainConfig:
     # count once — exactly the full-batch gradient at ~1/accum the peak
     # activation memory (must divide batch_size).
     grad_accum_steps: int = 1
+    # Run clip+decay+optimizer math on ONE raveled vector of the trainable
+    # leaves instead of per-leaf tree_maps (~340 sub-millisecond fusions for
+    # the 56-leaf model shrink to a handful of full-width passes). Same
+    # numerics modulo fp reassociation in the global norm. Changes the
+    # opt_state layout: resuming a run saved with the other setting needs a
+    # matching `{"train": {"flat_updates": ...}}` overlay (docs/OPERATIONS.md).
+    flat_updates: bool = True
     ema_decay: float = 0.999
     l2_wd: float = 0.0
     eval_steps: int = 500

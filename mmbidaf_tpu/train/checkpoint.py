@@ -82,7 +82,18 @@ def restore_latest(manager: ocp.CheckpointManager, template: TrainState) -> Trai
         "ema_params": template.ema_params,
         "rng": template.rng,
     }
-    restored = manager.restore(step, args=ocp.args.StandardRestore(target))
+    try:
+        restored = manager.restore(step, args=ocp.args.StandardRestore(target))
+    except Exception as e:  # noqa: BLE001 — re-raise with the likely cause
+        raise RuntimeError(
+            f"checkpoint restore at step {step} failed: {e}\n"
+            "If the structure mismatch is inside 'opt_state', the run was "
+            "probably saved under the other `train.flat_updates` setting "
+            "(flat path keeps one raveled accumulator vector; the tree path "
+            "keeps per-leaf moments). Resume with a config overlay matching "
+            "the run, e.g. --config_json '{\"train\": {\"flat_updates\": "
+            "false}}' (docs/OPERATIONS.md)."
+        ) from e
     # Orbax lands restored arrays on the default device; re-place each leaf
     # on its template's sharding so resume works on a sharded mesh (restored
     # single-device-committed params alongside mesh-placed batches otherwise

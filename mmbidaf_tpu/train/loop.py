@@ -99,10 +99,25 @@ def make_optimizer(cfg: Config, params: Any = None) -> optax.GradientTransformat
     # moments and their per-step passes would be pure waste); the frozen
     # leaf's passed-through "update" (its zero grad — embedding lookup is
     # stop_gradient'ed) is then zeroed explicitly for safety.
-    chain = [optax.clip_by_global_norm(t.max_grad_norm),
-             optax.masked(opt, _trainable_mask)]
-    if t.l2_wd > 0:
-        chain.insert(0, optax.add_decayed_weights(t.l2_wd))
+    if t.flat_updates:
+        # Flat path: ravel the 56 trainable leaves into ONE vector and run
+        # decay+clip+optimizer on it — a handful of full-width fused passes
+        # instead of ~6 tiny fusions per leaf (the measured "optimizer tail"
+        # of the train step). Numerics: elementwise math is identical;
+        # the global grad norm reassociates (one sum vs per-leaf partials),
+        # and with l2_wd>0 the frozen table's decay term no longer enters
+        # the clip norm (it was discarded by set_to_zero anyway — the flat
+        # form is the more faithful reading of torch clip_grad_norm_ over
+        # requires_grad params). Flag-parity tested in tests/test_train.py.
+        inner = [optax.clip_by_global_norm(t.max_grad_norm), opt]
+        if t.l2_wd > 0:
+            inner.insert(0, optax.add_decayed_weights(t.l2_wd))
+        chain = [optax.masked(optax.flatten(optax.chain(*inner)), _trainable_mask)]
+    else:
+        chain = [optax.clip_by_global_norm(t.max_grad_norm),
+                 optax.masked(opt, _trainable_mask)]
+        if t.l2_wd > 0:
+            chain.insert(0, optax.add_decayed_weights(t.l2_wd))
     chain.append(optax.masked(optax.set_to_zero(), _frozen_mask))
     return optax.chain(*chain)
 
