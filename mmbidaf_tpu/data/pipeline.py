@@ -244,7 +244,13 @@ def batched_iterator(
             if len(idxs) < batch_size:
                 if drop_remainder and n >= batch_size:
                     continue
-                idxs = np.concatenate([idxs, order[: batch_size - len(idxs)]])
+                # Tile the whole epoch order as many times as needed: one
+                # `order[:k]` slice under-fills when the corpus is smaller
+                # than half the batch (n=3, batch 8 must yield 8, not 6 —
+                # a short batch recompiles XLA and breaks mesh/grad_accum
+                # divisibility).
+                reps = -(-(batch_size - len(idxs)) // n)
+                idxs = np.concatenate([idxs] + [order] * reps)[:batch_size]
             if skipped < skip:
                 skipped += 1
                 continue

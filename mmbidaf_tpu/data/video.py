@@ -137,15 +137,31 @@ def ffmpeg_available() -> bool:
 
 
 def decode_video_ffmpeg(
-    path: str, fps: float = 1.0, size: tuple[int, int] = (240, 320)
+    path: str,
+    fps: float = 1.0,
+    size: tuple[int, int] = (240, 320),
+    every_n: int | None = None,
+    max_frames: int | None = None,
 ) -> np.ndarray:
     """mp4 → ``[T, H, W, 3] uint8`` via an ffmpeg rawvideo pipe (activates
-    only where an ffmpeg binary exists; absent in this image)."""
+    only where an ffmpeg binary exists; absent in this image).
+
+    ``every_n`` switches from fps resampling to an exact source-frame
+    stride (``select=not(mod(n,N))`` — the corpus importers' sampling
+    semantics, independent of the container's frame rate); ``max_frames``
+    caps the decoded count on the ffmpeg side (``-frames:v``)."""
     if not ffmpeg_available():
         raise RuntimeError("ffmpeg binary not available")
     h, w = size
+    if every_n is not None:
+        vf = f"select=not(mod(n\\,{every_n})),scale={w}:{h}"
+        rate = ["-fps_mode", "vfr"]  # keep selected frames, don't re-time
+    else:
+        vf = f"fps={fps},scale={w}:{h}"
+        rate = []
+    cap = ["-frames:v", str(max_frames)] if max_frames is not None else []
     cmd = [
-        "ffmpeg", "-v", "error", "-i", path, "-vf", f"fps={fps},scale={w}:{h}",
+        "ffmpeg", "-v", "error", "-i", path, "-vf", vf, *rate, *cap,
         "-f", "rawvideo", "-pix_fmt", "rgb24", "-",
     ]
     raw = subprocess.run(cmd, capture_output=True, check=True).stdout

@@ -25,12 +25,17 @@ def build_vocab(
     max_size: int | None = None,
     min_count: int = 1,
 ) -> dict[str, int]:
-    """Corpus tokens → word2idx (most-frequent-first, after PAD/OOV)."""
+    """Corpus tokens → word2idx (most-frequent-first, after PAD/OOV).
+
+    ``max_size`` caps the TOTAL vocabulary including the PAD/OOV rows, so
+    the resulting embedding table never exceeds the configured
+    ``vocab_size`` (consumers size buffers from that number)."""
     counts = Counter()
     for tokens in token_iter:
         counts.update(tokens)
     word2idx = {PAD_TOKEN: PAD_ID, OOV_TOKEN: OOV_ID}
-    for word, c in counts.most_common(max_size):
+    n_words = None if max_size is None else max(max_size - len(word2idx), 0)
+    for word, c in counts.most_common(n_words):
         if c < min_count:
             break
         word2idx[word] = len(word2idx)

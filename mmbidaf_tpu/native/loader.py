@@ -180,8 +180,12 @@ def wav_decode(data: bytes, max_samples: int = 1 << 26) -> tuple[np.ndarray, int
         arr = np.frombuffer(raw, np.int16).astype(np.float32) / 32768.0
     elif width == 4:
         arr = np.frombuffer(raw, np.int32).astype(np.float32) / 2147483648.0
-    else:
+    elif width == 1:
         arr = (np.frombuffer(raw, np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        # 24-bit packed PCM etc: refusing beats silently reinterpreting the
+        # packed bytes as u8 noise (same contract as data/video.py::load_wav)
+        raise ValueError(f"unsupported WAV sample width {width}")
     if channels > 1:
         arr = arr.reshape(-1, channels).mean(axis=1)
     return arr[:max_samples], sr_v

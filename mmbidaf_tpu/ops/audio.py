@@ -165,7 +165,14 @@ def log_mel(frames: jax.Array, consts: dict, eps: float = 1e-6) -> jax.Array:
 
 
 def mfcc(frames: jax.Array, consts: dict) -> jax.Array:
-    """MFCC: DCT-II(ortho) over power-dB mel — librosa.feature.mfcc defaults."""
+    """MFCC: DCT-II(ortho) over power-dB mel.
+
+    NOTE this is librosa's *shape* of pipeline but with ``ref=max`` dB
+    scaling (librosa's default is ``ref=1.0``; its max only enters the
+    top_db clamp) — so the 0th coefficient carries a per-example constant
+    offset vs actual-librosa features. Parity holds against the vendored
+    torch oracle (the project's reference contract), NOT against features
+    precomputed with real librosa; don't mix the two in one corpus."""
     return power_to_db(melspectrogram(frames, consts)) @ consts["dct"]
 
 

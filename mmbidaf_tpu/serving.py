@@ -140,7 +140,7 @@ class Summarizer:
                 )
 
             self._decode = lambda params, fe, raw: decode_beam(params, fe, raw)
-        else:
+        elif mode == "topk":
             from mmbidaf_tpu.data.frontend import apply_frontend
             from mmbidaf_tpu.models.mmbidaf import mmbidaf_decode
 
@@ -153,6 +153,12 @@ class Summarizer:
                 )
 
             self._decode_topk = decode
+        else:
+            # a typo ("greddy") must not silently become stochastic sampling
+            raise ValueError(
+                f"unknown decode mode {mode!r}: expected 'greedy', 'beam', "
+                "or 'topk'"
+            )
 
     # -- constructors -------------------------------------------------------
 
@@ -251,7 +257,10 @@ class Summarizer:
         d = self.cfg.data
         rows, sentences = [], []
         for vd in video_dirs:
-            assets = load_video_assets(vd, d.max_keyframes, self._num_audio_samples)
+            assets = load_video_assets(
+                vd, d.max_keyframes, self._num_audio_samples,
+                keyframe_policy=d.keyframe_policy,
+            )
             enc = encode_transcript(
                 assets["transcript"], self.word2idx, d.max_sentences, d.max_words
             )
@@ -298,6 +307,8 @@ class Summarizer:
 
     def summarize_batch(self, video_dirs: Sequence[str]) -> list[str]:
         sb = self.serve_batch_size
+        if not video_dirs:
+            return []
         if sb is None:
             raw, sentences = self._raw_batch(video_dirs)
             picks = self._decode_batch(raw)
@@ -311,8 +322,6 @@ class Summarizer:
         # critical path.
         from concurrent.futures import ThreadPoolExecutor
 
-        if not video_dirs:
-            return []
         chunks = []
         for start in range(0, len(video_dirs), sb):
             chunk = list(video_dirs[start:start + sb])
@@ -349,7 +358,10 @@ class Summarizer:
         from mmbidaf_tpu.data.video import audio_frames_valid
 
         d, m = self.cfg.data, self.cfg.model
-        assets = load_video_assets(video_dir, d.max_keyframes, self._num_audio_samples)
+        assets = load_video_assets(
+            video_dir, d.max_keyframes, self._num_audio_samples,
+            keyframe_policy=d.keyframe_policy,
+        )
         sentences = sent_tokenize(assets["transcript"])
         n_aud = audio_frames_valid(
             assets["valid_samples"], d.hop_length, d.max_audio_frames

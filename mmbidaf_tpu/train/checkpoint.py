@@ -29,18 +29,23 @@ def make_manager(
     return ocp.CheckpointManager(os.path.abspath(save_dir), options=options)
 
 
+def _state_dict(state: TrainState) -> dict:
+    """The one serialized layout (save, preemption save, and restore all
+    share it — a field added in only one place would otherwise produce
+    checkpoints that mismatch on the other path)."""
+    return {
+        "step": state.step,
+        "params": state.params,
+        "opt_state": state.opt_state,
+        "ema_params": state.ema_params,
+        "rng": state.rng,
+    }
+
+
 def save(manager: ocp.CheckpointManager, state: TrainState, metrics: dict) -> None:
     manager.save(
         int(state.step),
-        args=ocp.args.StandardSave(
-            {
-                "step": state.step,
-                "params": state.params,
-                "opt_state": state.opt_state,
-                "ema_params": state.ema_params,
-                "rng": state.rng,
-            }
-        ),
+        args=ocp.args.StandardSave(_state_dict(state)),
         metrics={k: float(v) for k, v in metrics.items()},
     )
     manager.wait_until_finished()
@@ -57,15 +62,7 @@ def save_unranked(manager: ocp.CheckpointManager, state: TrainState) -> None:
         return  # this step is already on disk (e.g. eval save just ran)
     manager.save(
         int(state.step),
-        args=ocp.args.StandardSave(
-            {
-                "step": state.step,
-                "params": state.params,
-                "opt_state": state.opt_state,
-                "ema_params": state.ema_params,
-                "rng": state.rng,
-            }
-        ),
+        args=ocp.args.StandardSave(_state_dict(state)),
     )
     manager.wait_until_finished()
 
@@ -75,13 +72,7 @@ def restore_latest(manager: ocp.CheckpointManager, template: TrainState) -> Trai
     step = manager.latest_step()
     if step is None:
         return None
-    target = {
-        "step": template.step,
-        "params": template.params,
-        "opt_state": template.opt_state,
-        "ema_params": template.ema_params,
-        "rng": template.rng,
-    }
+    target = _state_dict(template)
     try:
         restored = manager.restore(step, args=ocp.args.StandardRestore(target))
     except Exception as e:  # noqa: BLE001 — re-raise with the likely cause

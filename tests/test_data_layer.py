@@ -662,3 +662,74 @@ def test_iterator_skip_resumes_data_order(disk_corpus):
             assert a_b.keys() == b_b.keys()
             for k in a_b:
                 np.testing.assert_array_equal(a_b[k], b_b[k])
+
+
+def test_batched_iterator_small_corpus_still_fills_batch(disk_corpus):
+    """Wrap-padding must fill the batch even when the corpus is smaller
+    than HALF the batch (n=3, batch 8 used to yield a short batch of 6 —
+    one recompile per shape and broken mesh/grad_accum divisibility)."""
+    from mmbidaf_tpu.data import text, vocab
+    from mmbidaf_tpu.data.pipeline import VideoCorpus, batched_iterator
+
+    root, cfg = disk_corpus
+    corpus_tokens = []
+    for vid in sorted(os.listdir(root)):
+        with open(os.path.join(root, vid, "transcript.txt")) as f:
+            for s in text.sent_tokenize(f.read()):
+                corpus_tokens.append(text.word_tokenize(s))
+    w2i = vocab.build_vocab(corpus_tokens)
+    corpus = VideoCorpus(root, cfg, w2i)
+    assert len(corpus) == 3
+    for bs in (7, 8):
+        batch = next(batched_iterator(corpus, batch_size=bs, seed=0))
+        assert batch["frames"].shape[0] == bs
+
+
+def test_build_vocab_max_size_caps_total_vocab():
+    """max_size bounds the WHOLE vocabulary (PAD/OOV included): the
+    embedding table is sized len(word2idx), so exceeding the configured
+    vocab_size by the two specials broke buffer-size agreement."""
+    from mmbidaf_tpu.data import vocab
+
+    tokens = [[f"w{i}" for i in range(20)]]
+    w2i = vocab.build_vocab(tokens, max_size=10)
+    assert len(w2i) == 10
+    assert w2i[vocab.PAD_TOKEN] == vocab.PAD_ID
+    assert w2i[vocab.OOV_TOKEN] == vocab.OOV_ID
+    # no cap → everything
+    assert len(vocab.build_vocab(tokens)) == 22
+
+
+def test_decode_video_ffmpeg_stride_and_extract(monkeypatch, tmp_path):
+    """The corpus importers sample by SOURCE-FRAME stride: decode_video_ffmpeg
+    must accept every_n/max_frames (extract_media_to_dir passes them — used
+    to raise TypeError on any machine where ffmpeg exists) and build the
+    exact select-filter command."""
+    from mmbidaf_tpu.data import video as vid
+
+    captured = []
+
+    class _R:
+        def __init__(self, stdout):
+            self.stdout = stdout
+
+    def fake_run(cmd, capture_output=True, check=True):
+        captured.append(cmd)
+        if "-pix_fmt" in cmd:  # video pipe: 2 frames of 240x320 rgb24
+            return _R(bytes(2 * 240 * 320 * 3))
+        return _R(np.zeros(16000, np.float32).tobytes())  # audio pipe
+
+    monkeypatch.setattr(vid, "ffmpeg_available", lambda: True)
+    monkeypatch.setattr(vid.subprocess, "run", fake_run)
+
+    frames = vid.decode_video_ffmpeg("x.mp4", every_n=30, max_frames=64)
+    assert frames.shape == (2, 240, 320, 3)
+    vf = captured[0][captured[0].index("-vf") + 1]
+    assert "select=not(mod(n\\,30))" in vf
+    assert captured[0][captured[0].index("-frames:v") + 1] == "64"
+
+    vdir = tmp_path / "v0"
+    vdir.mkdir()
+    assert vid.extract_media_to_dir("x.mp4", str(vdir), every_n=30, max_frames=64)
+    assert (vdir / "audio.wav").exists()
+    assert len(list((vdir / "frames").iterdir())) == 2

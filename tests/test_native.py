@@ -238,3 +238,25 @@ def test_stale_so_rebuilds(tmp_path, monkeypatch):
         monkeypatch.undo()
         loader._lib = None
         loader._build_failed = False
+
+
+def test_wav_decode_fallback_rejects_24bit(monkeypatch, rng):
+    """The stdlib fallback must refuse 24-bit packed PCM (it used to
+    reinterpret the 3-byte samples as u8 noise), matching
+    data/video.py::load_wav's contract."""
+    import io
+    import wave as wave_mod
+
+    import pytest
+
+    from mmbidaf_tpu.native import loader as loader_mod
+
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(3)
+        w.setframerate(16000)
+        w.writeframes(b"\x00\x01\x02" * 64)
+    monkeypatch.setattr(loader_mod, "_load", lambda: None)  # force fallback
+    with pytest.raises(ValueError, match="sample width"):
+        loader_mod.wav_decode(buf.getvalue())

@@ -195,3 +195,44 @@ def test_summarize_batch_empty_request():
     )
     s = Summarizer.init_random(cfg, seed=0, vgg_spec=TINY_SPEC, serve_batch_size=2)
     assert s.summarize_batch([]) == []
+
+
+def test_summarize_empty_request(corpus_dirs):
+    """[] in → [] out, on BOTH the dynamic and the static-batch path (the
+    dynamic path used to IndexError on rows[0])."""
+    _, cfg = corpus_dirs
+    dyn = Summarizer.init_random(cfg, seed=0, vgg_spec=TINY_SPEC)
+    stat = Summarizer.init_random(cfg, seed=0, vgg_spec=TINY_SPEC, serve_batch_size=2)
+    assert dyn.summarize_batch([]) == []
+    assert stat.summarize_batch([]) == []
+
+
+def test_unknown_decode_mode_raises(corpus_dirs):
+    """A mode typo must fail construction, not silently run stochastic
+    top-k sampling."""
+    _, cfg = corpus_dirs
+    with pytest.raises(ValueError, match="greddy"):
+        Summarizer.init_random(cfg, seed=0, vgg_spec=TINY_SPEC, mode="greddy")
+
+
+def test_keyframe_policy_reaches_serving_decode(corpus_dirs, monkeypatch):
+    """Summarizer must decode keyframes with the CONFIG's policy (a model
+    trained on shot_change keyframes used to be served every_n frames)."""
+    import mmbidaf_tpu.serving as serving_mod
+
+    dirs, cfg = corpus_dirs
+    cfg = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, keyframe_policy="shot_change")
+    )
+    seen = []
+    real = serving_mod.load_video_assets
+
+    def spy(*args, **kwargs):
+        seen.append(kwargs.get("keyframe_policy", "every_n"))
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(serving_mod, "load_video_assets", spy)
+    s = Summarizer.init_random(cfg, seed=0, vgg_spec=TINY_SPEC)
+    outs = s.summarize_batch([dirs[0]])
+    assert len(outs) == 1
+    assert seen == ["shot_change"]
