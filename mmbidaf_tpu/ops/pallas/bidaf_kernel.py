@@ -30,13 +30,13 @@ NEG_INF = -1e30
 
 def _bidaf_kernel(c_ref, q_ref, cmask_ref, qmask_ref, wc_ref, wq_ref, wcq_ref,
                   bias_ref, out_ref):
-    b_idx = pl.program_id(0)
     c = c_ref[0]          # [T_c, D]
     q = q_ref[0]          # [T_q, D]
-    # Masks arrive as full [B, T] arrays (a [1, T] block would violate the
-    # TPU (8, 128) block-tiling rule); row-select the program's batch entry.
-    c_mask = cmask_ref[b_idx, :]  # [T_c]
-    q_mask = qmask_ref[b_idx, :]  # [T_q]
+    # Masks ship as [B, 1, T] so each program fetches only ITS (1, 1, T)
+    # block (a 2-D (1, T) block would violate the (8, 128) tiling rule —
+    # the extra unit axis makes the block's last-two-dims tile-aligned).
+    c_mask = cmask_ref[0, 0]  # [T_c]
+    q_mask = qmask_ref[0, 0]  # [T_q]
     w_c = wc_ref[0]        # [D]
     w_q = wq_ref[0]
     w_cq = wcq_ref[0]
@@ -93,8 +93,8 @@ def bidaf_attention_fused(
         in_specs=[
             pl.BlockSpec((1, T_c, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, T_q, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, T_c), lambda b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, T_q), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, T_c), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, T_q), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, D), lambda b: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, D), lambda b: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, D), lambda b: (0, 0), memory_space=pltpu.VMEM),
@@ -116,8 +116,8 @@ def bidaf_attention_fused(
     )(
         c.astype(f32),
         q.astype(f32),
-        c_mask.astype(f32),
-        q_mask.astype(f32),
+        c_mask.astype(f32)[:, None, :],
+        q_mask.astype(f32)[:, None, :],
         params["w_c"].astype(f32)[None],
         params["w_q"].astype(f32)[None],
         params["w_cq"].astype(f32)[None],
@@ -153,13 +153,12 @@ def bidaf_attention_fused_trainable(params, c, q, c_mask, q_mask):
 
 def _bidaf_drop_kernel(c_ref, q_ref, cd_ref, qd_ref, cmask_ref, qmask_ref,
                        wc_ref, wq_ref, wcq_ref, bias_ref, out_ref):
-    b_idx = pl.program_id(0)
     c = c_ref[0]
     q = q_ref[0]
     cd = cd_ref[0]
     qd = qd_ref[0]
-    c_mask = cmask_ref[b_idx, :]
-    q_mask = qmask_ref[b_idx, :]
+    c_mask = cmask_ref[0, 0]
+    q_mask = qmask_ref[0, 0]
     w_c = wc_ref[0]
     w_q = wq_ref[0]
     w_cq = wcq_ref[0]
@@ -196,8 +195,8 @@ def _bidaf_drop_bwd_kernel(c_ref, q_ref, cd_ref, qd_ref, cmask_ref, qmask_ref,
     q = q_ref[0]
     cd = cd_ref[0]
     qd = qd_ref[0]
-    c_mask = cmask_ref[b_idx, :]
-    q_mask = qmask_ref[b_idx, :]
+    c_mask = cmask_ref[0, 0]
+    q_mask = qmask_ref[0, 0]
     w_c = wc_ref[0]
     w_q = wq_ref[0]
     w_cq = wcq_ref[0]
@@ -268,13 +267,13 @@ def _bidaf_drop_bwd_kernel(c_ref, q_ref, cd_ref, qd_ref, cmask_ref, qmask_ref,
         dbias_ref[0, 0] += p_bias
 
 
-def _drop_specs(B, T_c, T_q, D):
+def _drop_specs(T_c, T_q, D):
     seq = lambda T: pl.BlockSpec((1, T, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
     vec = pl.BlockSpec((1, D), lambda b: (0, 0), memory_space=pltpu.VMEM)
     return [
         seq(T_c), seq(T_q), seq(T_c), seq(T_q),
-        pl.BlockSpec((B, T_c), lambda b: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((B, T_q), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, T_c), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, T_q), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         vec, vec, vec,
         pl.BlockSpec((1, 1), lambda b: (0, 0), memory_space=pltpu.SMEM),
     ]
@@ -284,7 +283,7 @@ def _drop_operands(params, c, q, cd, qd, c_mask, q_mask):
     f32 = jnp.float32
     return (
         c.astype(f32), q.astype(f32), cd.astype(f32), qd.astype(f32),
-        c_mask.astype(f32), q_mask.astype(f32),
+        c_mask.astype(f32)[:, None, :], q_mask.astype(f32)[:, None, :],
         params["w_c"].astype(f32)[None], params["w_q"].astype(f32)[None],
         params["w_cq"].astype(f32)[None], params["bias"].astype(f32).reshape(1, 1),
     )
@@ -298,7 +297,7 @@ def bidaf_attention_fused_dropout(params, c, q, cd, qd, c_mask, q_mask):
     T_q = q.shape[1]
     grid_spec = pl.GridSpec(
         grid=(B,),
-        in_specs=_drop_specs(B, T_c, T_q, D),
+        in_specs=_drop_specs(T_c, T_q, D),
         out_specs=pl.BlockSpec((1, T_c, 4 * D), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
     )
@@ -326,7 +325,7 @@ def _drop_bwd(res, g):
     vec_out = pl.BlockSpec((1, D), lambda b: (0, 0), memory_space=pltpu.VMEM)
     grid_spec = pl.GridSpec(
         grid=(B,),
-        in_specs=_drop_specs(B, T_c, T_q, D) + [
+        in_specs=_drop_specs(T_c, T_q, D) + [
             pl.BlockSpec((1, T_c, 4 * D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[

@@ -463,3 +463,26 @@ def test_frontend_uses_fused_melspec_flag(rng):
     np.testing.assert_allclose(
         np.asarray(fused["audio"]), np.asarray(ref["audio"]), rtol=2e-4, atol=1e-5
     )
+
+
+def test_fused_preprocess_matches_jnp(rng):
+    """One-pass preprocess kernel (u8 convert + both resize GEMMs + ImageNet
+    normalization) == ops.vgg.preprocess_frames, incl. the identity-resize
+    edge and non-divisible source sizes."""
+    from mmbidaf_tpu.ops.pallas.preprocess_kernel import preprocess_frames_fused
+    from mmbidaf_tpu.ops.vgg import preprocess_frames
+
+    for n, h, w, s in [(3, 48, 64, 32), (2, 32, 20, 32)]:
+        x = jnp.asarray(rng.integers(0, 256, (n, h, w, 3)).astype(np.uint8))
+        ref = preprocess_frames(x, s, dtype=jnp.float32)
+        out = preprocess_frames_fused(x, s, dtype=jnp.float32, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+    # bf16 output: the kernel computes in f32 and casts once at the end —
+    # compare against the f32 reference at bf16-rounding tolerance.
+    x = jnp.asarray(rng.integers(0, 256, (2, 48, 64, 3)).astype(np.uint8))
+    ref = preprocess_frames(x, 32, dtype=jnp.float32)
+    out = preprocess_frames_fused(x, 32, dtype=jnp.bfloat16, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out).astype(np.float32), np.asarray(ref), atol=3e-2
+    )
