@@ -1,0 +1,171 @@
+"""DynamicBatcher: concurrent requests coalesce into one device batch,
+results match the sequential library path, and failures stay scoped.
+
+Covers serving.DynamicBatcher directly and through the tools/serve.py
+daemon (--dynamic_batch path).
+"""
+
+import dataclasses
+import http.client
+import json
+import threading
+import wave as wave_mod
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+import pytest
+
+from mmbidaf_tpu.config import tiny_test_config
+from mmbidaf_tpu.ops.vgg import TINY_SPEC
+from mmbidaf_tpu.serving import DynamicBatcher, Summarizer
+
+
+@pytest.fixture(scope="module")
+def serving_setup(tmp_path_factory):
+    """One tiny Summarizer + 3 distinct good videos + 1 poisoned video."""
+    from PIL import Image
+
+    rng = np.random.default_rng(7)
+    cfg = tiny_test_config()
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(
+            cfg.model, img_feat_dim=32, audio_feat_dim=cfg.data.n_mfcc
+        ),
+    )
+    d = cfg.data
+    n_samples = d.max_audio_frames * d.hop_length + d.win_length
+    root = tmp_path_factory.mktemp("dynbatch_vids")
+    dirs = []
+    for v in range(3):
+        vd = root / f"vid{v}"
+        (vd / "frames").mkdir(parents=True)
+        for i in range(3):
+            arr = (rng.random((12, 16, 3)) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(vd / "frames" / f"f{i}.png")
+        sig = (rng.standard_normal(n_samples // 3) * 8000).astype(np.int16)
+        with wave_mod.open(str(vd / "audio.wav"), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(d.sample_rate)
+            w.writeframes(sig.tobytes())
+        sents = [f"Video {v} sentence {j} covers topic {v}{j}." for j in range(5)]
+        (vd / "transcript.txt").write_text(" ".join(sents))
+        dirs.append(str(vd))
+
+    bad = root / "bad"
+    (bad / "frames").mkdir(parents=True)
+    (bad / "frames" / "f0.png").write_bytes(b"not a png")
+    (bad / "transcript.txt").write_text("Bad video sentence.")
+
+    s = Summarizer.init_random(cfg, seed=0, vgg_spec=TINY_SPEC)
+    return s, dirs, str(bad)
+
+
+def test_coalesces_and_matches_sequential(serving_setup):
+    s, dirs, _ = serving_setup
+    # sequential ground truth through the ordinary library path
+    expected = {vd: s.summarize(vd) for vd in dirs}
+    # videos are distinct, so a row↔future mix-up would be visible
+    assert len(set(expected.values())) == 3
+
+    reqs = [dirs[i % 3] for i in range(6)]
+    barrier = threading.Barrier(len(reqs))
+
+    def call(vd):
+        barrier.wait()
+        return batcher.submit(vd)
+
+    with DynamicBatcher(s, max_batch_size=4, max_wait_ms=300.0) as batcher:
+        with ThreadPoolExecutor(max_workers=len(reqs)) as ex:
+            outs = list(ex.map(call, reqs))
+    assert outs == [expected[vd] for vd in reqs]
+    assert batcher.stats["requests"] == 6
+    # all 6 released together with a 300 ms gather window → far fewer device
+    # batches than requests (2 in the deterministic case; allow scheduler slack)
+    assert 2 <= batcher.stats["batches"] <= 3
+    assert batcher.stats["padded_rows"] == 4 * batcher.stats["batches"] - 6
+
+
+def test_single_request_pads_to_static_shape(serving_setup):
+    s, dirs, _ = serving_setup
+    with DynamicBatcher(s, max_batch_size=4, max_wait_ms=1.0) as batcher:
+        out = batcher.submit(dirs[0])
+    assert out == s.summarize(dirs[0])
+    assert batcher.stats == {"requests": 1, "batches": 1, "padded_rows": 3}
+
+
+def test_bad_asset_fails_only_its_request(serving_setup):
+    s, dirs, bad = serving_setup
+    barrier = threading.Barrier(2)
+
+    def call(vd):
+        barrier.wait()
+        return batcher.submit(vd)
+
+    with DynamicBatcher(s, max_batch_size=4, max_wait_ms=200.0) as batcher:
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            good_f = ex.submit(call, dirs[0])
+            bad_f = ex.submit(call, bad)
+            # the poisoned request raises in ITS caller (host decode happens
+            # in the submitting thread, before batching)
+            with pytest.raises((OSError, ValueError)):
+                bad_f.result()
+            assert good_f.result() == s.summarize(dirs[0])
+
+
+def test_close_rejects_new_and_drains_queued(serving_setup):
+    s, dirs, _ = serving_setup
+    batcher = DynamicBatcher(s, max_batch_size=2, max_wait_ms=1.0)
+    assert batcher.submit(dirs[0]) == s.summarize(dirs[0])
+    batcher.close()
+    with pytest.raises(RuntimeError):
+        batcher.submit(dirs[0])
+    batcher.close()  # idempotent
+
+
+def _req(port, method, path, payload=None, timeout=120):
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=timeout)
+    body = json.dumps(payload) if payload is not None else None
+    conn.request(method, path, body=body)
+    resp = conn.getresponse()
+    out = json.loads(resp.read() or b"{}")
+    conn.close()
+    return resp.status, out
+
+
+def test_daemon_dynamic_batch_path(serving_setup):
+    """Live server with --dynamic_batch semantics: concurrent POSTs all
+    succeed, match the library output, and /healthz reports coalescing."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from serve import serve
+
+    s, dirs, bad = serving_setup
+    expected = {vd: s.summarize(vd) for vd in dirs}
+    batcher = DynamicBatcher(s, max_batch_size=4, max_wait_ms=200.0)
+    srv = serve(s, port=0, batcher=batcher)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    port = srv.server_address[1]
+    try:
+        reqs = [dirs[i % 3] for i in range(5)] + [bad]
+        barrier = threading.Barrier(len(reqs))
+
+        def post(vd):
+            barrier.wait()
+            return _req(port, "POST", "/summarize", {"video_dir": vd})
+
+        with ThreadPoolExecutor(max_workers=len(reqs)) as ex:
+            results = list(ex.map(post, reqs))
+        for vd, (status, out) in zip(reqs[:5], results[:5]):
+            assert status == 200 and out["summary"] == expected[vd]
+        status, out = results[5]  # poisoned request → 400, server survives
+        assert status == 400 and out.get("kind") == "bad_asset"
+        status, health = _req(port, "GET", "/healthz")
+        assert status == 200 and health["batcher"]["requests"] >= 5
+        assert health["batcher"]["batches"] < health["batcher"]["requests"]
+    finally:
+        srv.shutdown()
+        batcher.close()

@@ -5,7 +5,8 @@ the deployment gap: one resident process holds the jitted programs warm
 and answers requests over HTTP.
 
     python tools/serve.py --run_dir runs/mmbidaf [--port 8080] \
-        [--mode greedy|topk|beam] [--serve_batch_size 8] [--long]
+        [--mode greedy|topk|beam] [--serve_batch_size 8] [--long] \
+        [--dynamic_batch 8 --batch_wait_ms 5]
 
 Endpoints:
     GET  /healthz                 → {"ok": true, "backend": ...}
@@ -24,18 +25,25 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-def make_handler(summarizer, use_long: bool):
+
+def make_handler(summarizer, use_long: bool, batcher=None):
     import jax
 
     backend = jax.default_backend()
 
     class Handler(BaseHTTPRequestHandler):
         # one summarize at a time keeps device memory bounded; host decode
-        # of the NEXT request still overlaps via the server's thread pool
+        # of the NEXT request still overlaps via the server's thread pool.
+        # With --dynamic_batch, /summarize bypasses this lock: the batcher
+        # serializes device work itself and COALESCES concurrent requests
+        # into one device batch (serving.DynamicBatcher).
         _lock = threading.Lock()
 
         def _reply(self, code: int, payload: dict) -> None:
@@ -51,7 +59,10 @@ def make_handler(summarizer, use_long: bool):
 
         def do_GET(self):
             if self.path == "/healthz":
-                self._reply(200, {"ok": True, "backend": backend})
+                payload = {"ok": True, "backend": backend}
+                if batcher is not None:
+                    payload["batcher"] = dict(batcher.stats)
+                self._reply(200, payload)
             else:
                 self._reply(404, {"error": f"unknown path {self.path}"})
 
@@ -76,10 +87,15 @@ def make_handler(summarizer, use_long: bool):
                 return self._reply(404, {"error": f"unknown path {self.path}"})
             try:
                 if self.path == "/summarize":
-                    with self._lock:
-                        out = (summarizer.summarize_long(req["video_dir"])
-                               if use_long
-                               else summarizer.summarize(req["video_dir"]))
+                    if batcher is not None and not use_long:
+                        # no lock: concurrent requests are the point —
+                        # the batcher coalesces them into one device batch
+                        out = batcher.submit(req["video_dir"])
+                    else:
+                        with self._lock:
+                            out = (summarizer.summarize_long(req["video_dir"])
+                                   if use_long
+                                   else summarizer.summarize(req["video_dir"]))
                     return self._reply(200, {"summary": out})
                 with self._lock:
                     outs = summarizer.summarize_batch(list(req["video_dirs"]))
@@ -101,9 +117,11 @@ def make_handler(summarizer, use_long: bool):
 
 
 def serve(summarizer, port: int = 8080, host: str = "127.0.0.1",
-          use_long: bool = False) -> ThreadingHTTPServer:
+          use_long: bool = False, batcher=None) -> ThreadingHTTPServer:
     """Build (but don't run) the server — callers own serve_forever()."""
-    return ThreadingHTTPServer((host, port), make_handler(summarizer, use_long))
+    return ThreadingHTTPServer(
+        (host, port), make_handler(summarizer, use_long, batcher=batcher)
+    )
 
 
 def main():
@@ -118,20 +136,37 @@ def main():
                     help="pin ONE compiled batch shape (recommended)")
     ap.add_argument("--long", action="store_true",
                     help="windowed decode for transcripts beyond max_sentences")
+    ap.add_argument("--dynamic_batch", type=int, default=0, metavar="N",
+                    help="coalesce concurrent /summarize requests into device "
+                         "batches of up to N (0 = off; incompatible with --long)")
+    ap.add_argument("--batch_wait_ms", type=float, default=5.0,
+                    help="max time the batcher waits to fill a batch")
     a = ap.parse_args()
+    if a.dynamic_batch and a.long:
+        ap.error("--dynamic_batch batches whole-video requests; --long's "
+                 "windowed decode already batches internally — pick one")
 
-    from mmbidaf_tpu.serving import Summarizer
+    from mmbidaf_tpu.serving import DynamicBatcher, Summarizer
 
     s = Summarizer.from_run(
         a.run_dir, mode=a.mode, topk=a.topk, serve_batch_size=a.serve_batch_size
     )
-    srv = serve(s, port=a.port, host=a.host, use_long=a.long)
+    batcher = (
+        DynamicBatcher(s, max_batch_size=a.dynamic_batch,
+                       max_wait_ms=a.batch_wait_ms)
+        if a.dynamic_batch else None
+    )
+    srv = serve(s, port=a.port, host=a.host, use_long=a.long, batcher=batcher)
     print(f"serving {a.run_dir} on http://{a.host}:{srv.server_address[1]} "
-          f"(mode={a.mode}{', long' if a.long else ''})")
+          f"(mode={a.mode}{', long' if a.long else ''}"
+          f"{f', dynamic_batch={a.dynamic_batch}' if batcher else ''})")
     try:
         srv.serve_forever()
     except KeyboardInterrupt:
         srv.shutdown()
+    finally:
+        if batcher is not None:
+            batcher.close()
 
 
 if __name__ == "__main__":
