@@ -69,7 +69,16 @@ def main():
     ap.add_argument("--num_seq", type=int, default=None,
                     help="devices on the 'seq' mesh axis (override the run "
                          "config, e.g. when serving hardware differs)")
+    ap.add_argument("--jax_cache", default=None, metavar="DIR",
+                    help="persistent compilation cache dir (default: repo "
+                         ".jax_cache on TPU, off on CPU; '' = off)")
     a = ap.parse_args()
+
+    from mmbidaf_tpu.utils.cache import enable_cli_cache
+
+    cache_dir = enable_cli_cache(a.jax_cache)
+    if cache_dir:
+        print(f"compilation cache: {cache_dir}")
 
     from mmbidaf_tpu.config import Config, config_from_json
     from mmbidaf_tpu.data.synthetic import batch_stream, random_word_vectors

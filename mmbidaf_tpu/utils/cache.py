@@ -26,6 +26,36 @@ def enable_compilation_cache(cache_dir: str) -> None:
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 
+def enable_cli_cache(cache_dir: str | None) -> str | None:
+    """CLI cache policy for train.py / infer.py / tools/serve.py.
+
+    ``cache_dir`` is the ``--jax_cache`` flag value:
+      * a path — enable the cache there unconditionally;
+      * ``""`` — explicitly off;
+      * ``None`` (flag omitted) — enable the repo-local ``.jax_cache`` only
+        when the process is on a non-CPU backend, where it turns the ~10-min
+        axon server compile of VGG-sized programs into a local deserialize.
+        CPU stays uncached by default: compiles are cheap there and XLA:CPU
+        AOT reload can in principle SIGILL on a machine-feature change
+        (same policy as ``__graft_entry__``'s CPU dry run).
+
+    Returns the directory enabled, or ``None`` if the cache stayed off.
+    """
+    import jax
+
+    if cache_dir == "":
+        return None
+    if cache_dir is None:
+        if jax.default_backend() == "cpu":
+            return None
+        cache_dir = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+            ".jax_cache",
+        )
+    enable_compilation_cache(cache_dir)
+    return os.path.abspath(cache_dir)
+
+
 def disable_compilation_cache() -> None:
     """Turn the persistent cache off (e.g. the CPU dry run: XLA:CPU AOT
     reload warns about machine-feature mismatches and binary driver signals

@@ -416,3 +416,33 @@ def test_train_cli_warm_start_load_path(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     assert "resumed from step 5" in r.stdout
     assert "warm-started" not in r.stdout
+
+
+@pytest.mark.slow
+def test_train_cli_jax_cache_flag(tmp_path):
+    """--jax_cache DIR populates a persistent compilation cache; omitted on
+    the CPU backend it stays off (enable_cli_cache auto policy)."""
+    cache = tmp_path / "cache"
+    res = subprocess.run(
+        [
+            sys.executable, "train.py",
+            "--hidden_size", "12", "--batch_size", "2", "--num_steps", "2",
+            "--max_sentences", "6", "--max_words", "5", "--drop_prob", "0.0",
+            "--save_dir", str(tmp_path / "run"), "--jax_cache", str(cache),
+        ],
+        cwd=REPO, env=_cpu_env(), capture_output=True, text=True, timeout=600,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert f"compilation cache: {cache}" in res.stdout
+    assert cache.is_dir() and any(cache.iterdir()), "no cache entries written"
+
+    # omitted flag on CPU → cache off (no mention, no repo .jax_cache write)
+    res = subprocess.run(
+        [
+            sys.executable, "infer.py",
+            "--hidden_size", "12", "--batch_size", "2",
+        ],
+        cwd=REPO, env=_cpu_env(), capture_output=True, text=True, timeout=600,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "compilation cache:" not in res.stdout

@@ -141,12 +141,22 @@ def main():
                          "batches of up to N (0 = off; incompatible with --long)")
     ap.add_argument("--batch_wait_ms", type=float, default=5.0,
                     help="max time the batcher waits to fill a batch")
+    ap.add_argument("--jax_cache", default=None, metavar="DIR",
+                    help="persistent compilation cache dir (default: repo "
+                         ".jax_cache on TPU, off on CPU; '' = off) — makes "
+                         "daemon restarts warm instead of paying the ~10-min "
+                         "server compile")
     a = ap.parse_args()
     if a.dynamic_batch and a.long:
         ap.error("--dynamic_batch batches whole-video requests; --long's "
                  "windowed decode already batches internally — pick one")
 
     from mmbidaf_tpu.serving import DynamicBatcher, Summarizer
+    from mmbidaf_tpu.utils.cache import enable_cli_cache
+
+    cache_dir = enable_cli_cache(a.jax_cache)
+    if cache_dir:
+        print(f"compilation cache: {cache_dir}")
 
     s = Summarizer.from_run(
         a.run_dir, mode=a.mode, topk=a.topk, serve_batch_size=a.serve_batch_size

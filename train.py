@@ -102,6 +102,9 @@ def parse_args():
                          "chain (SP-MFCC -> SP-BiLSTM -> ring BiDAF) over the "
                          "seq axis; needs --data_dir raw batches")
     ap.add_argument("--config_json", default=None, help="full Config overlay")
+    ap.add_argument("--jax_cache", default=None, metavar="DIR",
+                    help="persistent compilation cache dir (default: repo "
+                         ".jax_cache on TPU, off on CPU; '' = off)")
     a = ap.parse_args()
     defaults = {act.dest: act.default for act in ap._actions}
     return a, defaults
@@ -182,6 +185,12 @@ def build_config(a, defaults):
 def main():
     a, defaults = parse_args()
     cfg = build_config(a, defaults)
+
+    from mmbidaf_tpu.utils.cache import enable_cli_cache
+
+    cache_dir = enable_cli_cache(a.jax_cache)
+    if cache_dir:
+        print(f"compilation cache: {cache_dir}")
 
     from mmbidaf_tpu.data.synthetic import batch_stream, random_word_vectors
     from mmbidaf_tpu.models.mmbidaf import mmbidaf_init
