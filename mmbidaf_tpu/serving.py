@@ -88,6 +88,7 @@ class Summarizer:
         topk: int = 4,
         seed: int = 0,
         serve_batch_size: int | None = None,
+        data_parallel: bool = False,
     ):
         self.params = params
         from mmbidaf_tpu.data.frontend import cast_vgg_weights
@@ -114,16 +115,46 @@ class Summarizer:
         # the frame axis sharded over the mesh's 'seq' axis — the product
         # path for long-audio serving (SURVEY §3.3 SP row).
         self._audio_g_fn = None
-        if cfg.mesh.sp_audio and cfg.model.use_audio:
+        self._mesh = None
+        self._dp = bool(data_parallel)
+        sp_on = cfg.mesh.sp_audio and cfg.model.use_audio
+        if sp_on or self._dp:
             from mmbidaf_tpu.parallel import make_mesh
-            from mmbidaf_tpu.parallel.sp_tower import make_sp_audio_tower
 
             self._mesh = make_mesh(cfg.mesh)
-            # batch replicated inside the SP stages: request batches (often
-            # B=1) need not divide the data axis; serving meshes put their
-            # devices on 'seq'
+        if self._dp:
+            # Data-parallel serving: the request batch is sharded over the
+            # mesh's data axes ('dcn' × 'data') and XLA's GSPMD runs the
+            # whole frontend+decode on every chip's shard — the scaling
+            # story for serving throughput (SURVEY §3.3: DP is primary).
+            # Static shapes stay the rule, so a divisible serve_batch_size
+            # is required: shard_batch silently REPLICATES non-divisible
+            # batches (correct but n× slower), which would defeat the flag.
+            from mmbidaf_tpu.parallel.mesh import _data_axes
+
+            n = int(np.prod([self._mesh.shape[a] for a in _data_axes(self._mesh)]))
+            if serve_batch_size is None or serve_batch_size % n != 0:
+                raise ValueError(
+                    f"data_parallel serving shards the batch over {n} "
+                    f"device(s): pass serve_batch_size as a multiple of {n} "
+                    f"(got {serve_batch_size!r})"
+                )
+            from mmbidaf_tpu.parallel import shard_params
+
+            self._dp_shards = n
+            self.params = shard_params(self.params, self._mesh)
+            self.fe_params = shard_params(self.fe_params, self._mesh)
+        else:
+            self._dp_shards = 1
+        if sp_on:
+            from mmbidaf_tpu.parallel.sp_tower import make_sp_audio_tower
+
+            # without DP the batch is replicated inside the SP stages:
+            # request batches (often B=1) need not divide the data axis;
+            # seq-only serving meshes put their devices on 'seq'. With DP
+            # the batch axis IS sharded, so the SP stages keep it.
             self._audio_g_fn = make_sp_audio_tower(
-                self._mesh, cfg, use_batch_axis=False
+                self._mesh, cfg, use_batch_axis=self._dp
             )
         sp = self._audio_g_fn is not None
         if mode == "greedy":
@@ -299,6 +330,10 @@ class Summarizer:
         return batch, sentences
 
     def _decode_batch(self, raw, with_scores: bool = False):
+        if self._dp:
+            from mmbidaf_tpu.parallel import shard_batch
+
+            raw = shard_batch(raw, self._mesh)
         if self.mode in ("greedy", "beam"):
             log_p, picks = self._decode(self.params, self.fe_params, raw)
         else:
@@ -487,6 +522,14 @@ class DynamicBatcher:
     ):
         if max_batch_size < 1:
             raise ValueError(f"max_batch_size must be >= 1, got {max_batch_size}")
+        if max_batch_size % summarizer._dp_shards != 0:
+            # shard_batch would silently REPLICATE a non-divisible batch —
+            # correct output, but n× slower, defeating data_parallel
+            raise ValueError(
+                f"max_batch_size must be a multiple of the summarizer's "
+                f"{summarizer._dp_shards} data-parallel shards, "
+                f"got {max_batch_size}"
+            )
         self.summarizer = summarizer
         self.max_batch_size = int(max_batch_size)
         self.max_wait_s = float(max_wait_ms) / 1e3

@@ -141,6 +141,10 @@ def main():
                          "batches of up to N (0 = off; incompatible with --long)")
     ap.add_argument("--batch_wait_ms", type=float, default=5.0,
                     help="max time the batcher waits to fill a batch")
+    ap.add_argument("--data_parallel", action="store_true",
+                    help="shard each device batch over the mesh's data axes "
+                         "(all local chips); requires --serve_batch_size to "
+                         "be a multiple of the device count")
     ap.add_argument("--jax_cache", default=None, metavar="DIR",
                     help="persistent compilation cache dir (default: repo "
                          ".jax_cache on TPU, off on CPU; '' = off) — makes "
@@ -159,7 +163,8 @@ def main():
         print(f"compilation cache: {cache_dir}")
 
     s = Summarizer.from_run(
-        a.run_dir, mode=a.mode, topk=a.topk, serve_batch_size=a.serve_batch_size
+        a.run_dir, mode=a.mode, topk=a.topk,
+        serve_batch_size=a.serve_batch_size, data_parallel=a.data_parallel,
     )
     batcher = (
         DynamicBatcher(s, max_batch_size=a.dynamic_batch,
