@@ -100,6 +100,17 @@ def test_dp_beam_and_long(videos):
         (vd / "transcript.txt").write_text(old)
 
 
+def test_dp_topk_matches_single_device(videos):
+    """Sampling consumes one rng per device batch; the draw is a pure
+    function of the key, so sharding must not change the sampled picks."""
+    s_one = Summarizer.init_random(_cfg(), seed=8, vgg_spec=TINY_SPEC,
+                                   mode="topk", topk=3, serve_batch_size=4)
+    s_dp = Summarizer.init_random(_cfg(num_data=4), seed=8, vgg_spec=TINY_SPEC,
+                                  mode="topk", topk=3, serve_batch_size=4,
+                                  data_parallel=True)
+    assert s_dp.summarize_batch(videos) == s_one.summarize_batch(videos)
+
+
 def test_dp_composes_with_sp_audio(videos):
     """DP × SP on one mesh: batch sharded over 'data', audio frames over
     'seq' (use_batch_axis=True inside the SP stages)."""

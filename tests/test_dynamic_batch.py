@@ -166,6 +166,9 @@ def test_daemon_dynamic_batch_path(serving_setup):
         status, health = _req(port, "GET", "/healthz")
         assert status == 200 and health["batcher"]["requests"] >= 5
         assert health["batcher"]["batches"] < health["batcher"]["requests"]
+        lat = health["latency"]["/summarize"]
+        assert lat["count"] == 6 and lat["errors"] == 1  # the poisoned POST
+        assert 0 < lat["p50_ms"] <= lat["p95_ms"]
     finally:
         srv.shutdown()
         batcher.close()

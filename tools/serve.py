@@ -33,10 +33,47 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+class _LatencyStats:
+    """Bounded per-endpoint request-latency window → count/error/p50/p95.
+
+    The serving-side observability row (SURVEY §6 metrics): enough to see
+    throughput and tail behaviour from /healthz without external tooling.
+    """
+
+    def __init__(self, window: int = 512):
+        from collections import defaultdict, deque
+
+        self._lock = threading.Lock()
+        self._lat = defaultdict(lambda: deque(maxlen=window))
+        self._count = defaultdict(int)
+        self._errors = defaultdict(int)
+
+    def record(self, endpoint: str, seconds: float, ok: bool) -> None:
+        with self._lock:
+            self._lat[endpoint].append(seconds)
+            self._count[endpoint] += 1
+            if not ok:
+                self._errors[endpoint] += 1
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            out = {}
+            for ep, window in self._lat.items():
+                lat = sorted(window)
+                out[ep] = {
+                    "count": self._count[ep],
+                    "errors": self._errors[ep],
+                    "p50_ms": round(lat[len(lat) // 2] * 1e3, 2),
+                    "p95_ms": round(lat[int(len(lat) * 0.95) - 1] * 1e3, 2),
+                }
+            return out
+
+
 def make_handler(summarizer, use_long: bool, batcher=None):
     import jax
 
     backend = jax.default_backend()
+    latency = _LatencyStats()
 
     class Handler(BaseHTTPRequestHandler):
         # one summarize at a time keeps device memory bounded; host decode
@@ -46,20 +83,22 @@ def make_handler(summarizer, use_long: bool, batcher=None):
         # into one device batch (serving.DynamicBatcher).
         _lock = threading.Lock()
 
-        def _reply(self, code: int, payload: dict) -> None:
+        def _reply(self, code: int, payload: dict) -> int:
             body = json.dumps(payload).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
+            return code
 
         def log_message(self, fmt, *args):  # quiet by default
             pass
 
         def do_GET(self):
             if self.path == "/healthz":
-                payload = {"ok": True, "backend": backend}
+                payload = {"ok": True, "backend": backend,
+                           "latency": latency.snapshot()}
                 if batcher is not None:
                     payload["batcher"] = dict(batcher.stats)
                 self._reply(200, payload)
@@ -67,6 +106,14 @@ def make_handler(summarizer, use_long: bool, batcher=None):
                 self._reply(404, {"error": f"unknown path {self.path}"})
 
         def do_POST(self):
+            import time
+
+            t0 = time.monotonic()
+            code = self._post()
+            if self.path in ("/summarize", "/summarize_batch"):
+                latency.record(self.path, time.monotonic() - t0, ok=code == 200)
+
+        def _post(self) -> int:
             import wave as wave_mod
 
             try:
