@@ -36,6 +36,12 @@ from mmbidaf_tpu.ops.vgg import VGG16_SPEC
 from mmbidaf_tpu.train.metrics import summary_from_picks
 
 
+class ServerOverloadedError(RuntimeError):
+    """Raised by ``DynamicBatcher.submit`` when the pending-request queue
+    exceeds ``max_queue`` — callers should shed load (HTTP 503) instead of
+    letting an unbounded backlog grow host memory and tail latency."""
+
+
 def transcript_windows(n_sents: int, window: int, stride: int) -> list[int]:
     """Window start indices covering ``n_sents`` sentences: strided starts
     plus a tail window so the last sentences are never dropped."""
@@ -285,6 +291,75 @@ class Summarizer:
 
     # -- inference ----------------------------------------------------------
 
+    def _get_featurize(self):
+        """Lazy jitted batch-1 frontend for the windowed long-video path.
+
+        Under sp_audio the waveform passes through raw — each window
+        re-featurizes it sharded inside the model (caching would mean
+        gathering the long frame axis, defeating the SP design).
+        """
+        if self._featurize is None:
+            from mmbidaf_tpu.data.frontend import apply_frontend
+
+            cfg, spec = self.cfg, self.vgg_spec
+            sp = self._audio_g_fn is not None
+            self._featurize = jax.jit(
+                lambda fe, raw: apply_frontend(fe, raw, cfg, spec, sp_audio=sp)
+            )
+        return self._featurize
+
+    def warmup(
+        self,
+        frame_hw: tuple[int, int] = (240, 320),
+        batch_size: int | None = None,
+        include_long: bool = False,
+    ) -> None:
+        """Compile the serving program(s) before the first real request.
+
+        Without this the first request pays the full XLA compile (seconds on
+        CPU, ~minutes against a cold remote TPU compile server — CLAUDE.md).
+        Builds a synthetic zero batch at the pinned serving shapes and runs
+        it through the exact jitted path real requests take.
+
+        ``frame_hw`` must match the corpus's decoded frame resolution:
+        raw-frame SHAPES are compile-time constants, so a different
+        request-time resolution is a fresh compile (the persistent
+        compilation cache absorbs that across restarts — utils/cache).
+        ``batch_size`` overrides the warmed batch shape (e.g. a
+        ``DynamicBatcher``'s ``max_batch_size``); defaults to
+        ``serve_batch_size`` or 1.
+
+        topk mode: the warmup decode runs under a FIXED key, not one drawn
+        from the serving rng stream — a warmed summarizer samples exactly
+        like a non-warmed one.
+
+        ``include_long=True`` additionally compiles the ``summarize_long``
+        programs (batch-1 featurize + the feature-shaped window decode).
+        """
+        d = self.cfg.data
+        b = batch_size or self.serve_batch_size or 1
+        h, w = frame_hw
+        raw = {
+            "text_ids": jnp.zeros((b, d.max_sentences, d.max_words), jnp.int32),
+            "word_mask": jnp.ones((b, d.max_sentences, d.max_words), jnp.float32),
+            "sent_mask": jnp.ones((b, d.max_sentences), jnp.float32),
+            "frames": jnp.zeros((b, d.max_keyframes, h, w, 3), jnp.uint8),
+            "img_mask": jnp.ones((b, d.max_keyframes), jnp.float32),
+            "waveform": jnp.zeros((b, self._num_audio_samples), jnp.float32),
+            "aud_mask": jnp.ones((b, d.max_audio_frames), jnp.float32),
+        }
+        self._decode_batch(raw, rng=jax.random.key(0))
+        if include_long:
+            media = {k: raw[k][:1] for k in
+                     ("frames", "img_mask", "waveform", "aud_mask")}
+            feat = self._get_featurize()(self.fe_params, media)
+            feat = {k: np.asarray(v)[0] for k, v in feat.items()}
+            long_raw = {
+                **{k: raw[k] for k in ("text_ids", "word_mask", "sent_mask")},
+                **{k: jnp.asarray(np.stack([v] * b)) for k, v in feat.items()},
+            }
+            self._decode_batch(long_raw, with_scores=True, rng=jax.random.key(0))
+
     def _raw_row(self, video_dir: str) -> tuple[dict, list[str]]:
         """Host-decode ONE video's assets into an (unstacked) feature row.
 
@@ -329,7 +404,7 @@ class Summarizer:
         batch = {k: jnp.asarray(np.stack([r[k] for r in rows])) for k in rows[0]}
         return batch, sentences
 
-    def _decode_batch(self, raw, with_scores: bool = False):
+    def _decode_batch(self, raw, with_scores: bool = False, rng=None):
         if self._dp:
             from mmbidaf_tpu.parallel import shard_batch
 
@@ -337,9 +412,10 @@ class Summarizer:
         if self.mode in ("greedy", "beam"):
             log_p, picks = self._decode(self.params, self.fe_params, raw)
         else:
-            with self._rng_lock:
-                self._rng, k = jax.random.split(self._rng)
-            log_p, picks = self._decode_topk(self.params, self.fe_params, raw, k)
+            if rng is None:
+                with self._rng_lock:
+                    self._rng, rng = jax.random.split(self._rng)
+            log_p, picks = self._decode_topk(self.params, self.fe_params, raw, rng)
         picks = np.asarray(picks)
         if not with_scores:
             return picks
@@ -442,18 +518,7 @@ class Summarizer:
         # features per window instead of raw frames cuts the per-chunk H2D
         # bytes ~30x (the relay link is slow — CLAUDE.md). apply_frontend
         # passes feature batches through untouched.
-        if self._featurize is None:
-            from mmbidaf_tpu.data.frontend import apply_frontend
-
-            cfg, spec = self.cfg, self.vgg_spec
-            sp = self._audio_g_fn is not None
-            # Under sp_audio the waveform passes through raw — each window
-            # re-featurizes it sharded inside the model (caching would mean
-            # gathering the long frame axis, defeating the SP design).
-            self._featurize = jax.jit(
-                lambda fe, raw: apply_frontend(fe, raw, cfg, spec, sp_audio=sp)
-            )
-        feat = self._featurize(
+        feat = self._get_featurize()(
             self.fe_params,
             {k: jnp.asarray(np.stack([v])) for k, v in media.items()},
         )
@@ -507,6 +572,8 @@ class DynamicBatcher:
     Error story: host-decode errors raise in the submitting thread and fail
     only that request. A device-step error cannot be attributed to one row,
     so it fails every request in that batch (callers see the same exception).
+    With ``max_queue`` set, ``submit`` sheds load once that many requests
+    are already pending (``ServerOverloadedError``, before any host decode).
 
     Determinism: greedy/beam decodes give byte-identical results regardless
     of how requests were coalesced; top-k sampling consumes one rng per
@@ -519,9 +586,12 @@ class DynamicBatcher:
         summarizer: Summarizer,
         max_batch_size: int = 8,
         max_wait_ms: float = 5.0,
+        max_queue: int | None = None,
     ):
         if max_batch_size < 1:
             raise ValueError(f"max_batch_size must be >= 1, got {max_batch_size}")
+        if max_queue is not None and max_queue < 1:
+            raise ValueError(f"max_queue must be >= 1 or None, got {max_queue}")
         if max_batch_size % summarizer._dp_shards != 0:
             # shard_batch would silently REPLICATE a non-divisible batch —
             # correct output, but n× slower, defeating data_parallel
@@ -533,7 +603,9 @@ class DynamicBatcher:
         self.summarizer = summarizer
         self.max_batch_size = int(max_batch_size)
         self.max_wait_s = float(max_wait_ms) / 1e3
-        self.stats = {"requests": 0, "batches": 0, "padded_rows": 0}
+        self.max_queue = max_queue
+        self.stats = {"requests": 0, "batches": 0, "padded_rows": 0,
+                      "rejected": 0}
         self._queue: _queue_mod.Queue = _queue_mod.Queue()
         self._closed = False
         self._thread = threading.Thread(
@@ -551,6 +623,16 @@ class DynamicBatcher:
         """
         if self._closed:
             raise RuntimeError("DynamicBatcher is closed")
+        # Overload shedding BEFORE the host decode: rejecting must stay
+        # cheap when the server is drowning. qsize() is approximate under
+        # concurrency, so the bound is soft by ±(concurrent submitters) —
+        # fine for load shedding, which needs a dam, not a turnstile.
+        if self.max_queue is not None and self._queue.qsize() >= self.max_queue:
+            self.stats["rejected"] += 1
+            raise ServerOverloadedError(
+                f"pending-request queue at max_queue={self.max_queue}; "
+                "retry later"
+            )
         row, sentences = self.summarizer._raw_row(video_dir)  # host work, caller's thread
         fut: Future = Future()
         self._queue.put((row, sentences, fut))

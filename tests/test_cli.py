@@ -446,3 +446,66 @@ def test_train_cli_jax_cache_flag(tmp_path):
     )
     assert res.returncode == 0, res.stderr[-2000:]
     assert "compilation cache:" not in res.stdout
+
+
+@pytest.mark.slow
+def test_serve_daemon_warmup_and_sigterm(tmp_path, synthetic_corpus):
+    """tools/serve.py as a real process: --warmup compiles the serving
+    programs before the socket opens, requests round-trip, and SIGTERM
+    (systemd/k8s stop) drains gracefully with exit code 0."""
+    import http.client
+    import signal
+    import socket
+    import time
+
+    r = subprocess.run(
+        [sys.executable, "train.py", "--data_dir", synthetic_corpus,
+         "--vgg", "tiny", "--config_json", "examples/tiny_config.json",
+         "--num_steps", "6", "--eval_steps", "5", "--save_dir", str(tmp_path)],
+        cwd=REPO, env=_cpu_env(), capture_output=True, text=True, timeout=900,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    sock = socket.socket()
+    sock.bind(("127.0.0.1", 0))
+    port = sock.getsockname()[1]
+    sock.close()
+    proc = subprocess.Popen(
+        [sys.executable, "tools/serve.py",
+         "--run_dir", str(tmp_path / "mmbidaf"), "--port", str(port),
+         "--serve_batch_size", "2", "--warmup", "48x64"],
+        cwd=REPO, env=_cpu_env(), stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True,
+    )
+    try:
+        deadline = time.time() + 600
+        while time.time() < deadline:
+            if proc.poll() is not None:
+                raise AssertionError(f"daemon died: {proc.stdout.read()[-2000:]}")
+            try:
+                conn = http.client.HTTPConnection("127.0.0.1", port, timeout=5)
+                conn.request("GET", "/healthz")
+                ok = conn.getresponse().status == 200
+                conn.close()
+                if ok:
+                    break
+            except OSError:
+                time.sleep(1.0)
+        else:
+            raise AssertionError("daemon never became healthy")
+        vd = os.path.join(synthetic_corpus, "video000")
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+        conn.request("POST", "/summarize", body=json.dumps({"video_dir": vd}))
+        resp = conn.getresponse()
+        out = json.loads(resp.read())
+        conn.close()
+        assert resp.status == 200 and out["summary"], out
+    finally:
+        proc.send_signal(signal.SIGTERM)
+        try:
+            code = proc.wait(timeout=120)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            raise
+    stdout = proc.stdout.read()
+    assert code == 0, stdout[-2000:]
+    assert "warmup: serving programs compiled" in stdout

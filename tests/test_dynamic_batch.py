@@ -92,7 +92,8 @@ def test_single_request_pads_to_static_shape(serving_setup):
     with DynamicBatcher(s, max_batch_size=4, max_wait_ms=1.0) as batcher:
         out = batcher.submit(dirs[0])
     assert out == s.summarize(dirs[0])
-    assert batcher.stats == {"requests": 1, "batches": 1, "padded_rows": 3}
+    assert batcher.stats == {"requests": 1, "batches": 1, "padded_rows": 3,
+                             "rejected": 0}
 
 
 def test_bad_asset_fails_only_its_request(serving_setup):
@@ -172,3 +173,46 @@ def test_daemon_dynamic_batch_path(serving_setup):
     finally:
         srv.shutdown()
         batcher.close()
+
+
+def test_max_queue_sheds_load(serving_setup):
+    """With the device step blocked and max_queue pending requests queued,
+    submit() rejects BEFORE any host decode: submitting the poisoned video
+    raises ServerOverloadedError (never its OSError), stats count the
+    rejection, and queued requests still complete once the device frees up."""
+    import time
+
+    from mmbidaf_tpu.serving import ServerOverloadedError
+
+    s, dirs, bad = serving_setup
+    release = threading.Event()
+    orig = s._decode_batch
+
+    def slow_decode(raw, **kw):
+        assert release.wait(timeout=60)
+        return orig(raw, **kw)
+
+    s._decode_batch = slow_decode
+    try:
+        with DynamicBatcher(s, max_batch_size=1, max_wait_ms=1.0,
+                            max_queue=1) as b:
+            with ThreadPoolExecutor(max_workers=2) as ex:
+                f0 = ex.submit(b.submit, dirs[0])  # → the (blocked) batch
+                deadline = time.time() + 30
+                while b._queue.qsize() > 0 and time.time() < deadline:
+                    time.sleep(0.01)
+                assert b._queue.qsize() == 0  # batcher holds f0's row
+                f1 = ex.submit(b.submit, dirs[1])  # fills the 1-slot queue
+                while b._queue.qsize() < 1 and time.time() < deadline:
+                    time.sleep(0.01)
+                assert b._queue.qsize() == 1
+                with pytest.raises(ServerOverloadedError):
+                    b.submit(bad)
+                release.set()
+                expected0, expected1 = s.summarize(dirs[0]), s.summarize(dirs[1])
+                assert f0.result(timeout=60) == expected0
+                assert f1.result(timeout=60) == expected1
+            assert b.stats["rejected"] == 1
+            assert b.stats["requests"] == 2
+    finally:
+        s._decode_batch = orig

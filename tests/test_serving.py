@@ -236,3 +236,39 @@ def test_keyframe_policy_reaches_serving_decode(corpus_dirs, monkeypatch):
     outs = s.summarize_batch([dirs[0]])
     assert len(outs) == 1
     assert seen == ["shot_change"]
+
+
+def test_warmup_matches_cold(corpus_dirs):
+    """warmup() compiles on a synthetic batch; it must not change what real
+    requests return (greedy is deterministic, so equality is exact)."""
+    dirs, cfg = corpus_dirs
+    warm = Summarizer.init_random(cfg, seed=0, vgg_spec=TINY_SPEC,
+                                  serve_batch_size=2)
+    warm.warmup(frame_hw=(12, 16))
+    cold = Summarizer.init_random(cfg, seed=0, vgg_spec=TINY_SPEC,
+                                  serve_batch_size=2)
+    assert warm.summarize_batch(dirs) == cold.summarize_batch(dirs)
+
+
+def test_warmup_topk_preserves_rng_stream(corpus_dirs):
+    """topk warmup decodes under a FIXED key — the serving rng stream is
+    untouched, so warmed and cold summarizers sample identically."""
+    dirs, cfg = corpus_dirs
+    warm = Summarizer.init_random(cfg, seed=3, vgg_spec=TINY_SPEC,
+                                  mode="topk", topk=3)
+    warm.warmup(frame_hw=(12, 16))
+    cold = Summarizer.init_random(cfg, seed=3, vgg_spec=TINY_SPEC,
+                                  mode="topk", topk=3)
+    assert warm.summarize_batch(dirs) == cold.summarize_batch(dirs)
+
+
+def test_warmup_include_long(corpus_dirs):
+    """include_long compiles the featurize + feature-shaped window decode;
+    summarize_long afterwards matches a cold summarizer."""
+    dirs, cfg = corpus_dirs
+    warm = Summarizer.init_random(cfg, seed=0, vgg_spec=TINY_SPEC,
+                                  serve_batch_size=2)
+    warm.warmup(frame_hw=(12, 16), include_long=True)
+    cold = Summarizer.init_random(cfg, seed=0, vgg_spec=TINY_SPEC,
+                                  serve_batch_size=2)
+    assert warm.summarize_long(dirs[0]) == cold.summarize_long(dirs[0])

@@ -6,7 +6,8 @@ and answers requests over HTTP.
 
     python tools/serve.py --run_dir runs/mmbidaf [--port 8080] \
         [--mode greedy|topk|beam] [--serve_batch_size 8] [--long] \
-        [--dynamic_batch 8 --batch_wait_ms 5]
+        [--dynamic_batch 8 --batch_wait_ms 5 --max_queue 64] \
+        [--warmup 240x320]
 
 Endpoints:
     GET  /healthz                 → {"ok": true, "backend": ...}
@@ -83,11 +84,14 @@ def make_handler(summarizer, use_long: bool, batcher=None):
         # into one device batch (serving.DynamicBatcher).
         _lock = threading.Lock()
 
-        def _reply(self, code: int, payload: dict) -> int:
+        def _reply(self, code: int, payload: dict,
+                   retry_after: float | None = None) -> int:
             body = json.dumps(payload).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
+            if retry_after is not None:
+                self.send_header("Retry-After", str(retry_after))
             self.end_headers()
             self.wfile.write(body)
             return code
@@ -115,6 +119,8 @@ def make_handler(summarizer, use_long: bool, batcher=None):
 
         def _post(self) -> int:
             import wave as wave_mod
+
+            from mmbidaf_tpu.serving import ServerOverloadedError
 
             try:
                 n = int(self.headers.get("Content-Length", 0))
@@ -147,6 +153,12 @@ def make_handler(summarizer, use_long: bool, batcher=None):
                 with self._lock:
                     outs = summarizer.summarize_batch(list(req["video_dirs"]))
                 return self._reply(200, {"summaries": outs})
+            except ServerOverloadedError as e:
+                # load shedding (batcher queue at --max_queue) — 503 tells
+                # clients/load-balancers to back off and retry, not to file
+                # a client error
+                return self._reply(503, {"error": str(e), "kind": "overloaded"},
+                                   retry_after=1)
             except (OSError, ValueError, wave_mod.Error, EOFError) as e:
                 # bad assets (corrupt/unreadable PNG/WAV, missing files,
                 # malformed dirs) fail the REQUEST, not the server
@@ -188,6 +200,14 @@ def main():
                          "batches of up to N (0 = off; incompatible with --long)")
     ap.add_argument("--batch_wait_ms", type=float, default=5.0,
                     help="max time the batcher waits to fill a batch")
+    ap.add_argument("--max_queue", type=int, default=0, metavar="N",
+                    help="with --dynamic_batch: shed load (HTTP 503) once N "
+                         "requests are pending (0 = unbounded)")
+    ap.add_argument("--warmup", default="", metavar="HxW",
+                    help="compile the serving programs at startup on a "
+                         "synthetic batch with HxW frames (e.g. 240x320) so "
+                         "the first request doesn't pay the XLA compile; "
+                         "H/W must match the corpus frame resolution")
     ap.add_argument("--data_parallel", action="store_true",
                     help="shard each device batch over the mesh's data axes "
                          "(all local chips); requires --serve_batch_size to "
@@ -213,15 +233,37 @@ def main():
         a.run_dir, mode=a.mode, topk=a.topk,
         serve_batch_size=a.serve_batch_size, data_parallel=a.data_parallel,
     )
+    if a.warmup:
+        import time
+
+        try:
+            h, w = (int(x) for x in a.warmup.lower().split("x"))
+        except ValueError:
+            ap.error(f"--warmup wants HxW (e.g. 240x320), got {a.warmup!r}")
+        t0 = time.monotonic()
+        s.warmup((h, w), batch_size=a.dynamic_batch or None,
+                 include_long=a.long)
+        print(f"warmup: serving programs compiled in "
+              f"{time.monotonic() - t0:.1f} s")
     batcher = (
         DynamicBatcher(s, max_batch_size=a.dynamic_batch,
-                       max_wait_ms=a.batch_wait_ms)
+                       max_wait_ms=a.batch_wait_ms,
+                       max_queue=a.max_queue or None)
         if a.dynamic_batch else None
     )
     srv = serve(s, port=a.port, host=a.host, use_long=a.long, batcher=batcher)
     print(f"serving {a.run_dir} on http://{a.host}:{srv.server_address[1]} "
           f"(mode={a.mode}{', long' if a.long else ''}"
           f"{f', dynamic_batch={a.dynamic_batch}' if batcher else ''})")
+
+    # SIGTERM (systemd/k8s stop) drains like Ctrl-C: the running request
+    # finishes, the batcher flushes, and the process exits 0
+    import signal
+
+    def _sigterm(signum, frame):
+        raise KeyboardInterrupt
+
+    signal.signal(signal.SIGTERM, _sigterm)
     try:
         srv.serve_forever()
     except KeyboardInterrupt:
