@@ -52,8 +52,14 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture
 def rng():
+    """Fresh seeded generator PER TEST. Session scope here was a measured
+    mistake: a shared stateful generator couples every test's inputs to
+    which tests ran before it, so ADDING a test shifted inputs suite-wide
+    and turned borderline tolerances into order-dependent flakes
+    (test_bf16_decode_parity, 2026-08-17). Function scope makes each
+    test's inputs a pure function of the seed."""
     return np.random.default_rng(224)
 
 

@@ -57,8 +57,11 @@ def _raw_batch(rng, cfg, B=4):
 
 
 @pytest.fixture(scope="module")
-def setup(rng, eight_device_mesh):
+def setup(eight_device_mesh):
     del eight_device_mesh  # ensures the 8-device backend
+    # module-scoped fixtures need their own generator (the function-scoped
+    # conftest rng can't be requested from module scope)
+    rng = np.random.default_rng(224)
     cfg = _sp_config()
     mesh = make_mesh(cfg.mesh)
     wv = random_word_vectors(rng, cfg.data.vocab_size, cfg.model.emb_dim)
