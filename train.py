@@ -13,6 +13,7 @@ import argparse
 import dataclasses
 import os
 import signal
+import time
 
 import numpy as np
 
@@ -46,6 +47,10 @@ def parse_args():
     ap.add_argument("--num_epochs", type=int, default=None,
                     help="with --data_dir and no --num_steps: train this many "
                          "epochs (default TrainConfig.num_epochs)")
+    ap.add_argument("--prefetch", type=int, default=2, metavar="N",
+                    help="device-prefetch depth: a background thread overlaps "
+                         "host collate + H2D upload with the device step "
+                         "(0 = off)")
     ap.add_argument("--loader_workers", type=int, default=0,
                     help="grain DataLoader worker processes for --data_dir "
                          "(0 = decode in-process)")
@@ -474,6 +479,23 @@ def main():
         if resumed_steps:
             print(f"data stream fast-forwarded {resumed_steps} batches")
 
+    # Device prefetch (after all pre-loop stream consumption): a background
+    # thread overlaps the NEXT batch's host collate + H2D upload with the
+    # CURRENT device step. Loader-state snapshots stay exact — the wrapper
+    # reports the position of the last DELIVERED batch (data/prefetch.py).
+    prefetcher = None
+    if a.prefetch > 0:
+        from mmbidaf_tpu.data.prefetch import DevicePrefetcher
+
+        prefetcher = DevicePrefetcher(
+            stream,
+            lambda nb: shard_batch(
+                {k: jnp.asarray(v) for k, v in nb.items()}, mesh
+            ),
+            depth=a.prefetch,
+        )
+        stream = prefetcher
+
     if a.num_steps is not None:
         num_steps = a.num_steps
     elif a.data_dir:
@@ -498,10 +520,14 @@ def main():
     def save_loader_state():
         # grain iterators checkpoint their own position; snapshot it next
         # to every model save so resume restores the exact data order.
-        if hasattr(stream, "get_state"):
+        # (DevicePrefetcher forwards the inner grain state as of the last
+        # DELIVERED batch — not the prefetched-ahead position — and
+        # returns None for stateless iterators.)
+        st = stream.get_state() if hasattr(stream, "get_state") else None
+        if st is not None:
             path = os.path.join(run_dir, "loader_state.bin")
             with open(path, "wb") as f:
-                f.write(stream.get_state())
+                f.write(st)
             with open(path + ".step", "w") as f:
                 f.write(str(int(state.step)))
 
@@ -522,26 +548,61 @@ def main():
             pad_meters["word"].update(1.0 - float((wm * sm).sum()) / denom)
 
     pad_meter = pad_meters["sent"]  # headline scalar keeps its name
-    for _ in step_iter:
+
+    # Windowed on-device metric accumulation: fetching metrics every step
+    # would SYNC host and device each iteration (fetches cost seconds
+    # through the relay — CLAUDE.md), serializing the loop as
+    # host_time + device_time. Instead a tiny jitted accumulator folds
+    # (loss_sum, n, last grad_norm) into one [3] device array per step and
+    # the host fetches it ONCE per 50-step log window — that fetch is also
+    # the loop's only throttle on how far dispatch runs ahead (50 in-flight
+    # steps max; PJRT's own inflight-computation cap bounds it below that).
+    @jax.jit
+    def _metric_acc(acc, m):
+        return jnp.stack(
+            [acc[0] + m["loss"], acc[1] + 1.0, m["grad_norm"]]
+        )
+
+    acc = jnp.zeros((3,))
+    step = resumed_steps  # host-side counter: int(state.step) is a device fetch
+    t_window = time.monotonic()
+    steps_in_window = 0
+    for i in step_iter:
         if _PREEMPTED["sig"] is not None:
             ckpt.save_unranked(manager, state)
             save_loader_state()
             logger.close()
+            if prefetcher is not None:
+                prefetcher.close()
             print(f"preempted (signal {_PREEMPTED['sig']}): saved step "
                   f"{int(state.step)}; rerun with the same --save_dir to resume")
             return
-        nb = next(stream)
+        item = next(stream)
+        if prefetcher is not None:
+            nb, batch = item  # H2D already done in the prefetch thread
+        else:
+            nb = item
+            batch = shard_batch({k: jnp.asarray(v) for k, v in nb.items()}, mesh)
         update_pad_meters(nb)
-        batch = shard_batch({k: jnp.asarray(v) for k, v in nb.items()}, mesh)
         state, metrics = train_step(state, batch)
-        loss = float(metrics["loss"])
-        meter.update(loss)
-        step = int(state.step)
+        acc = _metric_acc(acc, metrics)
+        step = resumed_steps + i + 1
+        steps_in_window += 1
         if step % 50 == 0:
+            # this fetch blocks until every step in the window has
+            # EXECUTED, so the window wall time is honest device
+            # throughput (first window includes compile)
+            loss_sum, n, grad_norm = (float(x) for x in np.asarray(acc))
+            now = time.monotonic()
+            steps_per_s = steps_in_window / max(now - t_window, 1e-9)
+            t_window, steps_in_window = now, 0
+            meter.update(loss_sum / max(n, 1.0), max(int(n), 1))
+            acc = jnp.zeros((3,))
             scalars = {
                 "loss": meter.avg,
-                "grad_norm": float(metrics["grad_norm"]),
+                "grad_norm": grad_norm,
                 "lr": float(make_lr_schedule(cfg)(step)),
+                "steps_per_s": steps_per_s,
                 "pad_frac": pad_meter.avg,
                 **{f"pad_frac_{k}": m.avg for k, m in pad_meters.items()
                    if k != "sent" and m.count},
@@ -591,6 +652,8 @@ def main():
             ckpt.save(manager, state, {"loss": ev_loss, **r_sum})
             save_loader_state()
 
+    if prefetcher is not None:
+        prefetcher.close()
     if _PREEMPTED["sig"] is not None:
         # signal landed during the final step: still leave a resume point
         ckpt.save_unranked(manager, state)
