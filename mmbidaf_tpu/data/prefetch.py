@@ -53,6 +53,7 @@ class DevicePrefetcher:
         # starting position
         self._last_state = stream.get_state() if self._has_state else None
         self._error: BaseException | None = None
+        self._closed = False
         self._q: queue.Queue = queue.Queue(maxsize=depth)
         self._stop = threading.Event()
         self._thread = threading.Thread(
@@ -93,8 +94,14 @@ class DevicePrefetcher:
         return self
 
     def __next__(self):
+        if self._closed:
+            raise StopIteration
         item = self._q.get()
         if item is _SENTINEL:
+            # stay exhausted: re-queue the sentinel so repeated next()
+            # raises StopIteration (iterator protocol) instead of
+            # deadlocking on an empty queue with a dead producer
+            self._q.put(_SENTINEL)
             if self._error is not None:
                 err, self._error = self._error, None
                 raise err
@@ -109,15 +116,32 @@ class DevicePrefetcher:
         hasattr probe would otherwise see this method and assume grain)."""
         return self._last_state
 
-    def close(self, timeout: float = 5.0) -> None:
-        """Stop the thread and drop prefetched-but-undelivered batches."""
+    def close(self, timeout: float | None = None) -> bool:
+        """Stop the thread and drop prefetched-but-undelivered batches.
+
+        Blocks (by default) until the thread has actually exited: it may be
+        mid-``to_device`` upload, and killing the process while a device op
+        is in flight is the failure mode that wedges a tunnelled TPU claim
+        (CLAUDE.md) — the wait is bounded by one batch's upload. Returns
+        False if a ``timeout`` was given and expired with the thread still
+        alive (caller decides whether exiting anyway is safe).
+        """
+        self._closed = True
         self._stop.set()
-        try:
-            while True:
-                self._q.get_nowait()
-        except queue.Empty:
-            pass
+        # drain, then leave a sentinel so any consumer concurrently parked
+        # in self._q.get() unblocks; the producer may sneak one last item
+        # in before it notices the stop flag, so drain-and-retry
+        while True:
+            try:
+                self._q.put_nowait(_SENTINEL)
+                break
+            except queue.Full:
+                try:
+                    self._q.get_nowait()
+                except queue.Empty:
+                    pass
         self._thread.join(timeout)
+        return not self._thread.is_alive()
 
     def __enter__(self):
         return self

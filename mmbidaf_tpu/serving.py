@@ -350,6 +350,14 @@ class Summarizer:
         }
         self._decode_batch(raw, rng=jax.random.key(0))
         if include_long:
+            if b != 1 and not self._dp:
+                # summarize_long's short-transcript branch decodes raw
+                # frames at B=1 (serving.py::summarize_long) — a distinct
+                # program from the batch-b one above. (Skipped under DP:
+                # that branch would shard a B=1 batch, and DP serving
+                # callers use summarize/summarize_batch.)
+                self._decode_batch({k: v[:1] for k, v in raw.items()},
+                                   rng=jax.random.key(0))
             media = {k: raw[k][:1] for k in
                      ("frames", "img_mask", "waveform", "aud_mask")}
             feat = self._get_featurize()(self.fe_params, media)
@@ -606,6 +614,9 @@ class DynamicBatcher:
         self.max_queue = max_queue
         self.stats = {"requests": 0, "batches": 0, "padded_rows": 0,
                       "rejected": 0}
+        # all other stats fields are batcher-thread-only; 'rejected' is
+        # bumped from concurrent submitter threads and needs the lock
+        self._reject_lock = threading.Lock()
         self._queue: _queue_mod.Queue = _queue_mod.Queue()
         self._closed = False
         self._thread = threading.Thread(
@@ -628,7 +639,8 @@ class DynamicBatcher:
         # concurrency, so the bound is soft by ±(concurrent submitters) —
         # fine for load shedding, which needs a dam, not a turnstile.
         if self.max_queue is not None and self._queue.qsize() >= self.max_queue:
-            self.stats["rejected"] += 1
+            with self._reject_lock:  # many submitter threads race here
+                self.stats["rejected"] += 1
             raise ServerOverloadedError(
                 f"pending-request queue at max_queue={self.max_queue}; "
                 "retry later"

@@ -88,3 +88,30 @@ def test_close_mid_stream_stops_thread():
 def test_depth_validation():
     with pytest.raises(ValueError, match="depth"):
         DevicePrefetcher(FakeStream(1), lambda nb: nb, depth=0)
+
+
+def test_exhaustion_is_sticky():
+    """next() after StopIteration keeps raising StopIteration (a dead
+    producer + empty queue must not deadlock the consumer)."""
+    pf = DevicePrefetcher(FakeStream(2), lambda nb: nb, depth=2)
+    assert len(list(pf)) == 2
+    for _ in range(3):
+        with pytest.raises(StopIteration):
+            next(pf)
+
+
+def test_error_then_stop_iteration():
+    pf = DevicePrefetcher(FakeStream(5, fail_at=1), lambda nb: nb, depth=2)
+    next(pf)
+    with pytest.raises(RuntimeError, match="boom"):
+        next(pf)
+    with pytest.raises(StopIteration):  # error raised once, then exhausted
+        next(pf)
+
+
+def test_next_after_close_raises():
+    pf = DevicePrefetcher(FakeStream(100), lambda nb: nb, depth=1)
+    next(pf)
+    assert pf.close() is True
+    with pytest.raises(StopIteration):
+        next(pf)

@@ -158,3 +158,23 @@ def test_bad_payloads(server):
     assert status == 404
     status, _ = _req(port, "GET", "/nope")
     assert status == 404
+
+
+def test_latency_stats_percentiles():
+    """Nearest-rank percentiles: p50 <= p95 even at tiny window sizes (a
+    floor-based index once reported p95 < p50 at n=2)."""
+    import sys
+    sys.path.insert(0, "tools")
+    from serve import _LatencyStats
+
+    st = _LatencyStats()
+    st.record("/x", 0.010, ok=True)
+    st.record("/x", 0.100, ok=False)
+    snap = st.snapshot()["/x"]
+    assert snap["count"] == 2 and snap["errors"] == 1
+    assert snap["p50_ms"] == 10.0 and snap["p95_ms"] == 100.0
+    for ms in (20, 30, 40, 50):
+        st.record("/x", ms / 1e3, ok=True)
+    snap = st.snapshot()["/x"]
+    # n=6 sorted [10,20,30,40,50,100]: p50 = ceil(3)-1 -> 30, p95 -> 100
+    assert snap["p50_ms"] == 30.0 and snap["p95_ms"] == 100.0

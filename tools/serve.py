@@ -57,15 +57,21 @@ class _LatencyStats:
                 self._errors[endpoint] += 1
 
     def snapshot(self) -> dict:
+        import math
+
         with self._lock:
             out = {}
             for ep, window in self._lat.items():
                 lat = sorted(window)
+                n = len(lat)
+                # nearest-rank percentile: ceil(q*n)-1 (a floor-based index
+                # sat one rank low and could report p95 < p50 at n=2)
+                q = lambda p: lat[max(0, math.ceil(p * n) - 1)]  # noqa: E731
                 out[ep] = {
                     "count": self._count[ep],
                     "errors": self._errors[ep],
-                    "p50_ms": round(lat[len(lat) // 2] * 1e3, 2),
-                    "p95_ms": round(lat[int(len(lat) * 0.95) - 1] * 1e3, 2),
+                    "p50_ms": round(q(0.50) * 1e3, 2),
+                    "p95_ms": round(q(0.95) * 1e3, 2),
                 }
             return out
 
@@ -178,9 +184,16 @@ def make_handler(summarizer, use_long: bool, batcher=None):
 def serve(summarizer, port: int = 8080, host: str = "127.0.0.1",
           use_long: bool = False, batcher=None) -> ThreadingHTTPServer:
     """Build (but don't run) the server — callers own serve_forever()."""
-    return ThreadingHTTPServer(
+    srv = ThreadingHTTPServer(
         (host, port), make_handler(summarizer, use_long, batcher=batcher)
     )
+    # Non-daemon handler threads: ThreadingMixIn only TRACKS non-daemon
+    # threads (CPython _Threads.append drops daemon ones), so this is what
+    # makes server_close() actually join in-flight requests on shutdown —
+    # SIGTERM "drain" finishes the running request instead of killing its
+    # thread at interpreter exit.
+    srv.daemon_threads = False
+    return srv
 
 
 def main():
@@ -221,53 +234,72 @@ def main():
     if a.dynamic_batch and a.long:
         ap.error("--dynamic_batch batches whole-video requests; --long's "
                  "windowed decode already batches internally — pick one")
-
-    from mmbidaf_tpu.serving import DynamicBatcher, Summarizer
-    from mmbidaf_tpu.utils.cache import enable_cli_cache
-
-    cache_dir = enable_cli_cache(a.jax_cache)
-    if cache_dir:
-        print(f"compilation cache: {cache_dir}")
-
-    s = Summarizer.from_run(
-        a.run_dir, mode=a.mode, topk=a.topk,
-        serve_batch_size=a.serve_batch_size, data_parallel=a.data_parallel,
-    )
+    warmup_hw = None
     if a.warmup:
-        import time
-
         try:
-            h, w = (int(x) for x in a.warmup.lower().split("x"))
+            warmup_hw = tuple(int(x) for x in a.warmup.lower().split("x"))
+            if len(warmup_hw) != 2:
+                raise ValueError(a.warmup)
         except ValueError:
             ap.error(f"--warmup wants HxW (e.g. 240x320), got {a.warmup!r}")
-        t0 = time.monotonic()
-        s.warmup((h, w), batch_size=a.dynamic_batch or None,
-                 include_long=a.long)
-        print(f"warmup: serving programs compiled in "
-              f"{time.monotonic() - t0:.1f} s")
-    batcher = (
-        DynamicBatcher(s, max_batch_size=a.dynamic_batch,
-                       max_wait_ms=a.batch_wait_ms,
-                       max_queue=a.max_queue or None)
-        if a.dynamic_batch else None
-    )
-    srv = serve(s, port=a.port, host=a.host, use_long=a.long, batcher=batcher)
-    print(f"serving {a.run_dir} on http://{a.host}:{srv.server_address[1]} "
-          f"(mode={a.mode}{', long' if a.long else ''}"
-          f"{f', dynamic_batch={a.dynamic_batch}' if batcher else ''})")
 
-    # SIGTERM (systemd/k8s stop) drains like Ctrl-C: the running request
-    # finishes, the batcher flushes, and the process exits 0
+    # SIGTERM (systemd/k8s stop) drains like Ctrl-C. Installed BEFORE model
+    # load/warmup: a stop signal during a multi-minute cold compile must
+    # unwind the interpreter (letting the PJRT client tear down its device
+    # claim) instead of the default abrupt termination, which wedges a
+    # tunnelled TPU claim for the replacement process (CLAUDE.md).
     import signal
 
     def _sigterm(signum, frame):
         raise KeyboardInterrupt
 
     signal.signal(signal.SIGTERM, _sigterm)
+
+    from mmbidaf_tpu.serving import DynamicBatcher, Summarizer
+    from mmbidaf_tpu.utils.cache import enable_cli_cache
+
+    batcher = None
+    try:
+        cache_dir = enable_cli_cache(a.jax_cache)
+        if cache_dir:
+            print(f"compilation cache: {cache_dir}")
+
+        s = Summarizer.from_run(
+            a.run_dir, mode=a.mode, topk=a.topk,
+            serve_batch_size=a.serve_batch_size, data_parallel=a.data_parallel,
+        )
+        # batcher BEFORE warmup: its constructor validates max_batch_size
+        # against the DP shard count — fail fast instead of paying a
+        # multi-minute warmup compile and then crashing on the check
+        if a.dynamic_batch:
+            batcher = DynamicBatcher(s, max_batch_size=a.dynamic_batch,
+                                     max_wait_ms=a.batch_wait_ms,
+                                     max_queue=a.max_queue or None)
+        if warmup_hw is not None:
+            import time
+
+            t0 = time.monotonic()
+            s.warmup(warmup_hw, batch_size=a.dynamic_batch or None,
+                     include_long=a.long)
+            print(f"warmup: serving programs compiled in "
+                  f"{time.monotonic() - t0:.1f} s")
+    except KeyboardInterrupt:
+        if batcher is not None:
+            batcher.close()
+        print("stopped during startup")
+        return
+    srv = serve(s, port=a.port, host=a.host, use_long=a.long, batcher=batcher)
+    print(f"serving {a.run_dir} on http://{a.host}:{srv.server_address[1]} "
+          f"(mode={a.mode}{', long' if a.long else ''}"
+          f"{f', dynamic_batch={a.dynamic_batch}' if batcher else ''})")
     try:
         srv.serve_forever()
     except KeyboardInterrupt:
         srv.shutdown()
+        # join in-flight handler threads (ThreadingHTTPServer tracks them
+        # while block_on_close is true): "drain" must mean the running
+        # request actually finishes before the interpreter exits
+        srv.server_close()
     finally:
         if batcher is not None:
             batcher.close()
