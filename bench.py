@@ -333,5 +333,23 @@ def main():
     print(json.dumps(result))
 
 
+def _install_sigterm():
+    """SIGTERM → KeyboardInterrupt: an interrupted bench must UNWIND (so
+    the PJRT client releases its device claim) rather than die abruptly —
+    a killed TPU holder wedges the relay claim for ~5–15 min (CLAUDE.md).
+    A driver/timeout that SIGTERMs a long bench now gets a clean exit."""
+    import signal
+
+    def _h(signum, frame):
+        raise KeyboardInterrupt
+
+    signal.signal(signal.SIGTERM, _h)
+
+
 if __name__ == "__main__":
-    main()
+    _install_sigterm()
+    try:
+        main()
+    except KeyboardInterrupt:
+        print("bench interrupted; exiting cleanly", file=sys.stderr)
+        raise SystemExit(130)

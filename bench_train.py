@@ -98,4 +98,10 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    from bench import _install_sigterm  # SIGTERM unwinds; see bench.py
+
+    _install_sigterm()
+    try:
+        main()
+    except KeyboardInterrupt:
+        raise SystemExit(130)
