@@ -72,6 +72,11 @@ def main():
     ap.add_argument("--jax_cache", default=None, metavar="DIR",
                     help="persistent compilation cache dir (default: repo "
                          ".jax_cache on TPU, off on CPU; '' = off)")
+    ap.add_argument("--prefetch", type=int, default=2, metavar="N",
+                    help="real-corpus eval pipelining: host decode + H2D "
+                         "run N batches ahead in a background thread and "
+                         "each batch's picks fetch is deferred under the "
+                         "next batch's device compute (0 = serial loop)")
     a = ap.parse_args()
 
     from mmbidaf_tpu.utils.cache import enable_cli_cache
@@ -233,18 +238,33 @@ def main():
         agg = {"ROUGE-1": 0.0, "ROUGE-2": 0.0, "ROUGE-L": 0.0}
         n_scored = 0
         keyshot = _KeyshotMeter()
-        for start in range(0, len(corpus), a.batch_size):
-            idxs = [min(start + j, len(corpus) - 1) for j in range(a.batch_size)]
-            n_real = min(a.batch_size, len(corpus) - start)  # tail wraps for static shape
-            raw = {k: jnp.asarray(v) for k, v in collate([corpus[i] for i in idxs]).items()}
-            feat = featurize(raw)
-            # eval_step's teacher-forced loss needs targets; corpora without
-            # summary.txt golds still decode (zero targets, unused picks path)
-            K = cfg.model.max_decode_steps
-            feat["targets"] = raw.get("targets", jnp.zeros((a.batch_size, K), jnp.int32))
-            feat["target_mask"] = raw.get("target_mask", jnp.ones((a.batch_size, K), jnp.float32))
-            batch = shard_batch(feat, mesh)
-            out = eval_step(state.ema_params, batch)
+
+        # Pipelined eval (mirrors train.py --prefetch): host asset decode +
+        # H2D upload run ahead in a thread, and each batch's picks fetch —
+        # seconds through a tunnelled backend — is deferred until the NEXT
+        # batch's device work has been dispatched, so the device never
+        # idles behind host-side ROUGE/summary assembly.
+        def host_batches():
+            for start in range(0, len(corpus), a.batch_size):
+                idxs = [min(start + j, len(corpus) - 1) for j in range(a.batch_size)]
+                n_real = min(a.batch_size, len(corpus) - start)  # tail wraps for static shape
+                yield idxs, n_real, collate([corpus[i] for i in idxs])
+
+        def upload(item):
+            return {k: jnp.asarray(v) for k, v in item[2].items()}
+
+        prefetcher = None
+        if a.prefetch > 0:
+            from mmbidaf_tpu.data.prefetch import DevicePrefetcher
+
+            prefetcher = DevicePrefetcher(host_batches(), upload, depth=a.prefetch)
+            items = iter(prefetcher)
+        else:
+            items = ((it, upload(it)) for it in host_batches())
+
+        def consume(entry):
+            nonlocal n_scored
+            out, idxs, n_real = entry
             picks = np.asarray(out["picks"])[:n_real]
             texts = [corpus.example_text(i) for i in idxs[:n_real]]
             scores, n_b = batch_rouge(picks, [t[0] for t in texts], [t[1] for t in texts])
@@ -258,6 +278,27 @@ def main():
                 keyshot.add(os.path.join(corpus.root, vid), chosen)
                 if a.print_summaries:
                     print(f"{vid}: {summary_from_picks(picks[j], sents)}")
+
+        from collections import deque
+
+        pending = deque()
+        try:
+            for (idxs, n_real, _nb), raw in items:
+                feat = featurize(raw)
+                # eval_step's teacher-forced loss needs targets; corpora without
+                # summary.txt golds still decode (zero targets, unused picks path)
+                K = cfg.model.max_decode_steps
+                feat["targets"] = raw.get("targets", jnp.zeros((a.batch_size, K), jnp.int32))
+                feat["target_mask"] = raw.get("target_mask", jnp.ones((a.batch_size, K), jnp.float32))
+                batch = shard_batch(feat, mesh)
+                pending.append((eval_step(state.ema_params, batch), idxs, n_real))
+                if len(pending) > 1:
+                    consume(pending.popleft())
+            while pending:
+                consume(pending.popleft())
+        finally:
+            if prefetcher is not None:
+                prefetcher.close()
         agg = {k: v / max(n_scored, 1) for k, v in agg.items()}
         keyshot.finalize(agg)
         print({k: round(v, 4) for k, v in agg.items()}, f"({n_scored} videos scored)")

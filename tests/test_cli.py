@@ -150,7 +150,8 @@ def test_train_cli_sp_audio_misuse_errors(synthetic_corpus, tmp_path):
 @pytest.mark.slow
 def test_infer_cli_real_corpus(synthetic_corpus):
     """infer.py --data_dir decodes every video, assembles summaries from the
-    real transcript text, and scores ROUGE against summary.txt."""
+    real transcript text, and scores ROUGE against summary.txt; the pipelined
+    eval loop (--prefetch, default on) is byte-identical to the serial one."""
     res = subprocess.run(
         [
             sys.executable, "infer.py",
@@ -162,6 +163,17 @@ def test_infer_cli_real_corpus(synthetic_corpus):
     )
     assert res.returncode == 0, res.stderr[-2000:]
     assert "(4 videos scored)" in res.stdout
+    serial = subprocess.run(
+        [
+            sys.executable, "infer.py",
+            "--data_dir", synthetic_corpus, "--vgg", "tiny",
+            "--config_json", "examples/tiny_config.json",
+            "--batch_size", "2", "--print_summaries", "--prefetch", "0",
+        ],
+        cwd=REPO, env=_cpu_env(), capture_output=True, text=True, timeout=900,
+    )
+    assert serial.returncode == 0, serial.stderr[-2000:]
+    assert serial.stdout == res.stdout
     # printed summaries are assembled from on-disk transcript sentences
     import os as _os
 
