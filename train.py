@@ -620,8 +620,14 @@ def main():
             loss_sum = 0.0
             r_sum = {"ROUGE-1": 0.0, "ROUGE-2": 0.0, "ROUGE-L": 0.0}
             n_scored = 0
-            for eval_batch, texts in eval_batches:
-                ev = eval_step(state.ema_params, eval_batch)
+            # dispatch every eval batch before fetching any result: the
+            # per-batch loss/picks fetches (seconds through a tunnelled
+            # backend) then overlap the remaining batches' device compute
+            # instead of serializing the eval pass (outputs are tiny:
+            # a scalar loss + [B, K] picks per batch)
+            evs = [eval_step(state.ema_params, eval_batch)
+                   for eval_batch, _ in eval_batches]
+            for ev, (eval_batch, texts) in zip(evs, eval_batches):
                 loss_sum += float(ev["loss"])
                 picks = np.asarray(ev["picks"])
                 if texts is not None:
