@@ -1,0 +1,263 @@
+"""AOT serving artifacts via ``jax.export`` (SURVEY.md §2 L5, serving layer).
+
+The reference has no deployment story: serving a checkpoint means carrying
+the whole model codebase to the serving host and rebuilding the module tree
+(SURVEY §4.3). A TPU-native framework can do better: ``jax.export`` captures
+the jitted raw-video→picks program as *versioned StableHLO*, so the serving
+host needs only the artifact directory and a JAX install — no model code, no
+tracing, no Python re-build of the network. Cross-platform lowering also
+works: export on a CPU dev box with ``platforms=("tpu",)`` and serve the
+same bytes on a TPU pod.
+
+Artifact layout (one directory)::
+
+    decode.jaxexport   serialized StableHLO program (flat-leaf signature)
+    weights.npz        model + frontend params, flat leaf order
+    manifest.json      leaf counts/dtypes, raw input specs, platforms
+    config.json        the run's Config (host-side preprocessing needs it)
+    vocab.json         word2idx (host-side transcript encoding)
+
+The exported program takes ``(*weight_leaves, *raw_leaves)`` as a FLAT
+argument list — no pytree-structure serialization problem — and returns
+``(log_p, picks)`` exactly like ``make_end_to_end_decode``'s jitted fn.
+
+Scope: the deterministic greedy path on a single device. Stochastic top-k
+(carries an rng stream), beam (decode-mode flag), data-parallel and
+``sp_audio`` serving (mesh-dependent programs) raise at export time — their
+value is interactive serving, which `Summarizer` already covers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Mapping, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+_MANIFEST = "manifest.json"
+_PROGRAM = "decode.jaxexport"
+_WEIGHTS = "weights.npz"
+_CONFIG = "config.json"
+_VOCAB = "vocab.json"
+_FORMAT_VERSION = 1
+
+# Raw-input call order is pinned by the manifest, not by dict iteration.
+_RAW_KEYS = (
+    "text_ids", "word_mask", "sent_mask",
+    "frames", "img_mask", "waveform", "aud_mask",
+)
+
+
+def _raw_specs(cfg, batch_size: int, frame_hw: tuple[int, int]) -> dict:
+    """ShapeDtypeStructs for the raw batch ``host_raw_row`` rows stack into
+    (same shapes ``Summarizer.warmup`` pins)."""
+    from mmbidaf_tpu.serving import num_audio_samples
+
+    d = cfg.data
+    b, (h, w) = batch_size, frame_hw
+    return {
+        "text_ids": jax.ShapeDtypeStruct((b, d.max_sentences, d.max_words), jnp.int32),
+        "word_mask": jax.ShapeDtypeStruct((b, d.max_sentences, d.max_words), jnp.float32),
+        "sent_mask": jax.ShapeDtypeStruct((b, d.max_sentences), jnp.float32),
+        "frames": jax.ShapeDtypeStruct((b, d.max_keyframes, h, w, 3), jnp.uint8),
+        "img_mask": jax.ShapeDtypeStruct((b, d.max_keyframes), jnp.float32),
+        "waveform": jax.ShapeDtypeStruct((b, num_audio_samples(cfg)), jnp.float32),
+        "aud_mask": jax.ShapeDtypeStruct((b, d.max_audio_frames), jnp.float32),
+    }
+
+
+def export_summarizer(
+    summ,
+    out_dir: str,
+    batch_size: int = 1,
+    frame_hw: tuple[int, int] = (240, 320),
+    platforms: Sequence[str] | None = None,
+) -> None:
+    """Export ``summ``'s greedy end-to-end decode as an AOT artifact.
+
+    ``batch_size`` and ``frame_hw`` are compile-time constants of the
+    exported program (XLA static shapes): requests at serve time must arrive
+    at exactly these shapes (``ExportedSummarizer`` pads/chunks requests the
+    way ``serve_batch_size`` serving does). ``platforms`` defaults to the
+    exporting process's backend; pass ``("tpu",)`` to cross-compile for TPU
+    from a CPU process.
+    """
+    from mmbidaf_tpu.serving import Summarizer
+    from mmbidaf_tpu.train.checkpoint import save_config
+
+    if not isinstance(summ, Summarizer):
+        raise TypeError(f"expected a Summarizer, got {type(summ).__name__}")
+    if summ.mode != "greedy":
+        raise ValueError(
+            f"only the deterministic greedy path exports (mode={summ.mode!r}):"
+            " top-k carries an rng stream and beam is a different program —"
+            " serve those interactively via Summarizer"
+        )
+    if summ._dp or summ._audio_g_fn is not None:
+        raise ValueError(
+            "data_parallel / sp_audio serving programs are mesh-dependent"
+            " and not exportable; export a single-device Summarizer"
+        )
+
+    p_leaves, p_def = jax.tree_util.tree_flatten(summ.params)
+    fe_leaves, fe_def = jax.tree_util.tree_flatten(summ.fe_params)
+    n_p, n_fe = len(p_leaves), len(fe_leaves)
+    decode = summ._decode  # the jitted greedy end_to_end(params, fe, raw)
+
+    def flat_fn(*leaves):
+        params = jax.tree_util.tree_unflatten(p_def, leaves[:n_p])
+        fe = jax.tree_util.tree_unflatten(fe_def, leaves[n_p:n_p + n_fe])
+        raw = dict(zip(_RAW_KEYS, leaves[n_p + n_fe:]))
+        return decode(params, fe, raw)
+
+    specs = _raw_specs(summ.cfg, batch_size, frame_hw)
+    arg_specs = (
+        [jax.ShapeDtypeStruct(x.shape, x.dtype) for x in p_leaves]
+        + [jax.ShapeDtypeStruct(x.shape, x.dtype) for x in fe_leaves]
+        + [specs[k] for k in _RAW_KEYS]
+    )
+    kw = {} if platforms is None else {"platforms": tuple(platforms)}
+    exported = jax.export.export(jax.jit(flat_fn), **kw)(*arg_specs)
+
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, _PROGRAM), "wb") as f:
+        f.write(exported.serialize())
+    # npz can't hold ml_dtypes (bfloat16) leaves — store widened to float32
+    # (exact) and record the true dtype per leaf for the loader to cast back.
+    weight_leaves = p_leaves + fe_leaves
+    dtypes = [str(x.dtype) for x in weight_leaves]
+    np.savez(
+        os.path.join(out_dir, _WEIGHTS),
+        **{
+            f"w{i:05d}": np.asarray(
+                x.astype(jnp.float32) if x.dtype == jnp.bfloat16 else x
+            )
+            for i, x in enumerate(weight_leaves)
+        },
+    )
+    manifest = {
+        "format_version": _FORMAT_VERSION,
+        "jax_version": jax.__version__,
+        "platforms": list(exported.platforms),
+        "batch_size": batch_size,
+        "frame_hw": list(frame_hw),
+        "n_weight_leaves": len(weight_leaves),
+        "weight_dtypes": dtypes,
+        "raw_inputs": [
+            {
+                "name": k,
+                "shape": list(specs[k].shape),
+                "dtype": str(np.dtype(specs[k].dtype)),
+            }
+            for k in _RAW_KEYS
+        ],
+        "outputs": ["log_p", "picks"],
+    }
+    with open(os.path.join(out_dir, _MANIFEST), "w") as f:
+        json.dump(manifest, f, indent=1)
+    save_config(out_dir, summ.cfg)
+    with open(os.path.join(out_dir, _VOCAB), "w") as f:
+        json.dump(summ.word2idx, f)
+
+
+class ExportedDecoder:
+    """The device half of an artifact: raw batch in, ``(log_p, picks)`` out.
+
+    Depends only on jax + numpy + the artifact directory — deliberately NO
+    model-building imports, so a serving host can run it without the
+    framework's model code (proven by ``tests/test_export.py``'s fresh
+    subprocess). Host-side preprocessing lives in ``ExportedSummarizer``.
+    """
+
+    def __init__(self, artifact_dir: str):
+        with open(os.path.join(artifact_dir, _MANIFEST)) as f:
+            self.manifest = json.load(f)
+        if self.manifest["format_version"] != _FORMAT_VERSION:
+            raise ValueError(
+                f"artifact format {self.manifest['format_version']} !="
+                f" supported {_FORMAT_VERSION}"
+            )
+        with open(os.path.join(artifact_dir, _PROGRAM), "rb") as f:
+            self._exported = jax.export.deserialize(f.read())
+        npz = np.load(os.path.join(artifact_dir, _WEIGHTS))
+        n = self.manifest["n_weight_leaves"]
+        dtypes = self.manifest["weight_dtypes"]
+        self._weights = [
+            jnp.asarray(npz[f"w{i:05d}"]).astype(dtypes[i]) for i in range(n)
+        ]
+        self.batch_size = self.manifest["batch_size"]
+        self.frame_hw = tuple(self.manifest["frame_hw"])
+
+    def decode_raw(self, raw: Mapping[str, np.ndarray]):
+        """Run the exported program on one raw batch (manifest shapes)."""
+        args = list(self._weights)
+        for spec in self.manifest["raw_inputs"]:
+            name, want = spec["name"], tuple(spec["shape"])
+            if name not in raw:
+                raise KeyError(f"raw batch is missing {name!r}")
+            arr = np.asarray(raw[name])
+            if arr.shape != want:
+                raise ValueError(
+                    f"{name}: got shape {arr.shape}, exported program wants"
+                    f" {want} (batch_size/frame_hw are compile-time constants"
+                    " of the artifact — re-export for other shapes)"
+                )
+            args.append(jnp.asarray(arr.astype(spec["dtype"], copy=False)))
+        log_p, picks = self._exported.call(*args)
+        return np.asarray(log_p), np.asarray(picks)
+
+
+class ExportedSummarizer:
+    """Full serving from an artifact: video dirs in, summary text out.
+
+    Pairs ``ExportedDecoder`` with the framework's host-side preprocessing
+    (container decode + tokenize — ``serving.host_raw_row``) and pick
+    assembly; behaves like ``Summarizer.summarize_batch`` with
+    ``serve_batch_size = artifact batch_size`` (requests padded by repeating
+    the last video, chunked to the pinned static shape).
+    """
+
+    def __init__(self, artifact_dir: str):
+        from mmbidaf_tpu.config import config_from_json
+
+        self.decoder = ExportedDecoder(artifact_dir)
+        self.cfg = config_from_json(os.path.join(artifact_dir, _CONFIG))
+        with open(os.path.join(artifact_dir, _VOCAB)) as f:
+            self.word2idx = json.load(f)
+
+    def summarize_batch(self, video_dirs: Sequence[str]) -> list[str]:
+        from mmbidaf_tpu.serving import host_raw_row
+        from mmbidaf_tpu.train.metrics import summary_from_picks
+
+        if not video_dirs:
+            return []
+        sb = self.decoder.batch_size
+        out: list[str] = []
+        for start in range(0, len(video_dirs), sb):
+            chunk = list(video_dirs[start:start + sb])
+            n_real = len(chunk)
+            chunk += [chunk[-1]] * (sb - n_real)
+            rows, sentences = [], []
+            for vd in chunk:
+                row, sents = host_raw_row(vd, self.word2idx, self.cfg)
+                hw = row["frames"].shape[1:3]
+                if tuple(hw) != self.decoder.frame_hw:
+                    raise ValueError(
+                        f"{vd}: decoded frames are {tuple(hw)}, artifact was"
+                        f" exported for frame_hw={self.decoder.frame_hw}"
+                    )
+                rows.append(row)
+                sentences.append(sents)
+            raw = {k: np.stack([r[k] for r in rows]) for k in rows[0]}
+            _, picks = self.decoder.decode_raw(raw)
+            out.extend(
+                summary_from_picks(picks[j], sentences[j]) for j in range(n_real)
+            )
+        return out
+
+    def summarize(self, video_dir: str) -> str:
+        return self.summarize_batch([video_dir])[0]

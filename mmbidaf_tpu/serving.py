@@ -82,6 +82,52 @@ def merge_window_picks(
     return sorted(top)
 
 
+def num_audio_samples(cfg: Config) -> int:
+    """Waveform samples needed to fill the ``max_audio_frames`` bucket."""
+    d = cfg.data
+    return d.max_audio_frames * d.hop_length + d.win_length
+
+
+def host_raw_row(
+    video_dir: str, word2idx: dict[str, int], cfg: Config
+) -> tuple[dict, list[str]]:
+    """Host-decode ONE video's assets into an (unstacked) raw feature row.
+
+    Pure host work (container decode + tokenize + mask build) with no model
+    or device dependency — shared by ``Summarizer`` and the AOT-exported
+    serving path (``mmbidaf_tpu.export``). Returns ``(row, sentences)``
+    where ``row`` holds the seven raw arrays ``make_end_to_end_decode``
+    consumes and ``sentences`` the transcript sentences for pick assembly.
+    """
+    from mmbidaf_tpu.data.video import audio_frames_valid
+
+    d = cfg.data
+    assets = load_video_assets(
+        video_dir, d.max_keyframes, num_audio_samples(cfg),
+        keyframe_policy=d.keyframe_policy,
+    )
+    enc = encode_transcript(
+        assets["transcript"], word2idx, d.max_sentences, d.max_words
+    )
+    n_aud = audio_frames_valid(
+        assets["valid_samples"], d.hop_length, d.max_audio_frames
+    )
+    row = {
+        "text_ids": enc["text_ids"],
+        "word_mask": enc["word_mask"],
+        "sent_mask": enc["sent_mask"],
+        "frames": assets["frames"],
+        "img_mask": assets["img_mask"],
+        "waveform": assets["waveform"],
+        # mask reflects the true audio length (matches the
+        # training corpus's VideoCorpus semantics)
+        "aud_mask": (
+            np.arange(d.max_audio_frames) < n_aud
+        ).astype(np.float32),
+    }
+    return row, enc["sentences"]
+
+
 class Summarizer:
     def __init__(
         self,
@@ -375,33 +421,7 @@ class Summarizer:
         run concurrently from many request threads; ``DynamicBatcher`` relies
         on exactly that split.
         """
-        from mmbidaf_tpu.data.video import audio_frames_valid
-
-        d = self.cfg.data
-        assets = load_video_assets(
-            video_dir, d.max_keyframes, self._num_audio_samples,
-            keyframe_policy=d.keyframe_policy,
-        )
-        enc = encode_transcript(
-            assets["transcript"], self.word2idx, d.max_sentences, d.max_words
-        )
-        n_aud = audio_frames_valid(
-            assets["valid_samples"], d.hop_length, d.max_audio_frames
-        )
-        row = {
-            "text_ids": enc["text_ids"],
-            "word_mask": enc["word_mask"],
-            "sent_mask": enc["sent_mask"],
-            "frames": assets["frames"],
-            "img_mask": assets["img_mask"],
-            "waveform": assets["waveform"],
-            # mask reflects the true audio length (matches the
-            # training corpus's VideoCorpus semantics)
-            "aud_mask": (
-                np.arange(d.max_audio_frames) < n_aud
-            ).astype(np.float32),
-        }
-        return row, enc["sentences"]
+        return host_raw_row(video_dir, self.word2idx, self.cfg)
 
     def _raw_batch(self, video_dirs: Sequence[str]) -> tuple[dict, list[list[str]]]:
         rows, sentences = [], []

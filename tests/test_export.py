@@ -1,0 +1,218 @@
+"""AOT serving artifacts (mmbidaf_tpu/export.py): export → reload parity,
+model-code-free loading in a fresh process, and misuse errors."""
+
+import dataclasses
+import json
+import os
+import subprocess
+import sys
+import wave as wave_mod
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mmbidaf_tpu.config import tiny_test_config
+from mmbidaf_tpu.export import (
+    ExportedDecoder,
+    ExportedSummarizer,
+    export_summarizer,
+    _raw_specs,
+)
+from mmbidaf_tpu.ops.vgg import TINY_SPEC
+from mmbidaf_tpu.serving import Summarizer
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def make_cfg():
+    cfg = tiny_test_config()
+    return dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(
+            cfg.model, img_feat_dim=32, audio_feat_dim=cfg.data.n_mfcc
+        ),
+    )
+
+
+def random_raw(cfg, rng, batch, frame_hw):
+    """A plausible raw batch at the exported shapes (ragged masks)."""
+    specs = _raw_specs(cfg, batch, frame_hw)
+    raw = {}
+    for k, s in specs.items():
+        if k == "text_ids":
+            raw[k] = rng.integers(0, cfg.data.vocab_size, s.shape).astype(np.int32)
+        elif k == "frames":
+            raw[k] = (rng.random(s.shape) * 255).astype(np.uint8)
+        elif k == "waveform":
+            raw[k] = rng.standard_normal(s.shape).astype(np.float32)
+        else:  # masks: ragged valid prefixes
+            m = np.zeros(s.shape, np.float32)
+            m[..., : max(1, s.shape[-1] // 2)] = 1.0
+            raw[k] = m
+    return raw
+
+
+@pytest.fixture(scope="module")
+def artifact(tmp_path_factory):
+    cfg = make_cfg()
+    summ = Summarizer.init_random(cfg, seed=3, vgg_spec=TINY_SPEC)
+    out = str(tmp_path_factory.mktemp("artifact"))
+    export_summarizer(summ, out, batch_size=2, frame_hw=(12, 16))
+    return out, summ
+
+
+def test_export_roundtrip_parity(artifact, rng):
+    """Reloaded artifact reproduces the live jitted decode exactly."""
+    out, summ = artifact
+    dec = ExportedDecoder(out)
+    raw = random_raw(summ.cfg, rng, batch=2, frame_hw=(12, 16))
+    log_p, picks = dec.decode_raw(raw)
+    live_lp, live_picks = summ._decode(
+        summ.params, summ.fe_params, {k: jnp.asarray(v) for k, v in raw.items()}
+    )
+    np.testing.assert_array_equal(picks, np.asarray(live_picks))
+    np.testing.assert_allclose(log_p, np.asarray(live_lp), rtol=0, atol=0)
+
+
+def test_exported_decoder_fresh_process(artifact, rng, tmp_path):
+    """The artifact serves from a process that never builds the model:
+    only ``mmbidaf_tpu.export`` + jax + numpy are imported."""
+    out, summ = artifact
+    raw = random_raw(summ.cfg, rng, batch=2, frame_hw=(12, 16))
+    np.savez(tmp_path / "raw.npz", **raw)
+    want_lp, want_picks = ExportedDecoder(out).decode_raw(raw)
+    code = (
+        "import sys, numpy as np\n"
+        f"sys.path.insert(0, {REPO!r})\n"
+        "from mmbidaf_tpu.export import ExportedDecoder\n"
+        f"raw = dict(np.load({str(tmp_path / 'raw.npz')!r}))\n"
+        f"log_p, picks = ExportedDecoder({out!r}).decode_raw(raw)\n"
+        f"np.savez({str(tmp_path / 'out.npz')!r}, log_p=log_p, picks=picks)\n"
+    )
+    env = {**os.environ, "JAX_PLATFORMS": "cpu", "PALLAS_AXON_POOL_IPS": ""}
+    subprocess.run([sys.executable, "-c", code], check=True, env=env,
+                   timeout=300, cwd=REPO)
+    got = np.load(tmp_path / "out.npz")
+    np.testing.assert_array_equal(got["picks"], want_picks)
+    np.testing.assert_array_equal(got["log_p"], want_lp)
+
+
+def test_exported_summarizer_matches_live(artifact, tmp_path, rng):
+    """End-to-end from video dirs: artifact serving == live Summarizer,
+    including the pad-to-static-batch tail path (3 requests over batch 2)."""
+    out, summ = artifact
+    d = summ.cfg.data
+    n_samples = d.max_audio_frames * d.hop_length + d.win_length
+    from PIL import Image
+
+    dirs = []
+    for v in range(3):
+        vd = tmp_path / f"vid{v}"
+        (vd / "frames").mkdir(parents=True)
+        for i in range(3):
+            arr = (rng.random((12, 16, 3)) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(vd / "frames" / f"f{i}.png")
+        sig = (rng.standard_normal(n_samples // 2) * 8000).astype(np.int16)
+        with wave_mod.open(str(vd / "audio.wav"), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(d.sample_rate)
+            w.writeframes(sig.tobytes())
+        sents = [f"Clip {v} sentence {j} about topic {j}." for j in range(5)]
+        (vd / "transcript.txt").write_text(" ".join(sents))
+        dirs.append(str(vd))
+
+    got = ExportedSummarizer(out).summarize_batch(dirs)
+    want = summ.summarize_batch(dirs)
+    assert got == want
+    assert all(isinstance(s, str) and s for s in got)
+
+
+def test_export_refuses_nondeterministic_modes(artifact):
+    _, summ = artifact
+    topk = Summarizer.init_random(summ.cfg, seed=0, vgg_spec=TINY_SPEC,
+                                  mode="topk", topk=2)
+    with pytest.raises(ValueError, match="greedy"):
+        export_summarizer(topk, "/tmp/never-written")
+
+
+def test_decode_raw_shape_errors(artifact, rng):
+    out, summ = artifact
+    dec = ExportedDecoder(out)
+    raw = random_raw(summ.cfg, rng, batch=2, frame_hw=(12, 16))
+    bad = dict(raw)
+    bad["frames"] = bad["frames"][:, :, :8]  # wrong H
+    with pytest.raises(ValueError, match="frames"):
+        dec.decode_raw(bad)
+    missing = {k: v for k, v in raw.items() if k != "waveform"}
+    with pytest.raises(KeyError, match="waveform"):
+        dec.decode_raw(missing)
+
+
+def test_exported_summarizer_frame_hw_mismatch(artifact, tmp_path, rng):
+    """Frames at a different resolution than the export must error clearly,
+    not silently recompile or crash inside XLA."""
+    out, summ = artifact
+    d = summ.cfg.data
+    n_samples = d.max_audio_frames * d.hop_length + d.win_length
+    from PIL import Image
+
+    vd = tmp_path / "vid_hw"
+    (vd / "frames").mkdir(parents=True)
+    arr = (rng.random((24, 32, 3)) * 255).astype(np.uint8)  # not 12x16
+    Image.fromarray(arr).save(vd / "frames" / "f0.png")
+    sig = (rng.standard_normal(n_samples // 2) * 8000).astype(np.int16)
+    with wave_mod.open(str(vd / "audio.wav"), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(d.sample_rate)
+        w.writeframes(sig.tobytes())
+    (vd / "transcript.txt").write_text("One sentence here.")
+    with pytest.raises(ValueError, match="frame_hw"):
+        ExportedSummarizer(out).summarize(str(vd))
+
+
+def test_manifest_contents(artifact):
+    out, summ = artifact
+    with open(os.path.join(out, "manifest.json")) as f:
+        m = json.load(f)
+    assert m["batch_size"] == 2 and m["frame_hw"] == [12, 16]
+    assert m["platforms"] == ["cpu"]
+    assert {s["name"] for s in m["raw_inputs"]} == {
+        "text_ids", "word_mask", "sent_mask", "frames", "img_mask",
+        "waveform", "aud_mask",
+    }
+    assert m["n_weight_leaves"] == len(m["weight_dtypes"]) > 0
+
+
+def test_cross_platform_tpu_export(artifact, tmp_path):
+    """A CPU process can lower + serialize FOR TPU (deploy-from-dev-box):
+    the artifact records the target platform and refuses to run on CPU."""
+    _, summ = artifact
+    out = str(tmp_path / "tpu_art")
+    export_summarizer(summ, out, batch_size=1, frame_hw=(12, 16),
+                      platforms=("tpu",))
+    with open(os.path.join(out, "manifest.json")) as f:
+        assert json.load(f)["platforms"] == ["tpu"]
+    dec = ExportedDecoder(out)  # deserializes fine on any host
+    raw = random_raw(summ.cfg, np.random.default_rng(0), 1, (12, 16))
+    with pytest.raises(Exception, match="(?i)platform"):
+        dec.decode_raw(raw)  # wrong backend must be loud, not wrong
+
+
+def test_export_cli_random_verify(tmp_path):
+    """tools/export_artifact.py --random --vgg tiny --verify round-trips."""
+    out = str(tmp_path / "art")
+    env = {**os.environ, "JAX_PLATFORMS": "cpu", "PALLAS_AXON_POOL_IPS": ""}
+    r = subprocess.run(
+        [sys.executable, "tools/export_artifact.py", "--random", "--vgg",
+         "tiny", "--out", out, "--batch", "1", "--frame_hw", "12x16",
+         "--verify"],
+        capture_output=True, text=True, timeout=600, cwd=REPO, env=env,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "verify ok" in r.stdout
+    assert os.path.exists(os.path.join(out, "decode.jaxexport"))

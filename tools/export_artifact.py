@@ -1,0 +1,108 @@
+"""Export a trained run as an AOT serving artifact (mmbidaf_tpu.export).
+
+    python tools/export_artifact.py --run_dir runs/mmbidaf-01 --out artifact/
+    python tools/export_artifact.py --run_dir ... --out ... --platforms tpu
+    python tools/export_artifact.py --random --vgg tiny --out artifact/  # smoke
+
+The artifact directory then serves WITHOUT the model-building code:
+
+    from mmbidaf_tpu.export import ExportedSummarizer
+    print(ExportedSummarizer("artifact/").summarize(video_dir))
+
+``--verify`` reloads the artifact in-process and checks its picks against
+the live Summarizer on a zero batch before reporting success.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--run_dir", help="train.py run directory (ckpts + vocab)")
+    src.add_argument("--random", action="store_true",
+                     help="untrained random weights (smoke/demo)")
+    ap.add_argument("--out", required=True, help="artifact output directory")
+    ap.add_argument("--batch", type=int, default=1,
+                    help="static serving batch size baked into the program")
+    ap.add_argument("--frame_hw", default="240x320",
+                    help="decoded frame HxW baked into the program")
+    ap.add_argument("--platforms", default=None,
+                    help="comma-separated lowering platforms (e.g. tpu,cpu);"
+                         " default: this process's backend")
+    ap.add_argument("--vgg", choices=["vgg16", "tiny"], default=None,
+                    help="frontend variant for --random (run_dir uses the"
+                         " run's saved config)")
+    ap.add_argument("--verify", action="store_true",
+                    help="reload the artifact and compare picks vs the live"
+                         " Summarizer on a zero batch")
+    a = ap.parse_args()
+
+    from mmbidaf_tpu.export import ExportedDecoder, export_summarizer
+    from mmbidaf_tpu.serving import Summarizer
+
+    h, w = (int(x) for x in a.frame_hw.lower().split("x"))
+    platforms = a.platforms.split(",") if a.platforms else None
+
+    if a.run_dir:
+        summ = Summarizer.from_run(a.run_dir)
+    else:
+        import dataclasses
+
+        from mmbidaf_tpu.config import Config, tiny_test_config
+        from mmbidaf_tpu.ops.vgg import TINY_SPEC, VGG16_SPEC
+
+        if a.vgg == "tiny":
+            cfg = tiny_test_config()
+            # the tiny VGG's flattened feature width (tests/test_serving.py)
+            cfg = dataclasses.replace(
+                cfg, model=dataclasses.replace(
+                    cfg.model, img_feat_dim=32, audio_feat_dim=cfg.data.n_mfcc,
+                    vgg_variant="tiny",
+                )
+            )
+            spec = TINY_SPEC
+        else:
+            cfg, spec = Config(), VGG16_SPEC
+        summ = Summarizer.init_random(cfg, seed=0, vgg_spec=spec)
+
+    export_summarizer(summ, a.out, batch_size=a.batch, frame_hw=(h, w),
+                      platforms=platforms)
+    total = sum(
+        os.path.getsize(os.path.join(a.out, f)) for f in os.listdir(a.out)
+    )
+    print(f"exported {a.out} ({total / 1e6:.1f} MB) for platforms="
+          f"{platforms or 'current'} batch={a.batch} frames={h}x{w}")
+
+    if a.verify:
+        import numpy as np
+
+        from mmbidaf_tpu.export import _raw_specs
+
+        dec = ExportedDecoder(a.out)
+        raw = {
+            k: np.zeros(s.shape, s.dtype)
+            for k, s in _raw_specs(summ.cfg, a.batch, (h, w)).items()
+        }
+        # masks must be non-empty for a meaningful decode
+        for k in ("word_mask", "sent_mask", "img_mask", "aud_mask"):
+            raw[k] = np.ones_like(raw[k])
+        _, picks = dec.decode_raw(raw)
+        import jax.numpy as jnp
+
+        _, live = summ._decode(
+            summ.params, summ.fe_params, {k: jnp.asarray(v) for k, v in raw.items()}
+        )
+        if not np.array_equal(picks, np.asarray(live)):
+            raise SystemExit("verify FAILED: exported picks != live picks")
+        print("verify ok: exported picks == live picks")
+
+
+if __name__ == "__main__":
+    main()
