@@ -210,6 +210,19 @@ class ExportedDecoder:
         log_p, picks = self._exported.call(*args)
         return np.asarray(log_p), np.asarray(picks)
 
+    def warmup(self) -> None:
+        """Compile the artifact's program for this backend up front.
+
+        ``jax.export`` freezes tracing, not backend compilation: the first
+        ``call`` still pays XLA compile for the local device. One zero batch
+        at the manifest shapes flushes that (pair with a persistent
+        compilation cache for warm restarts)."""
+        raw = {
+            s["name"]: np.zeros(s["shape"], s["dtype"])
+            for s in self.manifest["raw_inputs"]
+        }
+        self.decode_raw(raw)
+
 
 class ExportedSummarizer:
     """Full serving from an artifact: video dirs in, summary text out.
@@ -261,3 +274,6 @@ class ExportedSummarizer:
 
     def summarize(self, video_dir: str) -> str:
         return self.summarize_batch([video_dir])[0]
+
+    def warmup(self) -> None:
+        self.decoder.warmup()

@@ -100,20 +100,19 @@ def test_exported_decoder_fresh_process(artifact, rng, tmp_path):
     np.testing.assert_array_equal(got["log_p"], want_lp)
 
 
-def test_exported_summarizer_matches_live(artifact, tmp_path, rng):
-    """End-to-end from video dirs: artifact serving == live Summarizer,
-    including the pad-to-static-batch tail path (3 requests over batch 2)."""
-    out, summ = artifact
-    d = summ.cfg.data
-    n_samples = d.max_audio_frames * d.hop_length + d.win_length
+def make_video_dirs(tmp_path, cfg, rng, n, frame_hw=(12, 16)):
+    """Synthetic on-disk video dirs (frames + wav + transcript)."""
     from PIL import Image
 
+    d = cfg.data
+    n_samples = d.max_audio_frames * d.hop_length + d.win_length
+    h, w_ = frame_hw
     dirs = []
-    for v in range(3):
+    for v in range(n):
         vd = tmp_path / f"vid{v}"
         (vd / "frames").mkdir(parents=True)
         for i in range(3):
-            arr = (rng.random((12, 16, 3)) * 255).astype(np.uint8)
+            arr = (rng.random((h, w_, 3)) * 255).astype(np.uint8)
             Image.fromarray(arr).save(vd / "frames" / f"f{i}.png")
         sig = (rng.standard_normal(n_samples // 2) * 8000).astype(np.int16)
         with wave_mod.open(str(vd / "audio.wav"), "wb") as w:
@@ -124,7 +123,14 @@ def test_exported_summarizer_matches_live(artifact, tmp_path, rng):
         sents = [f"Clip {v} sentence {j} about topic {j}." for j in range(5)]
         (vd / "transcript.txt").write_text(" ".join(sents))
         dirs.append(str(vd))
+    return dirs
 
+
+def test_exported_summarizer_matches_live(artifact, tmp_path, rng):
+    """End-to-end from video dirs: artifact serving == live Summarizer,
+    including the pad-to-static-batch tail path (3 requests over batch 2)."""
+    out, summ = artifact
+    dirs = make_video_dirs(tmp_path, summ.cfg, rng, 3)
     got = ExportedSummarizer(out).summarize_batch(dirs)
     want = summ.summarize_batch(dirs)
     assert got == want
@@ -156,23 +162,52 @@ def test_exported_summarizer_frame_hw_mismatch(artifact, tmp_path, rng):
     """Frames at a different resolution than the export must error clearly,
     not silently recompile or crash inside XLA."""
     out, summ = artifact
-    d = summ.cfg.data
-    n_samples = d.max_audio_frames * d.hop_length + d.win_length
-    from PIL import Image
-
-    vd = tmp_path / "vid_hw"
-    (vd / "frames").mkdir(parents=True)
-    arr = (rng.random((24, 32, 3)) * 255).astype(np.uint8)  # not 12x16
-    Image.fromarray(arr).save(vd / "frames" / "f0.png")
-    sig = (rng.standard_normal(n_samples // 2) * 8000).astype(np.int16)
-    with wave_mod.open(str(vd / "audio.wav"), "wb") as w:
-        w.setnchannels(1)
-        w.setsampwidth(2)
-        w.setframerate(d.sample_rate)
-        w.writeframes(sig.tobytes())
-    (vd / "transcript.txt").write_text("One sentence here.")
+    (vd,) = make_video_dirs(tmp_path, summ.cfg, rng, 1,
+                            frame_hw=(24, 32))  # not the exported 12x16
     with pytest.raises(ValueError, match="frame_hw"):
-        ExportedSummarizer(out).summarize(str(vd))
+        ExportedSummarizer(out).summarize(vd)
+
+
+def test_serve_daemon_artifact_mode(artifact, tmp_path, rng):
+    """tools/serve.py can serve an artifact: live HTTP round trip matches
+    the live Summarizer, and a frame-shape mismatch 400s (not 500s)."""
+    import http.client
+    import sys
+    import threading
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from serve import serve
+
+    out, summ = artifact
+    art = ExportedSummarizer(out)
+    art.warmup()
+    srv = serve(art, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        dirs = make_video_dirs(tmp_path, summ.cfg, rng, 1)
+        (bad,) = make_video_dirs(tmp_path / "bad", summ.cfg, rng, 1,
+                                 frame_hw=(24, 32))
+
+        def req(path, payload):
+            conn = http.client.HTTPConnection(
+                "127.0.0.1", srv.server_address[1], timeout=120)
+            conn.request("POST", path, body=json.dumps(payload))
+            resp = conn.getresponse()
+            body = json.loads(resp.read() or b"{}")
+            conn.close()
+            return resp.status, body
+
+        status, got = req("/summarize", {"video_dir": dirs[0]})
+        assert status == 200
+        assert got["summary"] == summ.summarize(dirs[0])
+        status, got = req("/summarize", {"video_dir": bad})
+        assert status == 400 and "frame_hw" in got["error"]
+        status, got = req("/summarize_batch", {"video_dirs": dirs * 3})
+        assert status == 200 and len(got["summaries"]) == 3
+    finally:
+        srv.shutdown()
+        srv.server_close()
 
 
 def test_manifest_contents(artifact):
@@ -201,6 +236,21 @@ def test_cross_platform_tpu_export(artifact, tmp_path):
     raw = random_raw(summ.cfg, np.random.default_rng(0), 1, (12, 16))
     with pytest.raises(Exception, match="(?i)platform"):
         dec.decode_raw(raw)  # wrong backend must be loud, not wrong
+
+
+def test_serve_cli_artifact_flag_conflicts(artifact):
+    """--artifact pins mode/batch/sharding: conflicting flags error at parse
+    time (exit 2), before any model or device work."""
+    out, _ = artifact
+    env = {**os.environ, "JAX_PLATFORMS": "cpu", "PALLAS_AXON_POOL_IPS": ""}
+    for extra in (["--mode", "beam"], ["--dynamic_batch", "4"],
+                  ["--serve_batch_size", "2"], ["--long"]):
+        r = subprocess.run(
+            [sys.executable, "tools/serve.py", "--artifact", out, *extra],
+            capture_output=True, text=True, timeout=120, cwd=REPO, env=env,
+        )
+        assert r.returncode == 2, (extra, r.stderr)
+        assert "fixed at export time" in r.stderr
 
 
 def test_export_cli_random_verify(tmp_path):

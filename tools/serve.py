@@ -8,6 +8,7 @@ and answers requests over HTTP.
         [--mode greedy|topk|beam] [--serve_batch_size 8] [--long] \
         [--dynamic_batch 8 --batch_wait_ms 5 --max_queue 64] \
         [--warmup 240x320]
+    python tools/serve.py --artifact artifact/   # AOT artifact, no model code
 
 Endpoints:
     GET  /healthz                 → {"ok": true, "backend": ...}
@@ -198,8 +199,14 @@ def serve(summarizer, port: int = 8080, host: str = "127.0.0.1",
 
 def main():
     ap = argparse.ArgumentParser(description="MMBiDAF-TPU serving daemon")
-    ap.add_argument("--run_dir", required=True,
-                    help="train.py run directory (config + vocab + ckpts)")
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--run_dir",
+                     help="train.py run directory (config + vocab + ckpts)")
+    src.add_argument("--artifact",
+                     help="AOT artifact directory (tools/export_artifact.py):"
+                          " serves the frozen StableHLO program without the"
+                          " model-building code; greedy only, batch/frame"
+                          " shapes pinned by the artifact")
     ap.add_argument("--port", type=int, default=8080)
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--mode", default="greedy", choices=["greedy", "topk", "beam"])
@@ -234,6 +241,17 @@ def main():
     if a.dynamic_batch and a.long:
         ap.error("--dynamic_batch batches whole-video requests; --long's "
                  "windowed decode already batches internally — pick one")
+    if a.artifact:
+        # the artifact IS the program: mode/batch/sharding were fixed at
+        # export time, and the batcher/long paths drive Summarizer internals
+        for flag, name in ((a.mode != "greedy", "--mode"),
+                           (a.long, "--long"),
+                           (a.dynamic_batch, "--dynamic_batch"),
+                           (a.data_parallel, "--data_parallel"),
+                           (a.serve_batch_size, "--serve_batch_size")):
+            if flag:
+                ap.error(f"{name} is fixed at export time — re-export the "
+                         "artifact (or serve interactively via --run_dir)")
     warmup_hw = None
     if a.warmup:
         try:
@@ -251,6 +269,9 @@ def main():
     import signal
 
     def _sigterm(signum, frame):
+        # one-shot: a repeat TERM during the drain (e.g. a supervisor that
+        # signals the process group) must not raise inside teardown/atexit
+        signal.signal(signal.SIGTERM, signal.SIG_IGN)
         raise KeyboardInterrupt
 
     signal.signal(signal.SIGTERM, _sigterm)
@@ -264,10 +285,19 @@ def main():
         if cache_dir:
             print(f"compilation cache: {cache_dir}")
 
-        s = Summarizer.from_run(
-            a.run_dir, mode=a.mode, topk=a.topk,
-            serve_batch_size=a.serve_batch_size, data_parallel=a.data_parallel,
-        )
+        if a.artifact:
+            from mmbidaf_tpu.export import ExportedSummarizer
+
+            s = ExportedSummarizer(a.artifact)
+            if warmup_hw is not None and warmup_hw != s.decoder.frame_hw:
+                ap.error(f"--warmup {a.warmup} != the artifact's pinned "
+                         f"frame_hw {s.decoder.frame_hw}")
+        else:
+            s = Summarizer.from_run(
+                a.run_dir, mode=a.mode, topk=a.topk,
+                serve_batch_size=a.serve_batch_size,
+                data_parallel=a.data_parallel,
+            )
         # batcher BEFORE warmup: its constructor validates max_batch_size
         # against the DP shard count — fail fast instead of paying a
         # multi-minute warmup compile and then crashing on the check
@@ -279,8 +309,11 @@ def main():
             import time
 
             t0 = time.monotonic()
-            s.warmup(warmup_hw, batch_size=a.dynamic_batch or None,
-                     include_long=a.long)
+            if a.artifact:
+                s.warmup()
+            else:
+                s.warmup(warmup_hw, batch_size=a.dynamic_batch or None,
+                         include_long=a.long)
             print(f"warmup: serving programs compiled in "
                   f"{time.monotonic() - t0:.1f} s")
     except KeyboardInterrupt:
@@ -289,7 +322,8 @@ def main():
         print("stopped during startup")
         return
     srv = serve(s, port=a.port, host=a.host, use_long=a.long, batcher=batcher)
-    print(f"serving {a.run_dir} on http://{a.host}:{srv.server_address[1]} "
+    print(f"serving {a.run_dir or a.artifact} on "
+          f"http://{a.host}:{srv.server_address[1]} "
           f"(mode={a.mode}{', long' if a.long else ''}"
           f"{f', dynamic_batch={a.dynamic_batch}' if batcher else ''})")
     try:
