@@ -21,10 +21,13 @@ The exported program takes ``(*weight_leaves, *raw_leaves)`` as a FLAT
 argument list — no pytree-structure serialization problem — and returns
 ``(log_p, picks)`` exactly like ``make_end_to_end_decode``'s jitted fn.
 
-Scope: the deterministic greedy path on a single device. Stochastic top-k
-(carries an rng stream), beam (decode-mode flag), data-parallel and
-``sp_audio`` serving (mesh-dependent programs) raise at export time — their
-value is interactive serving, which `Summarizer` already covers.
+Scope: the deterministic greedy path, single-device or data-parallel. A
+``data_parallel=True`` Summarizer exports the GSPMD-sharded program: the
+manifest records the mesh, and the loader rebuilds an identically-shaped
+mesh from the serving host's local devices (device count is validated).
+Stochastic top-k (carries an rng stream), beam (decode-mode flag), and
+``sp_audio`` (shard_map chains) raise at export time — their value is
+interactive serving, which `Summarizer` already covers.
 """
 
 from __future__ import annotations
@@ -97,11 +100,31 @@ def export_summarizer(
             " top-k carries an rng stream and beam is a different program —"
             " serve those interactively via Summarizer"
         )
-    if summ._dp or summ._audio_g_fn is not None:
+    if summ._audio_g_fn is not None:
         raise ValueError(
-            "data_parallel / sp_audio serving programs are mesh-dependent"
-            " and not exportable; export a single-device Summarizer"
+            "sp_audio serving programs route through shard_map chains and"
+            " are not exportable; export a non-SP Summarizer"
         )
+    mesh_meta = None
+    if summ._dp:
+        # Data-parallel export: freeze the GSPMD-sharded program. The
+        # artifact records the mesh (axis names + shape); the serving host
+        # rebuilds an identically-shaped mesh from its local devices —
+        # jax.export validates the device count at call time.
+        if batch_size % summ._dp_shards != 0:
+            raise ValueError(
+                f"data_parallel export shards the batch over"
+                f" {summ._dp_shards} devices: batch_size must be a multiple"
+                f" (got {batch_size})"
+            )
+        from mmbidaf_tpu.parallel.mesh import _data_axes
+
+        mesh = summ._mesh
+        mesh_meta = {
+            "axis_names": list(mesh.axis_names),
+            "shape": [int(mesh.shape[a]) for a in mesh.axis_names],
+            "batch_axes": list(_data_axes(mesh)),
+        }
 
     p_leaves, p_def = jax.tree_util.tree_flatten(summ.params)
     fe_leaves, fe_def = jax.tree_util.tree_flatten(summ.fe_params)
@@ -115,11 +138,25 @@ def export_summarizer(
         return decode(params, fe, raw)
 
     specs = _raw_specs(summ.cfg, batch_size, frame_hw)
-    arg_specs = (
-        [jax.ShapeDtypeStruct(x.shape, x.dtype) for x in p_leaves]
-        + [jax.ShapeDtypeStruct(x.shape, x.dtype) for x in fe_leaves]
-        + [specs[k] for k in _RAW_KEYS]
-    )
+    if summ._dp:
+        from mmbidaf_tpu.parallel.mesh import batch_sharding, replicated_sharding
+
+        rep, bsh = replicated_sharding(summ._mesh), batch_sharding(summ._mesh)
+        weight_specs = [
+            jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=rep)
+            for x in p_leaves + fe_leaves
+        ]
+        raw_arg_specs = [
+            jax.ShapeDtypeStruct(specs[k].shape, specs[k].dtype, sharding=bsh)
+            for k in _RAW_KEYS
+        ]
+    else:
+        weight_specs = [
+            jax.ShapeDtypeStruct(x.shape, x.dtype)
+            for x in p_leaves + fe_leaves
+        ]
+        raw_arg_specs = [specs[k] for k in _RAW_KEYS]
+    arg_specs = weight_specs + raw_arg_specs
     kw = {} if platforms is None else {"platforms": tuple(platforms)}
     exported = jax.export.export(jax.jit(flat_fn), **kw)(*arg_specs)
 
@@ -156,6 +193,7 @@ def export_summarizer(
             for k in _RAW_KEYS
         ],
         "outputs": ["log_p", "picks"],
+        "mesh": mesh_meta,  # null = single-device program
     }
     with open(os.path.join(out_dir, _MANIFEST), "w") as f:
         json.dump(manifest, f, indent=1)
@@ -183,12 +221,42 @@ class ExportedDecoder:
             )
         with open(os.path.join(artifact_dir, _PROGRAM), "rb") as f:
             self._exported = jax.export.deserialize(f.read())
+        # Data-parallel artifacts record the exporting mesh; rebuild an
+        # identically-shaped mesh from local devices and place weights
+        # (replicated) / raw inputs (batch-sharded) on it. Shardings are
+        # constructed inline: the loader stays jax+numpy-only.
+        self._rep = self._bsh = None
+        mesh_meta = self.manifest.get("mesh")
+        if mesh_meta is not None:
+            from jax.sharding import (
+                AxisType, Mesh, NamedSharding, PartitionSpec,
+            )
+
+            n_dev = int(np.prod(mesh_meta["shape"]))
+            devices = jax.devices()
+            if len(devices) < n_dev:
+                raise ValueError(
+                    f"artifact was exported for a {mesh_meta['shape']} mesh"
+                    f" ({n_dev} devices); this host has {len(devices)}"
+                )
+            names = tuple(mesh_meta["axis_names"])
+            mesh = Mesh(
+                np.asarray(devices[:n_dev]).reshape(mesh_meta["shape"]),
+                names,
+                axis_types=(AxisType.Auto,) * len(names),
+            )
+            self._rep = NamedSharding(mesh, PartitionSpec())
+            self._bsh = NamedSharding(
+                mesh, PartitionSpec(tuple(mesh_meta["batch_axes"]))
+            )
         npz = np.load(os.path.join(artifact_dir, _WEIGHTS))
         n = self.manifest["n_weight_leaves"]
         dtypes = self.manifest["weight_dtypes"]
         self._weights = [
             jnp.asarray(npz[f"w{i:05d}"]).astype(dtypes[i]) for i in range(n)
         ]
+        if self._rep is not None:
+            self._weights = [jax.device_put(w, self._rep) for w in self._weights]
         self.batch_size = self.manifest["batch_size"]
         self.frame_hw = tuple(self.manifest["frame_hw"])
 
@@ -206,7 +274,10 @@ class ExportedDecoder:
                     f" {want} (batch_size/frame_hw are compile-time constants"
                     " of the artifact — re-export for other shapes)"
                 )
-            args.append(jnp.asarray(arr.astype(spec["dtype"], copy=False)))
+            val = jnp.asarray(arr.astype(spec["dtype"], copy=False))
+            if self._bsh is not None:
+                val = jax.device_put(val, self._bsh)
+            args.append(val)
         log_p, picks = self._exported.call(*args)
         return np.asarray(log_p), np.asarray(picks)
 

@@ -238,6 +238,76 @@ def test_cross_platform_tpu_export(artifact, tmp_path):
         dec.decode_raw(raw)  # wrong backend must be loud, not wrong
 
 
+def test_data_parallel_export_matches_single_device(artifact, tmp_path, rng):
+    """A data_parallel Summarizer exports the GSPMD-sharded program; the
+    reloaded artifact (8-device mesh) reproduces the single-device picks."""
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    out_single, summ = artifact
+    dp = Summarizer.init_random(summ.cfg, seed=3, vgg_spec=TINY_SPEC,
+                                data_parallel=True, serve_batch_size=8)
+    out = str(tmp_path / "dp_art")
+    export_summarizer(dp, out, batch_size=8, frame_hw=(12, 16))
+    with open(os.path.join(out, "manifest.json")) as f:
+        m = json.load(f)
+    assert m["mesh"] is not None and int(np.prod(m["mesh"]["shape"])) == 8
+
+    dec = ExportedDecoder(out)
+    raw = random_raw(summ.cfg, rng, batch=8, frame_hw=(12, 16))
+    _, picks = dec.decode_raw(raw)
+    _, single = summ._decode(
+        summ.params, summ.fe_params, {k: jnp.asarray(v) for k, v in raw.items()}
+    )
+    np.testing.assert_array_equal(picks, np.asarray(single))
+
+    with pytest.raises(ValueError, match="multiple"):
+        export_summarizer(dp, str(tmp_path / "x"), batch_size=3,
+                          frame_hw=(12, 16))
+
+
+def test_data_parallel_artifact_fresh_process(artifact, tmp_path, rng):
+    """The DP artifact loads in a fresh 8-device process (no model code)
+    and errors clearly on a host with too few devices."""
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    _, summ = artifact
+    dp = Summarizer.init_random(summ.cfg, seed=3, vgg_spec=TINY_SPEC,
+                                data_parallel=True, serve_batch_size=8)
+    out = str(tmp_path / "dp_art")
+    export_summarizer(dp, out, batch_size=8, frame_hw=(12, 16))
+    raw = random_raw(summ.cfg, rng, batch=8, frame_hw=(12, 16))
+    np.savez(tmp_path / "raw.npz", **raw)
+    want_lp, want_picks = ExportedDecoder(out).decode_raw(raw)
+
+    env = {**os.environ, "JAX_PLATFORMS": "cpu", "PALLAS_AXON_POOL_IPS": ""}
+    code_8dev = (
+        "import sys, numpy as np, jax\n"
+        "jax.config.update('jax_num_cpu_devices', 8)\n"
+        f"sys.path.insert(0, {REPO!r})\n"
+        "from mmbidaf_tpu.export import ExportedDecoder\n"
+        f"raw = dict(np.load({str(tmp_path / 'raw.npz')!r}))\n"
+        f"log_p, picks = ExportedDecoder({out!r}).decode_raw(raw)\n"
+        f"np.savez({str(tmp_path / 'out.npz')!r}, log_p=log_p, picks=picks)\n"
+    )
+    subprocess.run([sys.executable, "-c", code_8dev], check=True, env=env,
+                   timeout=300, cwd=REPO)
+    got = np.load(tmp_path / "out.npz")
+    np.testing.assert_array_equal(got["picks"], want_picks)
+    np.testing.assert_array_equal(got["log_p"], want_lp)
+
+    code_1dev = (
+        "import sys, jax\n"
+        "jax.config.update('jax_num_cpu_devices', 1)\n"
+        f"sys.path.insert(0, {REPO!r})\n"
+        "from mmbidaf_tpu.export import ExportedDecoder\n"
+        f"ExportedDecoder({out!r})\n"
+    )
+    r = subprocess.run([sys.executable, "-c", code_1dev], env=env,
+                       capture_output=True, text=True, timeout=300, cwd=REPO)
+    assert r.returncode != 0
+    assert "this host has 1" in r.stderr
+
+
 def test_serve_cli_artifact_flag_conflicts(artifact):
     """--artifact pins mode/batch/sharding: conflicting flags error at parse
     time (exit 2), before any model or device work."""
