@@ -313,8 +313,32 @@ class ExportedSummarizer:
         with open(os.path.join(artifact_dir, _VOCAB)) as f:
             self.word2idx = json.load(f)
 
-    def summarize_batch(self, video_dirs: Sequence[str]) -> list[str]:
+    # Duck-typed private surface shared with ``Summarizer`` so
+    # ``DynamicBatcher`` can coalesce requests over an artifact too.
+    _dp_shards = 1  # sharding (if any) lives inside decode_raw
+
+    @property
+    def fixed_batch_size(self) -> int:
+        """The artifact's compile-time batch — batchers must match it."""
+        return self.decoder.batch_size
+
+    def _raw_row(self, video_dir: str) -> tuple[dict, list[str]]:
         from mmbidaf_tpu.serving import host_raw_row
+
+        row, sents = host_raw_row(video_dir, self.word2idx, self.cfg)
+        hw = row["frames"].shape[1:3]
+        if tuple(hw) != self.decoder.frame_hw:
+            raise ValueError(
+                f"{video_dir}: decoded frames are {tuple(hw)}, artifact was"
+                f" exported for frame_hw={self.decoder.frame_hw}"
+            )
+        return row, sents
+
+    def _decode_batch(self, raw) -> np.ndarray:
+        _, picks = self.decoder.decode_raw(raw)
+        return picks
+
+    def summarize_batch(self, video_dirs: Sequence[str]) -> list[str]:
         from mmbidaf_tpu.train.metrics import summary_from_picks
 
         if not video_dirs:
@@ -327,13 +351,7 @@ class ExportedSummarizer:
             chunk += [chunk[-1]] * (sb - n_real)
             rows, sentences = [], []
             for vd in chunk:
-                row, sents = host_raw_row(vd, self.word2idx, self.cfg)
-                hw = row["frames"].shape[1:3]
-                if tuple(hw) != self.decoder.frame_hw:
-                    raise ValueError(
-                        f"{vd}: decoded frames are {tuple(hw)}, artifact was"
-                        f" exported for frame_hw={self.decoder.frame_hw}"
-                    )
+                row, sents = self._raw_row(vd)
                 rows.append(row)
                 sentences.append(sents)
             raw = {k: np.stack([r[k] for r in rows]) for k in rows[0]}

@@ -628,6 +628,14 @@ class DynamicBatcher:
                 f"{summarizer._dp_shards} data-parallel shards, "
                 f"got {max_batch_size}"
             )
+        fixed = getattr(summarizer, "fixed_batch_size", None)
+        if fixed is not None and max_batch_size != fixed:
+            # AOT artifacts compile ONE batch shape; padding to any other
+            # size would be a shape error at decode time — fail at setup
+            raise ValueError(
+                f"this summarizer serves a fixed batch of {fixed} (AOT "
+                f"artifact); max_batch_size must equal it, got {max_batch_size}"
+            )
         self.summarizer = summarizer
         self.max_batch_size = int(max_batch_size)
         self.max_wait_s = float(max_wait_ms) / 1e3

@@ -308,12 +308,35 @@ def test_data_parallel_artifact_fresh_process(artifact, tmp_path, rng):
     assert "this host has 1" in r.stderr
 
 
+def test_dynamic_batcher_over_artifact(artifact, tmp_path, rng):
+    """DynamicBatcher coalesces concurrent requests over an AOT artifact
+    (duck-typed _raw_row/_decode_batch): results == the sequential path;
+    a max_batch_size other than the artifact's pinned batch errors."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from mmbidaf_tpu.serving import DynamicBatcher
+
+    out, summ = artifact
+    art = ExportedSummarizer(out)
+    dirs = make_video_dirs(tmp_path, summ.cfg, rng, 3)
+    want = art.summarize_batch(dirs)
+
+    with pytest.raises(ValueError, match="fixed batch"):
+        DynamicBatcher(art, max_batch_size=4)
+
+    with DynamicBatcher(art, max_batch_size=2, max_wait_ms=50.0) as b:
+        with ThreadPoolExecutor(max_workers=3) as ex:
+            got = list(ex.map(b.submit, dirs))
+    assert got == want
+    assert b.stats["requests"] == 3 and b.stats["batches"] >= 2
+
+
 def test_serve_cli_artifact_flag_conflicts(artifact):
     """--artifact pins mode/batch/sharding: conflicting flags error at parse
     time (exit 2), before any model or device work."""
     out, _ = artifact
     env = {**os.environ, "JAX_PLATFORMS": "cpu", "PALLAS_AXON_POOL_IPS": ""}
-    for extra in (["--mode", "beam"], ["--dynamic_batch", "4"],
+    for extra in (["--mode", "beam"], ["--data_parallel"],
                   ["--serve_batch_size", "2"], ["--long"]):
         r = subprocess.run(
             [sys.executable, "tools/serve.py", "--artifact", out, *extra],

@@ -243,10 +243,9 @@ def main():
                  "windowed decode already batches internally — pick one")
     if a.artifact:
         # the artifact IS the program: mode/batch/sharding were fixed at
-        # export time, and the batcher/long paths drive Summarizer internals
+        # export time (--dynamic_batch works, pinned to the artifact batch)
         for flag, name in ((a.mode != "greedy", "--mode"),
                            (a.long, "--long"),
-                           (a.dynamic_batch, "--dynamic_batch"),
                            (a.data_parallel, "--data_parallel"),
                            (a.serve_batch_size, "--serve_batch_size")):
             if flag:
