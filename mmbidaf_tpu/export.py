@@ -267,14 +267,22 @@ class ExportedDecoder:
             name, want = spec["name"], tuple(spec["shape"])
             if name not in raw:
                 raise KeyError(f"raw batch is missing {name!r}")
-            arr = np.asarray(raw[name])
-            if arr.shape != want:
+            arr = raw[name]
+            if not isinstance(arr, jax.Array):
+                # host input: validate + cast on host, one upload
+                arr = np.asarray(arr)
+            if tuple(arr.shape) != want:
                 raise ValueError(
-                    f"{name}: got shape {arr.shape}, exported program wants"
-                    f" {want} (batch_size/frame_hw are compile-time constants"
-                    " of the artifact — re-export for other shapes)"
+                    f"{name}: got shape {tuple(arr.shape)}, exported program"
+                    f" wants {want} (batch_size/frame_hw are compile-time"
+                    " constants of the artifact — re-export for other shapes)"
                 )
-            val = jnp.asarray(arr.astype(spec["dtype"], copy=False))
+            # already-on-device arrays (e.g. DynamicBatcher's stacked batch)
+            # stay on device: np.asarray here would add a D2H+H2D round trip
+            # of the whole batch through the host
+            val = (arr.astype(spec["dtype"])
+                   if str(arr.dtype) != spec["dtype"]
+                   else jnp.asarray(arr))
             if self._bsh is not None:
                 val = jax.device_put(val, self._bsh)
             args.append(val)
@@ -338,27 +346,40 @@ class ExportedSummarizer:
         _, picks = self.decoder.decode_raw(raw)
         return picks
 
+    def _raw_chunk(self, chunk: list[str]) -> tuple[dict, list[list[str]]]:
+        """Host-decode one chunk; PAD rows by reusing the last decoded row
+        (container decode is the expensive part — never repeat it)."""
+        rows, sentences = [], []
+        for vd in chunk:
+            row, sents = self._raw_row(vd)
+            rows.append(row)
+            sentences.append(sents)
+        rows += [rows[-1]] * (self.decoder.batch_size - len(rows))
+        raw = {k: np.stack([r[k] for r in rows]) for k in rows[0]}
+        return raw, sentences
+
     def summarize_batch(self, video_dirs: Sequence[str]) -> list[str]:
+        from concurrent.futures import ThreadPoolExecutor
+
         from mmbidaf_tpu.train.metrics import summary_from_picks
 
         if not video_dirs:
             return []
         sb = self.decoder.batch_size
+        chunks = [list(video_dirs[s:s + sb])
+                  for s in range(0, len(video_dirs), sb)]
         out: list[str] = []
-        for start in range(0, len(video_dirs), sb):
-            chunk = list(video_dirs[start:start + sb])
-            n_real = len(chunk)
-            chunk += [chunk[-1]] * (sb - n_real)
-            rows, sentences = [], []
-            for vd in chunk:
-                row, sents = self._raw_row(vd)
-                rows.append(row)
-                sentences.append(sents)
-            raw = {k: np.stack([r[k] for r in rows]) for k in rows[0]}
-            _, picks = self.decoder.decode_raw(raw)
-            out.extend(
-                summary_from_picks(picks[j], sentences[j]) for j in range(n_real)
-            )
+        # chunk i+1's host asset decode overlaps chunk i's device program
+        # (same pipelining as Summarizer.summarize_batch)
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            pending = ex.submit(self._raw_chunk, chunks[0])
+            for i, chunk in enumerate(chunks):
+                raw, sentences = pending.result()
+                if i + 1 < len(chunks):
+                    pending = ex.submit(self._raw_chunk, chunks[i + 1])
+                _, picks = self.decoder.decode_raw(raw)
+                out.extend(summary_from_picks(picks[j], sentences[j])
+                           for j in range(len(chunk)))
         return out
 
     def summarize(self, video_dir: str) -> str:

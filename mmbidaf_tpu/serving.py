@@ -160,8 +160,7 @@ class Summarizer:
         # share one Summarizer across threads
         self._rng_lock = threading.Lock()
         self._featurize = None  # lazy jitted frontend for summarize_long
-        d = cfg.data
-        self._num_audio_samples = d.max_audio_frames * d.hop_length + d.win_length
+        self._num_audio_samples = num_audio_samples(cfg)
         # MeshConfig.sp_audio: route the audio tower through the
         # sequence-parallel chain (SP-MFCC → SP-BiLSTM → ring BiDAF) with
         # the frame axis sharded over the mesh's 'seq' axis — the product

@@ -210,6 +210,32 @@ def test_serve_daemon_artifact_mode(artifact, tmp_path, rng):
         srv.server_close()
 
 
+def test_export_cli_data_parallel(tmp_path):
+    """tools/export_artifact.py --data_parallel produces a mesh-stamped
+    artifact (8-dev CPU subprocess) that this 8-device test process loads."""
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    out = str(tmp_path / "dp_cli_art")
+    env = {**os.environ, "JAX_PLATFORMS": "cpu", "PALLAS_AXON_POOL_IPS": "",
+           "XLA_FLAGS": "--xla_force_host_platform_device_count=8"}
+    r = subprocess.run(
+        [sys.executable, "tools/export_artifact.py", "--random", "--vgg",
+         "tiny", "--out", out, "--batch", "8", "--frame_hw", "12x16",
+         "--data_parallel", "--verify"],
+        capture_output=True, text=True, timeout=600, cwd=REPO, env=env,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "verify ok" in r.stdout
+    with open(os.path.join(out, "manifest.json")) as f:
+        m = json.load(f)
+    assert m["mesh"] is not None and int(np.prod(m["mesh"]["shape"])) == 8
+    dec = ExportedDecoder(out)
+    raw = {s["name"]: np.zeros(s["shape"], s["dtype"])
+           for s in dec.manifest["raw_inputs"]}
+    _, picks = dec.decode_raw(raw)
+    assert picks.shape[0] == 8
+
+
 def test_manifest_contents(artifact):
     out, summ = artifact
     with open(os.path.join(out, "manifest.json")) as f:

@@ -36,6 +36,11 @@ def main() -> None:
     ap.add_argument("--platforms", default=None,
                     help="comma-separated lowering platforms (e.g. tpu,cpu);"
                          " default: this process's backend")
+    ap.add_argument("--data_parallel", action="store_true",
+                    help="export the GSPMD-sharded multi-chip program over"
+                         " this process's device mesh (--batch must be a"
+                         " multiple of the device count); the serving host"
+                         " must present an identically-shaped mesh")
     ap.add_argument("--vgg", choices=["vgg16", "tiny"], default=None,
                     help="frontend variant for --random (run_dir uses the"
                          " run's saved config)")
@@ -50,8 +55,12 @@ def main() -> None:
     h, w = (int(x) for x in a.frame_hw.lower().split("x"))
     platforms = a.platforms.split(",") if a.platforms else None
 
+    dp_kw = (
+        {"data_parallel": True, "serve_batch_size": a.batch}
+        if a.data_parallel else {}
+    )
     if a.run_dir:
-        summ = Summarizer.from_run(a.run_dir)
+        summ = Summarizer.from_run(a.run_dir, **dp_kw)
     else:
         import dataclasses
 
@@ -70,7 +79,7 @@ def main() -> None:
             spec = TINY_SPEC
         else:
             cfg, spec = Config(), VGG16_SPEC
-        summ = Summarizer.init_random(cfg, seed=0, vgg_spec=spec)
+        summ = Summarizer.init_random(cfg, seed=0, vgg_spec=spec, **dp_kw)
 
     export_summarizer(summ, a.out, batch_size=a.batch, frame_hw=(h, w),
                       platforms=platforms)

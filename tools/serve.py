@@ -268,9 +268,12 @@ def main():
     import signal
 
     def _sigterm(signum, frame):
-        # one-shot: a repeat TERM during the drain (e.g. a supervisor that
-        # signals the process group) must not raise inside teardown/atexit
-        signal.signal(signal.SIGTERM, signal.SIG_IGN)
+        # First TERM drains gracefully; the handler then reverts to the
+        # DEFAULT disposition, so a repeat TERM (supervisor escalation, or a
+        # process-group signal arriving twice) terminates immediately
+        # instead of raising inside teardown/atexit. SIG_IGN here would
+        # strand a hung drain with no signal-based escalation short of KILL.
+        signal.signal(signal.SIGTERM, signal.SIG_DFL)
         raise KeyboardInterrupt
 
     signal.signal(signal.SIGTERM, _sigterm)
