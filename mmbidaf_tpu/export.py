@@ -176,9 +176,23 @@ def export_summarizer(
             for i, x in enumerate(weight_leaves)
         },
     )
+    import hashlib
+
+    def _file_sha256(path: str) -> str:
+        h = hashlib.sha256()
+        with open(path, "rb") as f:
+            for block in iter(lambda: f.read(1 << 20), b""):
+                h.update(block)
+        return h.hexdigest()
+
     manifest = {
         "format_version": _FORMAT_VERSION,
         "jax_version": jax.__version__,
+        # weights and program are opaque binaries with no internal check of
+        # their own pairing — a swapped/corrupted/partially-copied file must
+        # fail at LOAD, not produce silently wrong summaries
+        "weights_sha256": _file_sha256(os.path.join(out_dir, _WEIGHTS)),
+        "program_sha256": _file_sha256(os.path.join(out_dir, _PROGRAM)),
         "platforms": list(exported.platforms),
         "batch_size": batch_size,
         "frame_hw": list(frame_hw),
@@ -219,6 +233,21 @@ class ExportedDecoder:
                 f"artifact format {self.manifest['format_version']} !="
                 f" supported {_FORMAT_VERSION}"
             )
+        import hashlib
+
+        for fname, key in ((_WEIGHTS, "weights_sha256"),
+                           (_PROGRAM, "program_sha256")):
+            want = self.manifest.get(key)
+            if want is None:
+                continue  # pre-checksum artifact
+            with open(os.path.join(artifact_dir, fname), "rb") as f:
+                got = hashlib.sha256(f.read()).hexdigest()
+            if got != want:
+                raise ValueError(
+                    f"{fname} does not match the manifest's {key} — the"
+                    " artifact is corrupted or its files were mixed from"
+                    " different exports; re-export or re-copy it"
+                )
         with open(os.path.join(artifact_dir, _PROGRAM), "rb") as f:
             self._exported = jax.export.deserialize(f.read())
         # Data-parallel artifacts record the exporting mesh; rebuild an

@@ -236,6 +236,22 @@ def test_export_cli_data_parallel(tmp_path):
     assert picks.shape[0] == 8
 
 
+def test_corrupted_weights_fail_at_load(artifact, tmp_path):
+    """A flipped byte in weights.npz (or a program/weights mix-up) fails at
+    load with the checksum error — never silently wrong summaries."""
+    import shutil
+
+    out, _ = artifact
+    bad = tmp_path / "bad_art"
+    shutil.copytree(out, bad)
+    p = bad / "weights.npz"
+    blob = bytearray(p.read_bytes())
+    blob[len(blob) // 2] ^= 0xFF
+    p.write_bytes(bytes(blob))
+    with pytest.raises(ValueError, match="sha256"):
+        ExportedDecoder(str(bad))
+
+
 def test_manifest_contents(artifact):
     out, summ = artifact
     with open(os.path.join(out, "manifest.json")) as f:
