@@ -352,13 +352,16 @@ def test_train_cli_grain_loader_state_resume(tmp_path, synthetic_corpus):
                         cwd=REPO, env=_cpu_env(), capture_output=True,
                         text=True, timeout=900)
     assert r1.returncode == 0, r1.stderr[-2000:]
+    # the run ends between evals (eval at 5, stop at 6): the final state is
+    # still checkpointed, so resume continues from step 6, not 5
+    assert "saved final state at step 6" in r1.stdout
     assert (tmp_path / "mmbidaf" / "loader_state.bin").exists()
     r2 = subprocess.run(base + ["--num_steps", "3", "--eval_steps", "50"],
                         cwd=REPO, env=_cpu_env(), capture_output=True,
                         text=True, timeout=900)
     assert r2.returncode == 0, r2.stderr[-2000:]
-    assert "resumed from step 5" in r2.stdout
-    assert "grain loader state restored at step 5" in r2.stdout
+    assert "resumed from step 6" in r2.stdout
+    assert "grain loader state restored at step 6" in r2.stdout
 
 
 @pytest.mark.slow
@@ -428,7 +431,9 @@ def test_train_cli_warm_start_load_path(tmp_path):
                        cwd=REPO, env=_cpu_env(), capture_output=True,
                        text=True, timeout=600)
     assert r.returncode == 0, r.stderr[-2000:]
-    assert "resumed from step 5" in r.stdout
+    # run B saved its final step-6 state when it completed — resume is from
+    # 6 (nothing between the last eval and the end of the run is lost)
+    assert "resumed from step 6" in r.stdout
     assert "warm-started" not in r.stdout
 
 

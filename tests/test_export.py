@@ -388,6 +388,45 @@ def test_serve_cli_artifact_flag_conflicts(artifact):
         assert "fixed at export time" in r.stderr
 
 
+@pytest.mark.slow
+def test_export_cli_from_trained_run(tmp_path):
+    """The documented deployment flow end-to-end: train.py on a real
+    (synthetic) corpus → export_artifact.py --run_dir --verify → the
+    artifact summarizes a corpus video identically to Summarizer.from_run."""
+    env = {**os.environ, "JAX_PLATFORMS": "cpu", "PALLAS_AXON_POOL_IPS": ""}
+    corpus = str(tmp_path / "corpus")
+    r = subprocess.run(
+        [sys.executable, "examples/make_synthetic_corpus.py", "--out", corpus,
+         "--videos", "3", "--sentences", "6", "--frames", "3",
+         "--seconds", "1.0"],
+        capture_output=True, text=True, timeout=300, cwd=REPO, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    r = subprocess.run(
+        [sys.executable, "train.py", "--data_dir", corpus, "--vgg", "tiny",
+         "--config_json", "examples/tiny_config.json", "--num_steps", "4",
+         "--eval_steps", "100", "--save_dir", str(tmp_path)],
+        capture_output=True, text=True, timeout=900, cwd=REPO, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    run_dir = str(tmp_path / "mmbidaf")
+    out = str(tmp_path / "artifact")
+    r = subprocess.run(
+        [sys.executable, "tools/export_artifact.py", "--run_dir", run_dir,
+         "--out", out, "--batch", "1", "--frame_hw", "48x64", "--verify"],
+        capture_output=True, text=True, timeout=900, cwd=REPO, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "verify ok" in r.stdout
+
+    from mmbidaf_tpu.serving import Summarizer
+
+    video = os.path.join(corpus, sorted(os.listdir(corpus))[0])
+    got = ExportedSummarizer(out).summarize(video)
+    want = Summarizer.from_run(run_dir).summarize(video)
+    assert got == want and isinstance(got, str) and got
+
+
 def test_export_cli_random_verify(tmp_path):
     """tools/export_artifact.py --random --vgg tiny --verify round-trips."""
     out = str(tmp_path / "art")

@@ -565,6 +565,7 @@ def main():
 
     acc = jnp.zeros((3,))
     step = resumed_steps  # host-side counter: int(state.step) is a device fetch
+    last_saved_step = resumed_steps  # a resumed state IS on disk already
     t_window = time.monotonic()
     steps_in_window = 0
     for i in step_iter:
@@ -657,6 +658,7 @@ def main():
             print(f"step {step}: eval_loss {ev_loss:.4f} ROUGE-L {r_sum['ROUGE-L']:.3f}")
             ckpt.save(manager, state, {"loss": ev_loss, **r_sum})
             save_loader_state()
+            last_saved_step = step
 
     if prefetcher is not None:
         prefetcher.close()
@@ -665,6 +667,15 @@ def main():
         ckpt.save_unranked(manager, state)
         save_loader_state()
         print(f"preempted (signal {_PREEMPTED['sig']}): saved step {int(state.step)}")
+    elif step != last_saved_step:
+        # the run ended between eval boundaries: without this, a completed
+        # run whose last eval wasn't its last step loses the trailing steps
+        # (and a short --num_steps run saves NOTHING — Summarizer.from_run
+        # would find an empty ckpts/). Unranked: best-k retention by the
+        # eval metric must not be displaced by an unscored final state.
+        ckpt.save_unranked(manager, state)
+        save_loader_state()
+        print(f"saved final state at step {step}")
     logger.close()
     print("done")
 
