@@ -27,8 +27,8 @@ def test_train_cli_smoke(tmp_path):
             "--hidden_size", "12", "--batch_size", "4", "--num_steps", "4",
             "--max_sentences", "6", "--max_words", "5", "--eval_steps", "2",
             "--optimizer", "adam", "--lr", "1e-3", "--drop_prob", "0.0",
-            "--prefetch", "0",  # covers the serial loop (default is 2,
-            # which every other CLI test exercises)
+            "--prefetch", "2",  # covers the prefetch loop (default is 0 —
+            # the serial loop — which every other CLI test exercises)
             "--save_dir", str(tmp_path),
         ],
         cwd=REPO, env=_cpu_env(), capture_output=True, text=True, timeout=600,

@@ -47,10 +47,15 @@ def parse_args():
     ap.add_argument("--num_epochs", type=int, default=None,
                     help="with --data_dir and no --num_steps: train this many "
                          "epochs (default TrainConfig.num_epochs)")
-    ap.add_argument("--prefetch", type=int, default=2, metavar="N",
+    ap.add_argument("--prefetch", type=int, default=0, metavar="N",
                     help="device-prefetch depth: a background thread overlaps "
                          "host collate + H2D upload with the device step "
-                         "(0 = off)")
+                         "(0 = off, the measured default: the async dispatch "
+                         "queue already overlaps host work with device "
+                         "compute, and on the tunnelled TPU backend the "
+                         "thread's H2D contends with step dispatch — "
+                         "measured 0.80x at depth 1 / 0.59x at depth 2, "
+                         "experiments/prefetch_ab.py)")
     ap.add_argument("--loader_workers", type=int, default=0,
                     help="grain DataLoader worker processes for --data_dir "
                          "(0 = decode in-process)")
