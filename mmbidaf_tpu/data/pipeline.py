@@ -270,6 +270,51 @@ def default_axis_buckets(max_size: int) -> tuple[int, ...]:
     return tuple(sorted({max(1, max_size // 4), max(1, max_size // 2), max_size}))
 
 
+def suggest_buckets(
+    corpus: VideoCorpus,
+    num_seq: int = 1,
+    quantiles: Sequence[float] = (0.5, 0.8, 1.0),
+    audio_align: int = 8,
+) -> dict[str, tuple[int, ...]]:
+    """Percentile-derived bucket ladders for all four ragged axes
+    (``train.py --buckets auto``).
+
+    The quarter/half/full defaults assume lengths spread evenly up to the
+    config cap; real corpora cluster, so data-derived ladders waste less
+    padding: one bucket per length quantile (default p50/p80/max), rounded
+    UP so every example still fits its bucket exactly. Audio buckets are
+    aligned to ``lcm(audio_align, num_seq)`` — the SP chain shards the
+    frame axis ``num_seq``-ways (bucketed_iterator docstring), and frame
+    counts aligned to 8 keep XLA tiling happy. Uses
+    ``VideoCorpus.example_lengths`` (header-only IO, cached), so cost is
+    one metadata sweep — the same sweep ``bucketed_iterator`` pays anyway.
+    """
+    import math
+
+    if not len(corpus):
+        raise ValueError("cannot suggest buckets for an empty corpus")
+    lens = [corpus.example_lengths(i) for i in range(len(corpus))]
+    d = corpus.cfg.data
+    caps = {
+        "sentences": d.max_sentences,
+        "words": d.max_words,
+        "keyframes": d.max_keyframes,
+        "audio_frames": d.max_audio_frames,
+    }
+    aligns = {k: 1 for k in caps}
+    aligns["audio_frames"] = math.lcm(max(audio_align, 1), max(num_seq, 1))
+    out = {}
+    for key, cap in caps.items():
+        vals = np.asarray([ln[key] for ln in lens])
+        al = aligns[key]
+        ladder = set()
+        for q in quantiles:
+            v = int(np.quantile(vals, q, method="higher"))
+            ladder.add(min(-(-max(v, 1) // al) * al, cap))
+        out[key] = tuple(sorted(ladder))
+    return out
+
+
 def bucketed_iterator(
     corpus: VideoCorpus,
     batch_size: int,

@@ -325,6 +325,83 @@ def test_bucketed_iterator(tmp_path, rng):
     assert bucket_waste < flat_waste, (bucket_waste, flat_waste)
 
 
+def test_suggest_buckets(tmp_path, rng):
+    """--buckets auto: ladders derived from corpus length quantiles — every
+    example fits, caps respected, audio aligned for the SP frame axis, and
+    the suggested ladders drive bucketed_iterator directly."""
+    import dataclasses
+    import math
+
+    from PIL import Image
+
+    from mmbidaf_tpu.data.pipeline import (
+        VideoCorpus,
+        bucketed_iterator,
+        suggest_buckets,
+    )
+    from mmbidaf_tpu.data.vocab import vocab_from_corpus_dir
+
+    cfg = tiny_test_config()
+    cfg = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, max_sentences=16,
+                                      max_audio_frames=24)
+    )
+    d = cfg.data
+    n_samples = d.max_audio_frames * d.hop_length + d.win_length
+    sent_counts = [2, 3, 3, 4, 13, 16]
+    for v, n_s in enumerate(sent_counts):
+        vd = tmp_path / f"video{v}"
+        (vd / "frames").mkdir(parents=True)
+        Image.fromarray((rng.random((16, 20, 3)) * 255).astype(np.uint8)).save(
+            vd / "frames" / "f000.png"
+        )
+        sig = (rng.standard_normal(max(n_samples // (v + 1), 64)) * 8000).astype(
+            np.int16
+        )
+        with wave_mod.open(str(vd / "audio.wav"), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(d.sample_rate)
+            w.writeframes(sig.tobytes())
+        sents = [f"Video {v} sentence {j} covers topic {j}." for j in range(n_s)]
+        (vd / "transcript.txt").write_text(" ".join(sents))
+        (vd / "summary.txt").write_text(sents[0])
+
+    w2i = vocab_from_corpus_dir(str(tmp_path))
+    corpus = VideoCorpus(str(tmp_path), cfg, w2i)
+
+    for num_seq in (1, 3):
+        sug = suggest_buckets(corpus, num_seq=num_seq)
+        assert set(sug) == {"sentences", "words", "keyframes", "audio_frames"}
+        caps = {"sentences": d.max_sentences, "words": d.max_words,
+                "keyframes": d.max_keyframes, "audio_frames": d.max_audio_frames}
+        lens = [corpus.example_lengths(i) for i in range(len(corpus))]
+        for key, ladder in sug.items():
+            assert ladder == tuple(sorted(set(ladder))), ladder
+            assert all(1 <= b <= caps[key] for b in ladder), (key, ladder)
+            # every example fits the top bucket
+            assert max(ln[key] for ln in lens) <= ladder[-1], (key, ladder)
+        al = math.lcm(8, num_seq)
+        for b in sug["audio_frames"]:
+            assert b % al == 0 or b == caps["audio_frames"], (b, al)
+        # clustered sentence counts: the p50 bucket sits at the cluster,
+        # far below the max — that's the padding the ladder saves
+        assert sug["sentences"][0] <= 4 < sug["sentences"][-1]
+
+    # the suggestion plugs straight into the iterator
+    sug = suggest_buckets(corpus)
+    it = bucketed_iterator(
+        corpus, batch_size=2, buckets=sug["sentences"], seed=0,
+        word_buckets=sug["words"], img_buckets=sug["keyframes"],
+        aud_buckets=sug["audio_frames"],
+    )
+    for _ in range(4):
+        b = next(it)
+        assert b["text_ids"].shape[1] in sug["sentences"]
+        n_real = b["sent_mask"].sum(axis=1)
+        assert (n_real <= b["text_ids"].shape[1]).all()
+
+
 def test_bucketed_iterator_all_axes(tmp_path, rng):
     """Round-3: the remaining ragged axes — W, T_img, T_aud — are trimmed
     per batch to the smallest covering bucket (SURVEY §8 ground rules),
