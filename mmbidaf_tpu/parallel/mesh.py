@@ -87,8 +87,34 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def _put_global(v: Any, sh: NamedSharding):
+    """Place a host array onto a (possibly multi-process) sharding.
+
+    Single-process: plain ``device_put``. Multi-process (``jax.distributed``
+    initialized, mesh spanning hosts): every process holds the same GLOBAL
+    host value (the data layer is deterministic per seed, so each host
+    regenerates it — SPMD single-controller convention); this process
+    uploads only the shards its local devices own and assembles the global
+    ``jax.Array`` from them.
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(v, sh)
+    if isinstance(v, jax.Array) and jnp.issubdtype(v.dtype, jax.dtypes.prng_key):
+        # typed PRNG keys (TrainState.rng) have no numpy form: place the
+        # raw key data and re-wrap (all processes run the wrap in lockstep)
+        raw = _put_global(jax.random.key_data(v), sh)
+        return jax.random.wrap_key_data(raw, impl=jax.random.key_impl(v))
+    v = np.asarray(v)
+    imap = sh.addressable_devices_indices_map(v.shape)
+    arrs = [jax.device_put(v[idx], d) for d, idx in imap.items()]
+    return jax.make_array_from_single_device_arrays(v.shape, sh, arrs)
+
+
 def shard_batch(batch: Mapping[str, Any], mesh: Mesh) -> dict:
     """Place every array in the batch with its dim-0 sharded over the mesh.
+
+    Batch values are GLOBAL (multi-process runs pass the same full batch on
+    every host; each uploads only its own shards — ``_put_global``).
 
     Arrays whose leading dim doesn't divide the mesh (e.g. a tiny debug
     batch on an 8-device mesh) are replicated instead — correct, just not
@@ -112,15 +138,16 @@ def shard_batch(batch: Mapping[str, Any], mesh: Mesh) -> dict:
                 f"the batch as a multiple of {n}.",
                 stacklevel=3,
             )
-        return jax.device_put(v, sh if ok else rep)
+        return _put_global(v, sh if ok else rep)
 
     return {k: place(k, v) for k, v in batch.items()}
 
 
 def shard_params(params: Any, mesh: Mesh) -> Any:
-    """Replicate the params pytree across the mesh."""
+    """Replicate the params pytree across the mesh (all hosts pass the same
+    values in multi-process runs — init is seed-deterministic)."""
     sh = replicated_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), params)
+    return jax.tree.map(lambda x: _put_global(x, sh), params)
 
 
 def initialize_distributed() -> bool:

@@ -260,8 +260,16 @@ def make_train_step(
     return train_step
 
 
-def make_eval_step(cfg: Config, audio_g_fn: Callable | None = None) -> Callable:
-    @jax.jit
+def make_eval_step(
+    cfg: Config, audio_g_fn: Callable | None = None, out_sharding=None
+) -> Callable:
+    """``out_sharding`` (a NamedSharding) forces the outputs' placement —
+    multi-process runs pass the replicated sharding so every host can fetch
+    the picks (a batch-sharded output is not addressable off-host; the
+    all-gather XLA inserts is a [B, K] int array, negligible)."""
+    kw = {} if out_sharding is None else {"out_shardings": out_sharding}
+
+    @partial(jax.jit, **kw)
     def eval_step(params: Any, batch: Mapping[str, jax.Array]):
         # Loss must be TEACHER-FORCED: greedy decode masks already-picked
         # sentences, so when greedy and gold disagree on order the gold

@@ -58,17 +58,12 @@ print(f"proc {jax.process_index()}: multihost psum OK ({got})", flush=True)
 """
 
 
-@pytest.mark.skipif(
-    not os.environ.get("MMB_MULTIHOST"),
-    reason="two-process rendezvous smoke; run with MMB_MULTIHOST=1",
-)
-def test_two_process_dcn_mesh(tmp_path):
+def _spawn_two(cmds, timeout=300):
+    """Run two coordinated processes (4 faked CPU devices each) and return
+    their combined stdout+stderr. ``cmds`` maps process id -> argv."""
     with socket.socket() as s:
         s.bind(("localhost", 0))
         port = s.getsockname()[1]
-
-    script = tmp_path / "worker.py"
-    script.write_text(_WORKER.replace("__REPO__", repr(REPO)))
 
     procs = []
     for pid in range(2):
@@ -83,12 +78,134 @@ def test_two_process_dcn_mesh(tmp_path):
         )
         procs.append(
             subprocess.Popen(
-                [sys.executable, str(script)],
-                env=env, cwd=REPO,
+                cmds[pid], env=env, cwd=REPO,
                 stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             )
         )
-    outs = [p.communicate(timeout=300)[0] for p in procs]
+    outs = [p.communicate(timeout=timeout)[0] for p in procs]
     for p, out in zip(procs, outs):
-        assert p.returncode == 0, out[-2000:]
+        assert p.returncode == 0, out[-3000:]
+    return outs
+
+
+@pytest.mark.skipif(
+    not os.environ.get("MMB_MULTIHOST"),
+    reason="two-process rendezvous smoke; run with MMB_MULTIHOST=1",
+)
+def test_two_process_dcn_mesh(tmp_path):
+    script = tmp_path / "worker.py"
+    script.write_text(_WORKER.replace("__REPO__", repr(REPO)))
+    outs = _spawn_two({pid: [sys.executable, str(script)] for pid in range(2)})
+    for out in outs:
         assert "multihost psum OK" in out
+
+
+def run_train_steps(n_steps: int = 5):
+    """Five tiny train steps on a 2x4 ('dcn','data') mesh — run BOTH by the
+    in-process 8-device parent (reference) and by each process of the
+    two-process rendezvous (4 local devices each). Identical mesh shape +
+    shardings on identical data, so the loss trajectories must agree to fp
+    tolerance; only the collective transport differs. Every host passes the
+    same GLOBAL batch (parallel.mesh._put_global uploads only local shards)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mmbidaf_tpu.config import MeshConfig, tiny_test_config
+    from mmbidaf_tpu.data.synthetic import batch_stream, random_word_vectors
+    from mmbidaf_tpu.models.mmbidaf import mmbidaf_init
+    from mmbidaf_tpu.parallel import make_mesh, shard_batch, shard_params
+    from mmbidaf_tpu.train.loop import init_train_state, make_train_step
+
+    cfg = tiny_test_config()
+    cfg = dataclasses.replace(
+        cfg,
+        train=dataclasses.replace(cfg.train, batch_size=8),
+        mesh=MeshConfig(num_dcn=2, num_data=4),
+    )
+    mesh = make_mesh(cfg.mesh)
+    wv = random_word_vectors(np.random.default_rng(0), cfg.data.vocab_size,
+                             cfg.model.emb_dim)
+    # init locally, place globally once (same order as train.py: eager
+    # optax/EMA init on multi-process global arrays is not portable)
+    params = mmbidaf_init(jax.random.key(0), cfg, jnp.asarray(wv))
+    state = shard_params(init_train_state(jax.random.key(1), params, cfg), mesh)
+    train_step = make_train_step(cfg)
+    stream = batch_stream(3, cfg, cfg.train.batch_size)
+    losses = []
+    for _ in range(n_steps):
+        nb = next(stream)
+        batch = shard_batch({k: jnp.asarray(v) for k, v in nb.items()}, mesh)
+        state, metrics = train_step(state, batch)
+        losses.append(float(jax.device_get(metrics["loss"])))
+    return losses
+
+
+_TRAIN_WORKER = """
+import json, sys
+sys.path.insert(0, __REPO__)
+sys.path.insert(0, __REPO__ + "/tests")
+import jax
+from mmbidaf_tpu.parallel import initialize_distributed
+
+assert initialize_distributed(), "coordinator env vars not picked up"
+assert jax.device_count() == 8 and jax.local_device_count() == 4
+from test_multihost import run_train_steps
+
+print("LOSSES", json.dumps(run_train_steps()), flush=True)
+"""
+
+
+@pytest.mark.skipif(
+    not os.environ.get("MMB_MULTIHOST"),
+    reason="two-process train parity; run with MMB_MULTIHOST=1",
+)
+def test_two_process_train_parity(tmp_path):
+    """The ACTUAL train step across two processes == the same steps on the
+    in-process 8-device mesh (multi-host training, not just a psum smoke)."""
+    import json
+
+    import numpy as np
+
+    script = tmp_path / "train_worker.py"
+    script.write_text(_TRAIN_WORKER.replace("__REPO__", repr(REPO)))
+    outs = _spawn_two({pid: [sys.executable, str(script)] for pid in range(2)})
+
+    got = []
+    for out in outs:
+        line = [ln for ln in out.splitlines() if ln.startswith("LOSSES ")]
+        assert line, out[-3000:]
+        got.append(json.loads(line[-1][len("LOSSES "):]))
+    assert got[0] == got[1], "hosts disagree on the replicated loss"
+
+    want = run_train_steps()
+    assert len(want) == len(got[0]) and all(np.isfinite(want))
+    np.testing.assert_allclose(got[0], want, rtol=2e-5, atol=1e-6)
+
+
+@pytest.mark.skipif(
+    not os.environ.get("MMB_MULTIHOST"),
+    reason="two-process train.py CLI; run with MMB_MULTIHOST=1",
+)
+def test_two_process_train_cli(tmp_path):
+    """Full train.py across two processes: collective orbax checkpointing,
+    host-0-only logging, eval with replicated picks."""
+    save = tmp_path / "runs"
+    argv = [
+        sys.executable, "train.py",
+        "--hidden_size", "12", "--batch_size", "8", "--num_steps", "4",
+        "--max_sentences", "6", "--max_words", "5", "--eval_steps", "2",
+        "--drop_prob", "0.0", "--save_dir", str(save),
+    ]
+    outs = _spawn_two({0: argv, 1: argv}, timeout=600)
+
+    assert "across 2 hosts" in outs[0]
+    assert "eval_loss" in outs[0] and "done" in outs[0]
+    # non-primary host computes silently: no scalar lines, no log files
+    assert "eval_loss" not in outs[1]
+    run_dir = save / "mmbidaf"
+    assert (run_dir / "log.jsonl").exists()
+    ckpts = run_dir / "ckpts"
+    assert ckpts.exists() and any(ckpts.iterdir()), "no checkpoint written"

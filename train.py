@@ -66,7 +66,9 @@ def parse_args():
                          "--data_dir: batches are padded to the smallest "
                          "fitting bucket instead of max_sentences; also "
                          "enables W/T_img/T_aud per-batch bucketing "
-                         "(quarter/half/full ladders unless overridden)")
+                         "(quarter/half/full ladders unless overridden). "
+                         "'auto' derives all four ladders from the corpus's "
+                         "length quantiles (p50/p80/max)")
     ap.add_argument("--word_buckets", default=None,
                     help="W (words/sentence) buckets, e.g. 8,16,32; 'off' "
                          "keeps the axis static (needs --buckets)")
@@ -196,11 +198,24 @@ def main():
     a, defaults = parse_args()
     cfg = build_config(a, defaults)
 
+    # Multi-host bring-up (SURVEY §3.3: a config change, not a rewrite):
+    # when the coordinator env vars are set, every host runs THIS SAME
+    # loop SPMD-style — the mesh spans all hosts' devices, each host
+    # regenerates the same global batch from the shared seed and uploads
+    # only its own shards (parallel.mesh._put_global), gradients reduce
+    # over ICI/DCN exactly as single-host. Host 0 alone writes logs,
+    # vocab and loader state; orbax checkpointing is collective.
+    from mmbidaf_tpu.parallel import initialize_distributed
+
+    distributed = initialize_distributed()  # must precede first backend use
+    proc0 = jax.process_index() == 0
+    say = print if proc0 else (lambda *args, **kw: None)
+
     from mmbidaf_tpu.utils.cache import enable_cli_cache
 
     cache_dir = enable_cli_cache(a.jax_cache)
     if cache_dir:
-        print(f"compilation cache: {cache_dir}")
+        say(f"compilation cache: {cache_dir}")
 
     from mmbidaf_tpu.data.synthetic import batch_stream, random_word_vectors
     from mmbidaf_tpu.models.mmbidaf import mmbidaf_init
@@ -221,11 +236,19 @@ def main():
 
     run_dir = os.path.join(cfg.train.save_dir, cfg.train.name)
     os.makedirs(run_dir, exist_ok=True)
-    logger = JsonlLogger(os.path.join(run_dir, "log.jsonl"))
-    tb = TensorboardWriter(os.path.join(run_dir, "tb"))
+    if proc0:
+        logger = JsonlLogger(os.path.join(run_dir, "log.jsonl"))
+        tb = TensorboardWriter(os.path.join(run_dir, "tb"))
+    else:  # non-primary hosts compute; host 0 records
+        class _NullSink:
+            def log(self, *args, **kw): pass
+            def close(self): pass
+        logger = tb = _NullSink()
 
     mesh = make_mesh(cfg.mesh)
-    print(f"devices: {jax.device_count()} ({jax.default_backend()}), mesh: {mesh}")
+    say(f"devices: {jax.device_count()} ({jax.default_backend()})"
+        + (f" across {jax.process_count()} hosts" if distributed else "")
+        + f", mesh: {mesh}")
 
     audio_g_fn = None
     if cfg.mesh.sp_audio:
@@ -286,9 +309,10 @@ def main():
         )
         from mmbidaf_tpu.data.vocab import save_vocab
 
-        save_vocab(w2i, np.asarray(wv),
-                   os.path.join(run_dir, "vocab.json"),
-                   os.path.join(run_dir, "emb.npz"))
+        if proc0:  # identical on every host; one writer avoids races
+            save_vocab(w2i, np.asarray(wv),
+                       os.path.join(run_dir, "vocab.json"),
+                       os.path.join(run_dir, "emb.npz"))
         # sp_audio needs raw waveforms: skip features.npz shortcuts so the
         # sharded frontend has real audio to featurize
         use_pre = not cfg.mesh.sp_audio
@@ -311,7 +335,20 @@ def main():
         # '--buckets off' == omitting --buckets (the sibling axis flags
         # document 'off'; the primary axis accepts it too instead of
         # surfacing bucketed_iterator's 'need at least one bucket')
-        buckets = parse_buckets(a.buckets)
+        auto_axis = {}
+        if a.buckets and a.buckets.lower() == "auto":
+            # data-derived ladders: one bucket per length quantile
+            # (p50/p80/max) from the corpus's header-only length sweep;
+            # per-axis flags still override
+            from mmbidaf_tpu.data.pipeline import suggest_buckets
+
+            sug = suggest_buckets(corpus, num_seq=cfg.mesh.num_seq)
+            say("auto buckets: " + ", ".join(f"{k}={list(v)}" for k, v in sug.items()))
+            buckets = sug["sentences"]
+            auto_axis = {"word": sug["words"], "img": sug["keyframes"],
+                         "aud": sug["audio_frames"]}
+        else:
+            buckets = parse_buckets(a.buckets)
         if buckets:
             # Bucketed shapes on all four ragged axes (SURVEY §8 R3): jit
             # compiles one program per shape tuple; ragged corpora stop
@@ -319,11 +356,14 @@ def main():
             # was the costliest).
             from mmbidaf_tpu.data.pipeline import bucketed_iterator
 
+            def axis(flag, key):
+                return parse_buckets(flag) if flag is not None else auto_axis.get(key)
+
             stream_factory = lambda skip=0: bucketed_iterator(  # noqa: E731
                 corpus, cfg.train.batch_size, buckets, cfg.train.seed, skip=skip,
-                word_buckets=parse_buckets(a.word_buckets),
-                img_buckets=parse_buckets(a.img_buckets),
-                aud_buckets=parse_buckets(a.aud_buckets),
+                word_buckets=axis(a.word_buckets, "word"),
+                img_buckets=axis(a.img_buckets, "img"),
+                aud_buckets=axis(a.aud_buckets, "aud"),
             )
         elif a.loader_workers > 0:
             # grain DataLoader: PNG/WAV decode in worker subprocesses
@@ -349,7 +389,7 @@ def main():
                             raw_state = f.read()
                         try:
                             it.set_state(raw_state)
-                            print(f"grain loader state restored at step {skip}")
+                            say(f"grain loader state restored at step {skip}")
                             return it
                         except Exception as e:
                             # worker topology changed between runs: translate
@@ -373,11 +413,11 @@ def main():
                                 )
                                 return it
                             except Exception as e2:
-                                print(f"grain loader state unusable "
+                                say(f"grain loader state unusable "
                                       f"({e}; translation: {e2}); "
                                       "data order restarts")
                                 return it
-                print("grain loader: no matching saved loader state — "
+                say("grain loader: no matching saved loader state — "
                       "data order restarts on resume")
                 return it
         else:
@@ -393,17 +433,19 @@ def main():
         )
     else:
         wv = random_word_vectors(np_rng, cfg.data.vocab_size, cfg.model.emb_dim)
-    params = shard_params(
-        mmbidaf_init(jax.random.key(cfg.train.seed), cfg, jnp.asarray(wv)), mesh
-    )
-    # Replicate the WHOLE train state over the mesh (step/rng/opt scalars
-    # included): a restored checkpoint re-places onto these shardings, and
-    # jit rejects mixed committed placements otherwise.
+    # Init LOCALLY (seed-deterministic, so identical on every host), then
+    # place the WHOLE train state over the mesh once (step/rng/opt scalars
+    # included): a restored checkpoint re-places onto these shardings, jit
+    # rejects mixed committed placements otherwise — and eager optax/EMA
+    # init on already-global arrays is not portable across processes.
+    params = mmbidaf_init(jax.random.key(cfg.train.seed), cfg, jnp.asarray(wv))
     state = shard_params(
         init_train_state(jax.random.key(cfg.train.seed + 1), params, cfg), mesh
     )
+    del params  # lives on in state.params, globally placed
 
-    ckpt.save_config(run_dir, cfg)
+    if proc0:
+        ckpt.save_config(run_dir, cfg)
     maximize = (
         cfg.train.maximize_metric
         if cfg.train.maximize_metric is not None
@@ -418,7 +460,7 @@ def main():
     restored = ckpt.restore_latest(manager, state)
     if restored is not None:
         state = restored
-        print(f"resumed from step {int(state.step)}")
+        say(f"resumed from step {int(state.step)}")
     elif cfg.train.load_path:
         # Warm start (the reference's --load_path): params + EMA from
         # another run's checkpoints, fresh optimizer/step in THIS run.
@@ -429,7 +471,7 @@ def main():
         state = dataclasses.replace(
             state, params=warm.params, ema_params=warm.ema_params
         )
-        print(f"warm-started params from {cfg.train.load_path} "
+        say(f"warm-started params from {cfg.train.load_path} "
               f"(source step {int(warm.step)})")
 
     train_step = make_train_step(
@@ -437,7 +479,14 @@ def main():
         vgg_spec=None if fe_params is None else vgg_spec,
         audio_g_fn=audio_g_fn,
     )
-    eval_step = make_eval_step(cfg, audio_g_fn=audio_g_fn)
+    from mmbidaf_tpu.parallel import replicated_sharding
+
+    eval_step = make_eval_step(
+        cfg, audio_g_fn=audio_g_fn,
+        # multi-host: picks must be fetchable on every host (a batch-sharded
+        # output is only addressable where its shards live)
+        out_sharding=replicated_sharding(mesh) if distributed else None,
+    )
     meter = AverageMeter()
 
     resumed_steps = int(state.step)
@@ -448,7 +497,7 @@ def main():
         # exactly where the preempted run stopped (index-only skipping)
         stream = stream_factory(skip=resumed_steps)
         if resumed_steps:
-            print(f"data stream fast-forwarded {resumed_steps} batches")
+            say(f"data stream fast-forwarded {resumed_steps} batches")
         # FULL dev-set eval (reference §4.3: evaluate() iterates the dev
         # loader): featurize every dev video ONCE up front (VGG is the
         # expensive stage — ~100 MB of features per 256 videos, cheap to
@@ -472,17 +521,21 @@ def main():
             feat["targets"] = raw_eval["targets"]
             feat["target_mask"] = raw_eval["target_mask"]
             texts = [eval_corpus.example_text(i) for i in idxs[:n_real]]
-            eval_batches.append((shard_batch(feat, mesh), texts))
+            eval_batches.append((shard_batch(feat, mesh), texts, None))
     else:
         stream = batch_stream(cfg.train.seed, cfg)
+        nb0 = next(stream)
         eval_batches = [(
-            shard_batch({k: jnp.asarray(v) for k, v in next(stream).items()}, mesh),
+            shard_batch({k: jnp.asarray(v) for k, v in nb0.items()}, mesh),
             None,
+            # host copy: the sharded device batch is not fully addressable
+            # on any single host in multi-process runs
+            np.asarray(nb0["targets"]),
         )]
         for _ in range(resumed_steps):  # cheap numpy fast-forward
             next(stream)
         if resumed_steps:
-            print(f"data stream fast-forwarded {resumed_steps} batches")
+            say(f"data stream fast-forwarded {resumed_steps} batches")
 
     # Device prefetch (after all pre-loop stream consumption): a background
     # thread overlaps the NEXT batch's host collate + H2D upload with the
@@ -508,7 +561,7 @@ def main():
         epochs = a.num_epochs or cfg.train.num_epochs
         steps_per_epoch = max(1, len(corpus) // cfg.train.batch_size)
         num_steps = epochs * steps_per_epoch
-        print(f"training {epochs} epochs x {steps_per_epoch} steps/epoch = {num_steps} steps")
+        say(f"training {epochs} epochs x {steps_per_epoch} steps/epoch = {num_steps} steps")
     else:
         num_steps = 1000
 
@@ -528,6 +581,8 @@ def main():
         # (DevicePrefetcher forwards the inner grain state as of the last
         # DELIVERED batch — not the prefetched-ahead position — and
         # returns None for stateless iterators.)
+        if not proc0:
+            return  # every host sees the same stream; one writer
         st = stream.get_state() if hasattr(stream, "get_state") else None
         if st is not None:
             path = os.path.join(run_dir, "loader_state.bin")
@@ -580,7 +635,7 @@ def main():
             logger.close()
             if prefetcher is not None:
                 prefetcher.close()
-            print(f"preempted (signal {_PREEMPTED['sig']}): saved step "
+            say(f"preempted (signal {_PREEMPTED['sig']}): saved step "
                   f"{int(state.step)}; rerun with the same --save_dir to resume")
             return
         item = next(stream)
@@ -615,7 +670,7 @@ def main():
             }
             logger.log(step, scalars)
             tb.log(step, scalars)
-            print(f"step {step}: loss {meter.avg:.4f} pad_frac {pad_meter.avg:.3f}")
+            say(f"step {step}: loss {meter.avg:.4f} pad_frac {pad_meter.avg:.3f}")
             meter.reset()
             for m in pad_meters.values():
                 m.reset()
@@ -632,8 +687,8 @@ def main():
             # instead of serializing the eval pass (outputs are tiny:
             # a scalar loss + [B, K] picks per batch)
             evs = [eval_step(state.ema_params, eval_batch)
-                   for eval_batch, _ in eval_batches]
-            for ev, (eval_batch, texts) in zip(evs, eval_batches):
+                   for eval_batch, *_ in eval_batches]
+            for ev, (eval_batch, texts, host_targets) in zip(evs, eval_batches):
                 loss_sum += float(ev["loss"])
                 picks = np.asarray(ev["picks"])
                 if texts is not None:
@@ -647,7 +702,7 @@ def main():
                     # short strings is cheap).
                     sentences = [f"transcript sentence {i}."
                                  for i in range(cfg.data.max_sentences)]
-                    targets_np = np.asarray(jax.device_get(eval_batch["targets"]))
+                    targets_np = host_targets
                     n_b = picks.shape[0]
                     golds = [" ".join(sentences[i] for i in targets_np[b])
                              for b in range(n_b)]
@@ -660,7 +715,7 @@ def main():
             scalars = {"eval_loss": ev_loss, **{k: v for k, v in r_sum.items()}}
             logger.log(step, scalars)
             tb.log(step, scalars)
-            print(f"step {step}: eval_loss {ev_loss:.4f} ROUGE-L {r_sum['ROUGE-L']:.3f}")
+            say(f"step {step}: eval_loss {ev_loss:.4f} ROUGE-L {r_sum['ROUGE-L']:.3f}")
             ckpt.save(manager, state, {"loss": ev_loss, **r_sum})
             save_loader_state()
             last_saved_step = step
@@ -671,7 +726,7 @@ def main():
         # signal landed during the final step: still leave a resume point
         ckpt.save_unranked(manager, state)
         save_loader_state()
-        print(f"preempted (signal {_PREEMPTED['sig']}): saved step {int(state.step)}")
+        say(f"preempted (signal {_PREEMPTED['sig']}): saved step {int(state.step)}")
     elif step != last_saved_step:
         # the run ended between eval boundaries: without this, a completed
         # run whose last eval wasn't its last step loses the trailing steps
@@ -680,9 +735,9 @@ def main():
         # eval metric must not be displaced by an unscored final state.
         ckpt.save_unranked(manager, state)
         save_loader_state()
-        print(f"saved final state at step {step}")
+        say(f"saved final state at step {step}")
     logger.close()
-    print("done")
+    say("done")
 
 
 if __name__ == "__main__":
