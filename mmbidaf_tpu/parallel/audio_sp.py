@@ -33,7 +33,7 @@ def make_sp_audio_frontend(
     feature: str = "mfcc",
     axis: str | None = None,
     gather: bool = True,
-    batch_axis: str | None = None,
+    batch_axis: str | tuple[str, ...] | None = None,
 ):
     """Build a jitted ``[B, N] waveform → [B, num_frames, n_feat]`` frontend
     whose frame axis is computed shard-parallel over ``axis`` (default: the

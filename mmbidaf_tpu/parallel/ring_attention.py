@@ -37,7 +37,7 @@ NEG_INF = -1e30
 def make_ring_bidaf(
     mesh: Mesh,
     axis: str | None = None,
-    batch_axis: str | None = None,
+    batch_axis: str | tuple[str, ...] | None = None,
     dropout: bool = False,
 ):
     """Build ``ring_fn(params, c, q, c_mask, q_mask) → [B, T_c, 4D]``.

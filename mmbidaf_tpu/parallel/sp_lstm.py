@@ -61,7 +61,7 @@ def make_sp_bilstm(
     mesh: Mesh,
     axis: str | None = None,
     microbatches: int | None = None,
-    batch_axis: str | None = None,
+    batch_axis: str | tuple[str, ...] | None = None,
 ):
     """Build a jitted ``(params, x [B,T,Din], mask [B,T]) → out [B,T,2h]``
     BiLSTM whose time axis lives sharded over ``axis``. ``params`` is a
@@ -81,7 +81,14 @@ def make_sp_bilstm(
     """
     axis = axis or mesh.axis_names[-1]
     D = mesh.shape[axis]
-    B_div = mesh.shape[batch_axis] if batch_axis else 1
+    # batch_axis may be a single name or a tuple of names (multi-host DP:
+    # the batch dim shards over ('dcn', 'data') — sp_tower.sp_axes)
+    _baxes = (
+        (batch_axis,) if isinstance(batch_axis, str) else tuple(batch_axis or ())
+    )
+    B_div = 1
+    for a in _baxes:
+        B_div *= mesh.shape[a]
 
     def body(params, x, mask):
         d = jax.lax.axis_index(axis)

@@ -37,20 +37,23 @@ from mmbidaf_tpu.parallel.ring_attention import make_ring_bidaf
 from mmbidaf_tpu.parallel.sp_lstm import make_sp_bilstm
 
 
-def sp_axes(mesh: Mesh, cfg: Config) -> tuple[str, str | None]:
-    """(seq_axis, batch_axis) for the SP tower on this mesh.
+def sp_axes(mesh: Mesh, cfg: Config) -> tuple[str, tuple[str, ...] | None]:
+    """(seq_axis, batch_axes) for the SP tower on this mesh.
 
     The seq axis is ``cfg.mesh.seq_axis`` when the mesh has one (the
     DP × SP product), else the mesh's last axis (a pure-SP serving mesh
-    built by hand); the batch axis is the ``data`` axis when it is >1 wide.
+    built by hand). The batch axes are EVERY other >1-wide axis — on a
+    multi-host ``('dcn', 'data', 'seq')`` mesh the batch dim is sharded
+    over ``('dcn', 'data')`` (same rule as ``parallel.mesh._data_axes``);
+    naming only ``data`` would silently all-gather the batch across hosts
+    at the shard_map boundary.
     """
     m = cfg.mesh
     seq = m.seq_axis if m.seq_axis in mesh.axis_names else mesh.axis_names[-1]
-    batch = None
-    if m.data_axis in mesh.axis_names and m.data_axis != seq:
-        if mesh.shape[m.data_axis] > 1:
-            batch = m.data_axis
-    return seq, batch
+    batch = tuple(
+        a for a in mesh.axis_names if a != seq and mesh.shape[a] > 1
+    )
+    return seq, (batch or None)
 
 
 def make_sp_audio_tower(mesh: Mesh, cfg: Config, use_batch_axis: bool = True):
