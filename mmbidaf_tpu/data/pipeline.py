@@ -325,6 +325,7 @@ def bucketed_iterator(
     word_buckets: Sequence[int] | None = None,
     img_buckets: Sequence[int] | None = None,
     aud_buckets: Sequence[int] | None = None,
+    decode_rows: Sequence[int] | None = None,
 ) -> Iterator[dict[str, np.ndarray]]:
     """Bucketed-shape batched stream (SURVEY.md §8 ground rules / risk R3).
 
@@ -341,6 +342,14 @@ def bucketed_iterator(
     Defaults: quarter/half/full ladders per axis. Note for
     ``MeshConfig.sp_audio``: audio buckets must divide the ``seq`` axis —
     pass ``aud_buckets`` as multiples of ``num_seq``.
+
+    ``decode_rows`` (multi-host: ``parallel.mesh.local_batch_rows``) names
+    the batch rows THIS host's devices own: only those are decoded from
+    disk; the others are zero-filled shape placeholders (identical shapes
+    — bucket selection uses the GLOBAL metadata sweep, so every host picks
+    the same buckets) that ``_put_global`` never uploads. Host video
+    decode/resize then scales 1/H with the host count instead of every
+    host decoding the full global batch.
     """
     d = corpus.cfg.data
     buckets = sorted({min(b, d.max_sentences) for b in buckets})
@@ -399,6 +408,34 @@ def bucketed_iterator(
             out["aud_mask"] = ex["aud_mask"][:ba]
         return out
 
+    local_rows = None if decode_rows is None else {int(r) for r in decode_rows}
+    if local_rows is not None:
+        bad = [r for r in local_rows if not 0 <= r < batch_size]
+        if bad:
+            raise ValueError(
+                f"decode_rows {bad} outside the batch [0, {batch_size})"
+            )
+
+    def assemble(sel, b, bw, bi, ba):
+        if local_rows is None:
+            return [trim(corpus[int(i)], b, bw, bi, ba) for i in sel]
+        exs: list[dict | None] = []
+        template = None
+        for row, i in enumerate(sel):
+            if row in local_rows:
+                ex = trim(corpus[int(i)], b, bw, bi, ba)
+                if template is None:
+                    template = {k: np.zeros_like(v) for k, v in ex.items()}
+                exs.append(ex)
+            else:
+                exs.append(None)
+        if template is None:  # degenerate: no local rows — decode one for shape
+            template = {
+                k: np.zeros_like(v)
+                for k, v in trim(corpus[int(sel[0])], b, bw, bi, ba).items()
+            }
+        return [template if e is None else e for e in exs]
+
     rng = np.random.default_rng(seed)
     skipped = 0
     while True:
@@ -420,7 +457,7 @@ def bucketed_iterator(
                 skipped += 1
                 continue
             bw, bi, ba = batch_axis_buckets(sel)
-            yield collate([trim(corpus[int(i)], b, bw, bi, ba) for i in sel])
+            yield collate(assemble(sel, b, bw, bi, ba))
 
 
 def translate_grain_state(

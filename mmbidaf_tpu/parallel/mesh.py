@@ -110,6 +110,31 @@ def _put_global(v: Any, sh: NamedSharding):
     return jax.make_array_from_single_device_arrays(v.shape, sh, arrs)
 
 
+def local_batch_rows(mesh: Mesh, batch_size: int) -> np.ndarray | None:
+    """Global batch-dim rows owned by THIS process's devices, or None when
+    single-process (= all rows).
+
+    Multi-host data loading: every host iterates the same global stream
+    (seed-deterministic), but only the rows returned here are ever uploaded
+    by ``_put_global`` — so the expensive host work (video decode, resize,
+    collate) can skip the other hosts' rows (``bucketed_iterator``'s
+    ``decode_rows``). Rows that don't divide the mesh fall back to
+    replication in ``shard_batch``; return None there too (every host
+    needs every row).
+    """
+    if jax.process_count() == 1:
+        return None
+    n = int(np.prod([mesh.shape[a] for a in _data_axes(mesh)]))
+    if batch_size % n:
+        return None  # shard_batch will replicate: all rows needed
+    sh = batch_sharding(mesh)
+    rows: set[int] = set()
+    for (sl, *_rest) in sh.addressable_devices_indices_map((batch_size,)).values():
+        start, stop, step = sl.indices(batch_size)
+        rows.update(range(start, stop, step))
+    return np.asarray(sorted(rows), dtype=np.int64)
+
+
 def shard_batch(batch: Mapping[str, Any], mesh: Mesh) -> dict:
     """Place every array in the batch with its dim-0 sharded over the mesh.
 

@@ -528,6 +528,63 @@ def test_bucketed_iterator_all_axes(tmp_path, rng):
     bucketed_iterator(corpus, batch_size=2, buckets=(4, 8), seed=1)
 
 
+def test_bucketed_iterator_decode_rows(tmp_path, rng):
+    """Multi-host local decode (parallel.mesh.local_batch_rows →
+    bucketed_iterator decode_rows): named rows equal the full decode
+    bit-for-bit, other rows are zero-filled shape placeholders (identical
+    bucket choices — metadata-driven), so each host decodes only 1/H of
+    every batch."""
+    import dataclasses
+
+    from PIL import Image
+
+    from mmbidaf_tpu.data.pipeline import VideoCorpus, bucketed_iterator
+    from mmbidaf_tpu.data.vocab import vocab_from_corpus_dir
+
+    cfg = tiny_test_config()
+    cfg = dataclasses.replace(
+        cfg,
+        data=dataclasses.replace(
+            cfg.data, max_sentences=8, max_words=12, max_audio_frames=16
+        ),
+    )
+    d = cfg.data
+    n_samples = d.max_audio_frames * d.hop_length + d.win_length
+    for v, n_s in enumerate([3, 4, 6, 8]):
+        vd = tmp_path / f"video{v}"
+        (vd / "frames").mkdir(parents=True)
+        Image.fromarray((rng.random((12, 16, 3)) * 255).astype(np.uint8)).save(
+            vd / "frames" / "f000.png"
+        )
+        sig = (rng.standard_normal(n_samples) * 8000).astype(np.int16)
+        with wave_mod.open(str(vd / "audio.wav"), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(d.sample_rate)
+            w.writeframes(sig.tobytes())
+        sents = [f"Video {v} sentence {j} covers topic {j}." for j in range(n_s)]
+        (vd / "transcript.txt").write_text(" ".join(sents))
+        (vd / "summary.txt").write_text(sents[0])
+
+    w2i = vocab_from_corpus_dir(str(tmp_path))
+    corpus = VideoCorpus(str(tmp_path), cfg, w2i)
+
+    kw = dict(batch_size=4, buckets=(4, 8), seed=5)
+    it_full = bucketed_iterator(corpus, **kw)
+    it_local = bucketed_iterator(corpus, decode_rows=[1, 2], **kw)
+    for _ in range(4):
+        full, loc = next(it_full), next(it_local)
+        assert full.keys() == loc.keys()
+        for k in full:
+            assert full[k].shape == loc[k].shape, k  # same bucket choices
+            np.testing.assert_array_equal(loc[k][[1, 2]], full[k][[1, 2]],
+                                          err_msg=k)
+            assert not loc[k][[0, 3]].any(), k  # placeholders, never decoded
+
+    with pytest.raises(ValueError, match="decode_rows"):
+        next(bucketed_iterator(corpus, decode_rows=[7], **kw))
+
+
 def test_precomputed_features_roundtrip(disk_corpus):
     """tools/precompute_features.py artifacts: VideoCorpus auto-serves
     features.npz (no media decode), batches skip the frontend, and the

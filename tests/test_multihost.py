@@ -54,6 +54,14 @@ def total(x):
 got = float(jax.device_get(total(arr)))
 want = float(local.sum())
 assert got == want, (got, want)
+
+# local_batch_rows: each host owns its dcn row's contiguous batch block
+from mmbidaf_tpu.parallel import local_batch_rows
+rows = local_batch_rows(mesh, 8)
+want_rows = np.arange(4) + 4 * jax.process_index()
+np.testing.assert_array_equal(rows, want_rows)
+assert local_batch_rows(mesh, 9) is None  # non-divisible -> replicate: all rows
+
 print(f"proc {jax.process_index()}: multihost psum OK ({got})", flush=True)
 """
 

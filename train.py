@@ -251,6 +251,7 @@ def main():
         + f", mesh: {mesh}")
 
     audio_g_fn = None
+    local_rows = None  # multi-host local-decode rows (set by the bucketed path)
     if cfg.mesh.sp_audio:
         # Sequence-parallel audio tower (SURVEY §3.3 SP row): frame axis
         # sharded over the 'seq' mesh axis, never gathered.
@@ -355,15 +356,21 @@ def main():
             # paying worst-case padding (T_aud's static 512-frame bucket
             # was the costliest).
             from mmbidaf_tpu.data.pipeline import bucketed_iterator
+            from mmbidaf_tpu.parallel import local_batch_rows
 
             def axis(flag, key):
                 return parse_buckets(flag) if flag is not None else auto_axis.get(key)
 
+            # multi-host: decode only the rows this host's devices own —
+            # host IO scales 1/H instead of every host decoding everything
+            # (bucket choices stay global: metadata sweep, same on all hosts)
+            local_rows = local_batch_rows(mesh, cfg.train.batch_size)
             stream_factory = lambda skip=0: bucketed_iterator(  # noqa: E731
                 corpus, cfg.train.batch_size, buckets, cfg.train.seed, skip=skip,
                 word_buckets=axis(a.word_buckets, "word"),
                 img_buckets=axis(a.img_buckets, "img"),
                 aud_buckets=axis(a.aud_buckets, "aud"),
+                decode_rows=local_rows,
             )
         elif a.loader_workers > 0:
             # grain DataLoader: PNG/WAV decode in worker subprocesses
@@ -596,14 +603,22 @@ def main():
     # real sentences so it isolates the W axis from T_sent padding
     pad_axes = {"sent": "sent_mask", "img": "img_mask", "aud": "aud_mask"}
     pad_meters = {k: AverageMeter() for k in (*pad_axes, "word")}
+    # multi-host local-decode mode zero-fills non-local rows: measure pad
+    # waste over this host's decoded rows only (a uniform sample of the
+    # bucket, so host 0's logged value stays representative)
+    pad_rows = local_rows
 
     def update_pad_meters(nb):
+        def rows(key):
+            v = np.asarray(nb[key])
+            return v if pad_rows is None else v[pad_rows]
+
         for name, key in pad_axes.items():
             if key in nb:
-                pad_meters[name].update(1.0 - float(np.asarray(nb[key]).mean()))
+                pad_meters[name].update(1.0 - float(rows(key).mean()))
         if "word_mask" in nb:
-            wm = np.asarray(nb["word_mask"])
-            sm = np.asarray(nb["sent_mask"])[:, :, None]
+            wm = rows("word_mask")
+            sm = rows("sent_mask")[:, :, None]
             denom = max(float(sm.sum()) * wm.shape[2], 1.0)
             pad_meters["word"].update(1.0 - float((wm * sm).sum()) / denom)
 
