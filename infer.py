@@ -313,7 +313,7 @@ def main():
     n = 0
     for _ in range(a.num_batches):
         batch_np = next(stream)
-        batch = shard_batch({k: jnp.asarray(v) for k, v in batch_np.items()}, mesh)
+        batch = shard_batch(batch_np, mesh)  # numpy in: shard-only upload
         out = eval_step(state.ema_params, batch)
         picks = np.asarray(out["picks"])
         for b in range(picks.shape[0]):

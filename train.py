@@ -412,7 +412,7 @@ def main():
                                     cfg.train.batch_size,
                                 )
                                 it.set_state(new_state)
-                                print(
+                                say(
                                     "grain loader state translated to "
                                     f"worker_count={a.loader_workers} "
                                     f"({repeats} already-seen records will "
@@ -533,7 +533,7 @@ def main():
         stream = batch_stream(cfg.train.seed, cfg)
         nb0 = next(stream)
         eval_batches = [(
-            shard_batch({k: jnp.asarray(v) for k, v in nb0.items()}, mesh),
+            shard_batch(nb0, mesh),
             None,
             # host copy: the sharded device batch is not fully addressable
             # on any single host in multi-process runs
@@ -554,9 +554,7 @@ def main():
 
         prefetcher = DevicePrefetcher(
             stream,
-            lambda nb: shard_batch(
-                {k: jnp.asarray(v) for k, v in nb.items()}, mesh
-            ),
+            lambda nb: shard_batch(nb, mesh),  # numpy in: shard-only upload
             depth=a.prefetch,
         )
         stream = prefetcher
@@ -638,19 +636,43 @@ def main():
             [acc[0] + m["loss"], acc[1] + 1.0, m["grad_norm"]]
         )
 
+    if distributed:
+        from jax.experimental import multihost_utils
+
+        def preempt_requested(sync: bool) -> bool:
+            # A signal lands per-PROCESS; acting on it unilaterally would
+            # desync the collectives (unsignaled hosts keep stepping into
+            # the next psum while this one enters the collective save —
+            # deadlock). Resolve with a global OR, but only at window/eval
+            # boundaries (sync=True): a per-step collective would
+            # serialize the dispatch pipeline. Worst case a signal waits
+            # out the remainder of one 50-step window before the save.
+            if not sync:
+                return False
+            local = _PREEMPTED["sig"] is not None
+            return bool(multihost_utils.process_allgather(np.asarray(local)).any())
+    else:
+        def preempt_requested(sync: bool) -> bool:
+            del sync  # no collectives to desync: act immediately
+            return _PREEMPTED["sig"] is not None
+
+    def preempt_msg() -> str:
+        sig = _PREEMPTED["sig"]
+        return f"signal {sig}" if sig is not None else "signal on another host"
+
     acc = jnp.zeros((3,))
     step = resumed_steps  # host-side counter: int(state.step) is a device fetch
     last_saved_step = resumed_steps  # a resumed state IS on disk already
     t_window = time.monotonic()
     steps_in_window = 0
     for i in step_iter:
-        if _PREEMPTED["sig"] is not None:
+        if preempt_requested(step % 50 == 0 or step % cfg.train.eval_steps == 0):
             ckpt.save_unranked(manager, state)
             save_loader_state()
             logger.close()
             if prefetcher is not None:
                 prefetcher.close()
-            say(f"preempted (signal {_PREEMPTED['sig']}): saved step "
+            say(f"preempted ({preempt_msg()}): saved step "
                   f"{int(state.step)}; rerun with the same --save_dir to resume")
             return
         item = next(stream)
@@ -658,7 +680,11 @@ def main():
             nb, batch = item  # H2D already done in the prefetch thread
         else:
             nb = item
-            batch = shard_batch({k: jnp.asarray(v) for k, v in nb.items()}, mesh)
+            # numpy goes straight in: a jnp.asarray here would upload the
+            # FULL global batch to device 0 first (then multi-host
+            # _put_global would fetch it back) — shard_batch slices host
+            # memory and uploads only this process's shards once
+            batch = shard_batch(nb, mesh)
         update_pad_meters(nb)
         state, metrics = train_step(state, batch)
         acc = _metric_acc(acc, metrics)
@@ -737,11 +763,14 @@ def main():
 
     if prefetcher is not None:
         prefetcher.close()
-    if _PREEMPTED["sig"] is not None:
+    # globally agreed (multi-host: all hosts reach here at the same step,
+    # and must take the SAME branch — the collective save deadlocks if one
+    # host saves while a step==last_saved_step host skips it)
+    if preempt_requested(True):
         # signal landed during the final step: still leave a resume point
         ckpt.save_unranked(manager, state)
         save_loader_state()
-        say(f"preempted (signal {_PREEMPTED['sig']}): saved step {int(state.step)}")
+        say(f"preempted ({preempt_msg()}): saved step {int(state.step)}")
     elif step != last_saved_step:
         # the run ended between eval boundaries: without this, a completed
         # run whose last eval wasn't its last step loses the trailing steps
