@@ -219,6 +219,31 @@ def collate(examples: Sequence[dict]) -> dict[str, np.ndarray]:
     return {k: np.stack([e[k] for e in examples]) for k in keys}
 
 
+def decode_examples(fetch, idxs, decode_rows=None) -> list[dict]:
+    """``[fetch(i) for i in idxs]``, decoding only the ``decode_rows``
+    batch positions; other positions get a zero-filled placeholder of the
+    same shapes (multi-host local decode: ``parallel.mesh.local_batch_rows``
+    names the rows this host's devices own — placeholders are never
+    uploaded by ``_put_global``). ``fetch`` must return same-shape dicts
+    for every index (static or per-batch-bucketed shapes)."""
+    if decode_rows is None:
+        return [fetch(i) for i in idxs]
+    local = {int(r) for r in decode_rows}
+    exs: list[dict | None] = []
+    template = None
+    for row, i in enumerate(idxs):
+        if row in local:
+            ex = fetch(i)
+            if template is None:
+                template = {k: np.zeros_like(v) for k, v in ex.items()}
+            exs.append(ex)
+        else:
+            exs.append(None)
+    if template is None:  # degenerate: no local rows — decode one for shape
+        template = {k: np.zeros_like(v) for k, v in fetch(idxs[0]).items()}
+    return [template if e is None else e for e in exs]
+
+
 def batched_iterator(
     corpus: VideoCorpus,
     batch_size: int,
@@ -417,24 +442,9 @@ def bucketed_iterator(
             )
 
     def assemble(sel, b, bw, bi, ba):
-        if local_rows is None:
-            return [trim(corpus[int(i)], b, bw, bi, ba) for i in sel]
-        exs: list[dict | None] = []
-        template = None
-        for row, i in enumerate(sel):
-            if row in local_rows:
-                ex = trim(corpus[int(i)], b, bw, bi, ba)
-                if template is None:
-                    template = {k: np.zeros_like(v) for k, v in ex.items()}
-                exs.append(ex)
-            else:
-                exs.append(None)
-        if template is None:  # degenerate: no local rows — decode one for shape
-            template = {
-                k: np.zeros_like(v)
-                for k, v in trim(corpus[int(sel[0])], b, bw, bi, ba).items()
-            }
-        return [template if e is None else e for e in exs]
+        return decode_examples(
+            lambda i: trim(corpus[int(i)], b, bw, bi, ba), sel, local_rows
+        )
 
     rng = np.random.default_rng(seed)
     skipped = 0

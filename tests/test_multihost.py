@@ -66,9 +66,12 @@ print(f"proc {jax.process_index()}: multihost psum OK ({got})", flush=True)
 """
 
 
-def _spawn_two(cmds, timeout=300):
-    """Run two coordinated processes (4 faked CPU devices each) and return
-    their combined stdout+stderr. ``cmds`` maps process id -> argv."""
+def _spawn_two(cmds, timeout=300, devices=4):
+    """Run two coordinated processes (``devices`` faked CPU devices each)
+    and return their combined stdout+stderr. ``cmds`` maps process id ->
+    argv. NB this box has ONE physical core: every faked device thread and
+    both processes share it, so collective rendezvous is slow — keep the
+    per-test device count and program sizes small."""
     with socket.socket() as s:
         s.bind(("localhost", 0))
         port = s.getsockname()[1]
@@ -79,7 +82,7 @@ def _spawn_two(cmds, timeout=300):
         env.update(
             JAX_PLATFORMS="cpu",
             PALLAS_AXON_POOL_IPS="",
-            XLA_FLAGS="--xla_force_host_platform_device_count=4",
+            XLA_FLAGS=f"--xla_force_host_platform_device_count={devices}",
             COORDINATOR_ADDRESS=f"localhost:{port}",
             NUM_PROCESSES="2",
             PROCESS_ID=str(pid),
@@ -311,6 +314,63 @@ def test_two_process_sp_train_parity(tmp_path):
     want = run_sp_train_steps()
     assert len(want) == len(got[0]) and all(np.isfinite(want))
     np.testing.assert_allclose(got[0], want, rtol=2e-5, atol=1e-6)
+
+
+@pytest.mark.skipif(
+    not os.environ.get("MMB_MULTIHOST"),
+    reason="two-process real-corpus train.py CLI; run with MMB_MULTIHOST=1",
+)
+def test_two_process_train_cli_real_corpus(tmp_path):
+    """Real-corpus bucketed training across two processes: each host
+    decodes only its own batch rows (local_batch_rows -> decode_rows, incl.
+    the eval featurization assembly) yet host 0's logged eval_loss matches
+    a single-process 8-device run of the same corpus/flags."""
+    import json
+
+    import numpy as np
+
+    corpus = tmp_path / "corpus"
+    res = subprocess.run(
+        [sys.executable, "examples/make_synthetic_corpus.py",
+         "--out", str(corpus), "--videos", "8", "--sentences", "8",
+         "--frames", "4", "--seconds", "1.2"],
+        cwd=REPO, capture_output=True, text=True, timeout=300,
+        env={**os.environ, "JAX_PLATFORMS": "cpu", "PALLAS_AXON_POOL_IPS": ""},
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+
+    # 2 devices/host (4 total), batch 4 (2 local rows per host): this box
+    # has ONE core — 8 faked devices starve the collective rendezvous
+    # (observed flaky AwaitAndLogIfStuck aborts); 4 keeps it reliable.
+    def argv(save):
+        return [
+            sys.executable, "train.py", "--data_dir", str(corpus),
+            "--vgg", "tiny", "--buckets", "auto",
+            "--hidden_size", "12", "--batch_size", "4",
+            "--num_steps", "4", "--eval_steps", "2", "--drop_prob", "0.0",
+            "--save_dir", str(save),
+        ]
+
+    def eval_losses(save):
+        logs = [json.loads(ln) for ln in
+                (save / "mmbidaf" / "log.jsonl").read_text().splitlines()]
+        return [l["eval_loss"] for l in logs if "eval_loss" in l]
+
+    # reference: single process, same 4 devices in-process
+    env = dict(os.environ)
+    env.update(JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="",
+               XLA_FLAGS="--xla_force_host_platform_device_count=4")
+    res = subprocess.run(argv(tmp_path / "ref"), env=env, cwd=REPO,
+                         capture_output=True, text=True, timeout=900)
+    assert res.returncode == 0, (res.stdout + res.stderr)[-3000:]
+    want = eval_losses(tmp_path / "ref")
+    assert want, "reference run logged no eval_loss"
+
+    outs = _spawn_two({pid: argv(tmp_path / "mh") for pid in range(2)},
+                      timeout=900, devices=2)
+    assert "across 2 hosts" in outs[0]
+    got = eval_losses(tmp_path / "mh")
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=1e-6)
 
 
 @pytest.mark.skipif(

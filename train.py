@@ -251,7 +251,12 @@ def main():
         + f", mesh: {mesh}")
 
     audio_g_fn = None
-    local_rows = None  # multi-host local-decode rows (set by the bucketed path)
+    # multi-host local decode: the global batch rows THIS host's devices
+    # own (None single-process = decode everything). Drives the bucketed
+    # train stream and the eval featurization assembly below.
+    from mmbidaf_tpu.parallel import local_batch_rows
+
+    local_rows = local_batch_rows(mesh, cfg.train.batch_size)
     if cfg.mesh.sp_audio:
         # Sequence-parallel audio tower (SURVEY §3.3 SP row): frame axis
         # sharded over the 'seq' mesh axis, never gathered.
@@ -356,7 +361,6 @@ def main():
             # paying worst-case padding (T_aud's static 512-frame bucket
             # was the costliest).
             from mmbidaf_tpu.data.pipeline import bucketed_iterator
-            from mmbidaf_tpu.parallel import local_batch_rows
 
             def axis(flag, key):
                 return parse_buckets(flag) if flag is not None else auto_axis.get(key)
@@ -364,7 +368,6 @@ def main():
             # multi-host: decode only the rows this host's devices own —
             # host IO scales 1/H instead of every host decoding everything
             # (bucket choices stay global: metadata sweep, same on all hosts)
-            local_rows = local_batch_rows(mesh, cfg.train.batch_size)
             stream_factory = lambda skip=0: bucketed_iterator(  # noqa: E731
                 corpus, cfg.train.batch_size, buckets, cfg.train.seed, skip=skip,
                 word_buckets=axis(a.word_buckets, "word"),
@@ -376,6 +379,11 @@ def main():
             # grain DataLoader: PNG/WAV decode in worker subprocesses
             # (reference DataLoader num_workers equivalent, SURVEY §4.2).
             from mmbidaf_tpu.data.pipeline import make_grain_loader
+
+            if distributed:
+                say("note: the grain loader decodes the full global batch "
+                    "on every host; --buckets decodes only this host's "
+                    "rows (1/H host IO)")
 
             def stream_factory(skip=0):
                 it = iter(make_grain_loader(
@@ -517,12 +525,18 @@ def main():
         bs = cfg.train.batch_size
         n_eval = min(len(eval_corpus), a.max_eval_videos)
         eval_batches = []  # (sharded feat batch, texts for the real rows)
+        from mmbidaf_tpu.data.pipeline import decode_examples
+
         for start in range(0, n_eval, bs):
             idxs = [min(start + j, len(eval_corpus) - 1) for j in range(bs)]
             n_real = min(bs, n_eval - start)
+            # multi-host: each host decodes+featurizes only its own rows
+            # (zero placeholders elsewhere; shard_batch never uploads them)
             raw_eval = {
                 k: jnp.asarray(v)
-                for k, v in collate([eval_corpus[i] for i in idxs]).items()
+                for k, v in collate(
+                    decode_examples(lambda i: eval_corpus[i], idxs, local_rows)
+                ).items()
             }
             feat = featurize(raw_eval)
             feat["targets"] = raw_eval["targets"]
