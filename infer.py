@@ -69,6 +69,14 @@ def main():
     ap.add_argument("--num_seq", type=int, default=None,
                     help="devices on the 'seq' mesh axis (override the run "
                          "config, e.g. when serving hardware differs)")
+    ap.add_argument("--tp_vgg", type=int, choices=[0, 1], default=None,
+                    help="1: VGG classifier tensor-parallel over the 'model' "
+                         "mesh axis (needs --data_dir raw assets and "
+                         "--num_model N > 1); 0: force replicated weights "
+                         "even if the run config trained with tp_vgg")
+    ap.add_argument("--num_model", type=int, default=None,
+                    help="devices on the 'model' mesh axis (override the "
+                         "run config)")
     ap.add_argument("--jax_cache", default=None, metavar="DIR",
                     help="persistent compilation cache dir (default: repo "
                          ".jax_cache on TPU, off on CPU; '' = off)")
@@ -114,6 +122,10 @@ def main():
         mesh_over["sp_audio"] = bool(a.sp_audio)
     if a.num_seq is not None:
         mesh_over["num_seq"] = a.num_seq
+    if a.tp_vgg is not None:
+        mesh_over["tp_vgg"] = bool(a.tp_vgg)
+    if a.num_model is not None:
+        mesh_over["num_model"] = a.num_model
     if mesh_over:
         cfg = dataclasses.replace(cfg, mesh=dataclasses.replace(cfg.mesh, **mesh_over))
     mesh = make_mesh(cfg.mesh)
@@ -123,6 +135,19 @@ def main():
             "--sp_audio needs raw waveform batches: pass --data_dir "
             "(or --sp_audio 0 to force the local tower)"
         )
+    if cfg.mesh.tp_vgg:
+        if not a.data_dir:
+            raise SystemExit(
+                "--tp_vgg shards the frontend's VGG classifier: pass "
+                "--data_dir (or --tp_vgg 0 to force replicated weights)"
+            )
+        if not cfg.model.use_images:
+            raise SystemExit("--tp_vgg requires the image tower")
+        if cfg.mesh.num_model <= 1:
+            raise SystemExit(
+                "--tp_vgg needs a model axis: pass --num_model N > 1 "
+                "(devices split as data x model)"
+            )
     np_rng = np.random.default_rng(a.seed)
     corpus = fe_params = vgg_spec = None
     if a.data_dir:
@@ -145,8 +170,16 @@ def main():
         w2i = vocab_from_corpus_dir(vocab_dir, max_size=cfg.data.vocab_size)
         # sp_audio needs raw waveforms — skip features.npz shortcuts so the
         # sharded frontend has real audio to featurize
-        corpus = VideoCorpus(decode_dir, cfg, w2i, use_precomputed=not sp)
+        # tp_vgg (like sp_audio) featurizes raw assets inside the program:
+        # skip features.npz shortcuts so the sharded classifier has frames
+        corpus = VideoCorpus(
+            decode_dir, cfg, w2i, use_precomputed=not (sp or cfg.mesh.tp_vgg)
+        )
         fe_params = frontend_init(jax.random.key(a.seed + 2), cfg, vgg_spec=vgg_spec)
+        if cfg.mesh.tp_vgg:
+            from mmbidaf_tpu.parallel import shard_frontend
+
+            fe_params = shard_frontend(fe_params, mesh, tp_vgg=True)
         wv = random_word_vectors(np_rng, len(w2i), cfg.model.emb_dim)
     else:
         wv = random_word_vectors(np_rng, cfg.data.vocab_size, cfg.model.emb_dim)

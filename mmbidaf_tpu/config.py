@@ -140,6 +140,16 @@ class MeshConfig:
     seq_axis: str = "seq"
     num_seq: int = 1
     sp_audio: bool = False
+    # Tensor parallelism for the VGG classifier (SURVEY §3.3 TP row,
+    # delivered as an option): num_model > 1 adds an innermost 'model'
+    # mesh axis; tp_vgg shards fc1 column-parallel / fc2 row-parallel over
+    # it (parallel/mesh.py::shard_frontend) — per-chip classifier weight
+    # memory and weight-streaming traffic drop num_model×. The towers
+    # (~10M params) stay replicated. Composes with DP (and sp_audio):
+    # devices split as (dcn ×) data (× seq) × model.
+    model_axis: str = "model"
+    num_model: int = 1
+    tp_vgg: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -7,5 +7,6 @@ from mmbidaf_tpu.parallel.mesh import (  # noqa: F401
     batch_sharding,
     replicated_sharding,
     shard_batch,
+    shard_frontend,
     shard_params,
 )

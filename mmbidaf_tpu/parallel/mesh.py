@@ -22,7 +22,8 @@ from jax.sharding import AxisType, Mesh, NamedSharding, PartitionSpec as P
 from mmbidaf_tpu.config import MeshConfig
 
 
-SEQ_AXIS = "seq"  # conventional name; never used for batch sharding
+SEQ_AXIS = "seq"      # conventional name; never used for batch sharding
+MODEL_AXIS = "model"  # tensor-parallel axis; never used for batch sharding
 
 
 def make_mesh(cfg: MeshConfig = MeshConfig(), devices=None) -> Mesh:
@@ -30,30 +31,39 @@ def make_mesh(cfg: MeshConfig = MeshConfig(), devices=None) -> Mesh:
     XLA resolves intermediate shardings and inserts collectives itself).
 
     Axes, outer→inner: ``dcn`` (if num_dcn>1) × ``data`` × ``seq`` (if
-    num_seq>1). The ``seq`` axis carries the audio-tower sequence
-    parallelism (``MeshConfig.sp_audio``); batch sharding skips it.
+    num_seq>1) × ``model`` (if num_model>1). The ``seq`` axis carries the
+    audio-tower sequence parallelism (``MeshConfig.sp_audio``); the
+    ``model`` axis carries VGG-classifier tensor parallelism
+    (``MeshConfig.tp_vgg``); batch sharding skips both. ``model`` sits
+    innermost so its all-reduce rides adjacent ICI links.
     """
     devices = list(devices if devices is not None else jax.devices())
     if cfg.seq_axis != SEQ_AXIS:
         # batch_sharding identifies the SP axis by name; renaming it would
         # silently shard the batch over the frame axis.
         raise ValueError(f"seq_axis must be {SEQ_AXIS!r}, got {cfg.seq_axis!r}")
+    if cfg.model_axis != MODEL_AXIS:
+        # same rule for the TP axis: batch_sharding skips it by name.
+        raise ValueError(
+            f"model_axis must be {MODEL_AXIS!r}, got {cfg.model_axis!r}"
+        )
     num_seq = max(cfg.num_seq, 1)
     num_dcn = max(cfg.num_dcn, 1)
+    num_model = max(cfg.num_model, 1)
     if cfg.num_data < 0:
-        num_data = len(devices) // (num_seq * num_dcn)
+        num_data = len(devices) // (num_seq * num_dcn * num_model)
         if num_data < 1:
             raise ValueError(
-                f"mesh needs num_dcn*num_seq = {num_dcn * num_seq} devices, "
-                f"have {len(devices)}"
+                f"mesh needs num_dcn*num_seq*num_model = "
+                f"{num_dcn * num_seq * num_model} devices, have {len(devices)}"
             )
     else:
         num_data = cfg.num_data
-    n = num_dcn * num_data * num_seq
+    n = num_dcn * num_data * num_seq * num_model
     if n > len(devices):
         raise ValueError(
-            f"mesh {num_dcn}x{num_data}x{num_seq} needs {n} devices, "
-            f"have {len(devices)}"
+            f"mesh {num_dcn}x{num_data}x{num_seq}x{num_model} needs {n} "
+            f"devices, have {len(devices)}"
         )
     devices = devices[:n]
     shape, names = [], []
@@ -65,6 +75,9 @@ def make_mesh(cfg: MeshConfig = MeshConfig(), devices=None) -> Mesh:
     if num_seq > 1:
         shape.append(num_seq)
         names.append(cfg.seq_axis)
+    if num_model > 1:
+        shape.append(num_model)
+        names.append(cfg.model_axis)
     return Mesh(
         np.asarray(devices).reshape(shape),
         tuple(names),
@@ -74,8 +87,11 @@ def make_mesh(cfg: MeshConfig = MeshConfig(), devices=None) -> Mesh:
 
 def _data_axes(mesh: Mesh) -> tuple[str, ...]:
     """All mesh axes that shard the batch (dcn × data when 2-level); the
-    ``seq`` axis shards the audio frame axis instead, never the batch."""
-    return tuple(name for name in mesh.axis_names if name != SEQ_AXIS)
+    ``seq`` axis shards the audio frame axis and the ``model`` axis shards
+    TP weight matrices instead — never the batch."""
+    return tuple(
+        name for name in mesh.axis_names if name not in (SEQ_AXIS, MODEL_AXIS)
+    )
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -173,6 +189,64 @@ def shard_params(params: Any, mesh: Mesh) -> Any:
     values in multi-process runs — init is seed-deterministic)."""
     sh = replicated_sharding(mesh)
     return jax.tree.map(lambda x: _put_global(x, sh), params)
+
+
+def shard_frontend(fe_params: Any, mesh: Mesh, tp_vgg: bool = False) -> Any:
+    """Place frontend params; with ``tp_vgg`` the VGG classifier is
+    tensor-parallel over the mesh's ``model`` axis (SURVEY §3.3 TP row —
+    delivered as an option for the parameter-dominant stage).
+
+    The fc layers hold ~119M of VGG-16's ~134M params (fc1 25088×4096 =
+    102.8M, fc2 16.8M; the towers are ~10M and stay replicated — TP there
+    would trade negligible memory for collective latency). Megatron-style
+    split, pure GSPMD annotations (Auto axes, XLA inserts the collective):
+
+    - ``fc1_w [flat, fc]`` column-parallel → ``P(None, 'model')``,
+      ``fc1_b`` → ``P('model')``; the fc1→ReLU activation stays sharded
+      on its feature axis with no communication.
+    - ``fc2_w [fc, fc]`` row-parallel → ``P('model', None)``: the
+      contraction runs over the sharded axis and XLA all-reduces the
+      partial sums once, after fc2 — one collective for the whole
+      classifier.
+
+    Per-chip classifier weight memory and weight-streaming traffic drop
+    ``num_model``× (the fc GEMMs are weight-bound at serving batch sizes).
+    Everything else (convs, audio consts) replicates.
+    """
+    if not tp_vgg:
+        return shard_params(fe_params, mesh)
+    if MODEL_AXIS not in mesh.axis_names:
+        raise ValueError(
+            "tp_vgg needs a 'model' mesh axis: set MeshConfig.num_model > 1"
+        )
+    if not isinstance(fe_params, Mapping) or "vgg" not in fe_params:
+        raise ValueError(
+            "tp_vgg shards the VGG classifier but the frontend has no "
+            "'vgg' params (image tower disabled?)"
+        )
+    n = mesh.shape[MODEL_AXIS]
+    fc_dim = int(fe_params["vgg"]["fc1_w"].shape[1])
+    if fc_dim % n:
+        raise ValueError(
+            f"tp_vgg: fc_dim {fc_dim} must divide the model axis ({n}); "
+            f"pick num_model from the divisors of {fc_dim}"
+        )
+    tp_specs = {
+        "fc1_w": P(None, MODEL_AXIS),
+        "fc1_b": P(MODEL_AXIS),
+        "fc2_w": P(MODEL_AXIS, None),
+    }
+    rep = replicated_sharding(mesh)
+    out = jax.tree.map(lambda x: _put_global(x, rep), dict(fe_params))
+    out["vgg"] = {
+        k: _put_global(
+            fe_params["vgg"][k], NamedSharding(mesh, tp_specs.get(k, P()))
+        )
+        if k in tp_specs
+        else out["vgg"][k]
+        for k in fe_params["vgg"]
+    }
+    return out
 
 
 def initialize_distributed() -> bool:

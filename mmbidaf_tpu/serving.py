@@ -169,7 +169,21 @@ class Summarizer:
         self._mesh = None
         self._dp = bool(data_parallel)
         sp_on = cfg.mesh.sp_audio and cfg.model.use_audio
-        if sp_on or self._dp:
+        # MeshConfig.tp_vgg: VGG classifier tensor-parallel over the
+        # 'model' axis (fc1 column- / fc2 row-parallel, one all-reduce) —
+        # per-chip classifier weights shrink num_model×. Composes with DP.
+        tp_on = cfg.mesh.tp_vgg
+        if tp_on and not cfg.model.use_images:
+            raise ValueError(
+                "tp_vgg shards the VGG classifier but the image tower is "
+                "disabled (use_images=False)"
+            )
+        if tp_on and cfg.mesh.num_model <= 1:
+            raise ValueError(
+                "tp_vgg needs a model axis: set MeshConfig.num_model > 1 "
+                "(devices split as data x model)"
+            )
+        if sp_on or self._dp or tp_on:
             from mmbidaf_tpu.parallel import make_mesh
 
             self._mesh = make_mesh(cfg.mesh)
@@ -190,13 +204,22 @@ class Summarizer:
                     f"device(s): pass serve_batch_size as a multiple of {n} "
                     f"(got {serve_batch_size!r})"
                 )
-            from mmbidaf_tpu.parallel import shard_params
+            from mmbidaf_tpu.parallel import shard_frontend, shard_params
 
             self._dp_shards = n
             self.params = shard_params(self.params, self._mesh)
-            self.fe_params = shard_params(self.fe_params, self._mesh)
+            self.fe_params = shard_frontend(self.fe_params, self._mesh, tp_on)
         else:
             self._dp_shards = 1
+            if tp_on:
+                # TP without DP: the request batch replicates over the
+                # mesh (B=1 latency serving); towers replicate, the VGG
+                # classifier shards. Params must be committed so the jit
+                # program runs on the whole mesh.
+                from mmbidaf_tpu.parallel import shard_frontend, shard_params
+
+                self.params = shard_params(self.params, self._mesh)
+                self.fe_params = shard_frontend(self.fe_params, self._mesh, True)
         if sp_on:
             from mmbidaf_tpu.parallel.sp_tower import make_sp_audio_tower
 
@@ -292,14 +315,25 @@ class Summarizer:
         return cls(served, fe, word2idx, cfg, vgg_spec, **kw)
 
     @classmethod
-    def from_run(cls, run_dir: str, **kw):
+    def from_run(cls, run_dir: str, mesh_overrides: dict | None = None, **kw):
         """One-call serving from a ``train.py`` run directory: loads the
         saved config (incl. the VGG frontend variant), the persisted vocab
         (``vocab.json`` + ``emb.npz`` — the reference's serialized
-        word2idx/embedding artifacts), and the latest checkpoint."""
+        word2idx/embedding artifacts), and the latest checkpoint.
+
+        ``mesh_overrides`` replaces fields on the saved ``MeshConfig``
+        (e.g. ``{"tp_vgg": True, "num_model": 2}``) — serving hardware
+        rarely matches training hardware, so the parallelism layout is a
+        deploy-time choice, not a training artifact."""
         from mmbidaf_tpu.train.checkpoint import load_config
 
         cfg = load_config(run_dir)
+        if mesh_overrides:
+            import dataclasses
+
+            cfg = dataclasses.replace(
+                cfg, mesh=dataclasses.replace(cfg.mesh, **mesh_overrides)
+            )
         from mmbidaf_tpu.ops.vgg import TINY_SPEC, VGG16_SPEC
 
         vgg_spec = kw.pop(

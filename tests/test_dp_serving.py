@@ -139,6 +139,34 @@ def test_dp_dynamic_batcher(videos):
         DynamicBatcher(s_dp, max_batch_size=3)
 
 
+def test_dp_composes_with_tp_vgg(videos):
+    """DP × TP on one (data, model) mesh: the batch shards over 'data'
+    while the VGG classifier weights shard over 'model' (fc1 column- /
+    fc2 row-parallel, SURVEY §3.3 TP row) — outputs match plain serving."""
+    s_one = Summarizer.init_random(_cfg(), seed=9, vgg_spec=TINY_SPEC,
+                                   serve_batch_size=4)
+    s_tp = Summarizer.init_random(
+        _cfg(num_data=4, num_model=2, tp_vgg=True), seed=9,
+        vgg_spec=TINY_SPEC, serve_batch_size=4, data_parallel=True,
+    )
+    assert s_tp._dp_shards == 4  # batch shards over 'data' only, not 'model'
+    from jax.sharding import PartitionSpec as P
+
+    assert s_tp.fe_params["vgg"]["fc1_w"].sharding.spec == P(None, "model")
+    assert s_tp.summarize_batch(videos) == s_one.summarize_batch(videos)
+
+
+def test_tp_vgg_without_dp(videos):
+    """TP-only serving (latency mode): the request batch replicates over
+    the mesh, only the classifier weights shard."""
+    s_one = Summarizer.init_random(_cfg(), seed=9, vgg_spec=TINY_SPEC)
+    s_tp = Summarizer.init_random(
+        _cfg(num_data=1, num_model=2, tp_vgg=True), seed=9, vgg_spec=TINY_SPEC
+    )
+    assert s_tp._dp_shards == 1
+    assert s_tp.summarize(videos[0]) == s_one.summarize(videos[0])
+
+
 def test_dp_requires_divisible_static_batch():
     with pytest.raises(ValueError, match="multiple of 8"):
         Summarizer.init_random(_cfg(num_data=8), vgg_spec=TINY_SPEC,

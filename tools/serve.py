@@ -232,6 +232,15 @@ def main():
                     help="shard each device batch over the mesh's data axes "
                          "(all local chips); requires --serve_batch_size to "
                          "be a multiple of the device count")
+    ap.add_argument("--tp_vgg", type=int, choices=[0, 1], default=None,
+                    help="1: shard the VGG classifier tensor-parallel over "
+                         "the 'model' mesh axis (needs --num_model N > 1); "
+                         "0: force replicated weights even if the run "
+                         "config trained with tp_vgg. Composes with "
+                         "--data_parallel (devices split as data x model)")
+    ap.add_argument("--num_model", type=int, default=None,
+                    help="devices on the 'model' mesh axis (override the "
+                         "run config)")
     ap.add_argument("--jax_cache", default=None, metavar="DIR",
                     help="persistent compilation cache dir (default: repo "
                          ".jax_cache on TPU, off on CPU; '' = off) — makes "
@@ -247,7 +256,9 @@ def main():
         for flag, name in ((a.mode != "greedy", "--mode"),
                            (a.long, "--long"),
                            (a.data_parallel, "--data_parallel"),
-                           (a.serve_batch_size, "--serve_batch_size")):
+                           (a.serve_batch_size, "--serve_batch_size"),
+                           (a.tp_vgg is not None, "--tp_vgg"),
+                           (a.num_model is not None, "--num_model")):
             if flag:
                 ap.error(f"{name} is fixed at export time — re-export the "
                          "artifact (or serve interactively via --run_dir)")
@@ -295,10 +306,16 @@ def main():
                 ap.error(f"--warmup {a.warmup} != the artifact's pinned "
                          f"frame_hw {s.decoder.frame_hw}")
         else:
+            mesh_over = {}
+            if a.tp_vgg is not None:
+                mesh_over["tp_vgg"] = bool(a.tp_vgg)
+            if a.num_model is not None:
+                mesh_over["num_model"] = a.num_model
             s = Summarizer.from_run(
                 a.run_dir, mode=a.mode, topk=a.topk,
                 serve_batch_size=a.serve_batch_size,
                 data_parallel=a.data_parallel,
+                mesh_overrides=mesh_over or None,
             )
         # batcher BEFORE warmup: its constructor validates max_batch_size
         # against the DP shard count — fail fast instead of paying a

@@ -113,6 +113,13 @@ def parse_args():
                     help="route the audio tower through the sequence-parallel "
                          "chain (SP-MFCC -> SP-BiLSTM -> ring BiDAF) over the "
                          "seq axis; needs --data_dir raw batches")
+    ap.add_argument("--num_model", type=int, default=1,
+                    help="devices on the 'model' mesh axis (VGG-classifier "
+                         "tensor parallelism); batch shards over the rest")
+    ap.add_argument("--tp_vgg", action="store_true",
+                    help="shard the VGG classifier tensor-parallel over the "
+                         "model axis (fc1 column- / fc2 row-parallel); needs "
+                         "--data_dir raw batches and --num_model N > 1")
     ap.add_argument("--config_json", default=None, help="full Config overlay")
     ap.add_argument("--jax_cache", default=None, metavar="DIR",
                     help="persistent compilation cache dir (default: repo "
@@ -124,7 +131,7 @@ def parse_args():
 
 _MODEL_KEYS = ("hidden_size", "drop_prob", "max_decode_steps")
 _DATA_KEYS = ("max_sentences", "max_words")
-_MESH_KEYS = ("num_seq", "sp_audio")
+_MESH_KEYS = ("num_seq", "sp_audio", "num_model", "tp_vgg")
 _TRAIN_KEYS = (
     "batch_size", "lr", "optimizer", "max_grad_norm", "grad_accum_steps",
     "ema_decay", "l2_wd",
@@ -171,7 +178,8 @@ def build_config(a, defaults):
             cfg.data, max_sentences=a.max_sentences, max_words=a.max_words
         ),
         mesh=dataclasses.replace(
-            cfg.mesh, num_seq=a.num_seq, sp_audio=a.sp_audio
+            cfg.mesh, num_seq=a.num_seq, sp_audio=a.sp_audio,
+            num_model=a.num_model, tp_vgg=a.tp_vgg,
         ),
         train=dataclasses.replace(
             cfg.train,
@@ -278,6 +286,23 @@ def main():
         from mmbidaf_tpu.parallel.sp_tower import make_sp_audio_tower
 
         audio_g_fn = make_sp_audio_tower(mesh, cfg)
+    if cfg.mesh.tp_vgg:
+        # Tensor-parallel VGG classifier (SURVEY §3.3 TP row): the frozen
+        # frontend's fc weights shard over the 'model' axis. Only meaningful
+        # when the frontend runs inside the train step (raw batches).
+        if not a.data_dir:
+            raise SystemExit(
+                "--tp_vgg shards the frontend's VGG classifier: pass "
+                "--data_dir (the synthetic stream carries precomputed "
+                "image features, no VGG in the step)"
+            )
+        if not cfg.model.use_images:
+            raise SystemExit("--tp_vgg requires the image tower (drop --no_images)")
+        if cfg.mesh.num_model <= 1:
+            raise SystemExit(
+                "--tp_vgg needs a model axis: pass --num_model N > 1 "
+                "(devices split as data x model)"
+            )
 
     np_rng = np.random.default_rng(cfg.train.seed)
     fe_params = None
@@ -439,12 +464,16 @@ def main():
             stream_factory = lambda skip=0: batched_iterator(  # noqa: E731
                 corpus, cfg.train.batch_size, cfg.train.seed, skip=skip
             )
-        # Replicate the frozen frontend over the mesh: as a jit closure
-        # constant it must live on the same device set as the params, or
-        # jit rejects the mixed placement.
-        fe_params = shard_params(
+        # Place the frozen frontend over the mesh (replicated; under
+        # --tp_vgg the VGG classifier shards over the 'model' axis): as a
+        # jit closure constant it must live on the same device set as the
+        # params, or jit rejects the mixed placement.
+        from mmbidaf_tpu.parallel import shard_frontend
+
+        fe_params = shard_frontend(
             frontend_init(jax.random.key(cfg.train.seed + 2), cfg, vgg_spec=vgg_spec),
             mesh,
+            tp_vgg=cfg.mesh.tp_vgg,
         )
     else:
         wv = random_word_vectors(np_rng, cfg.data.vocab_size, cfg.model.emb_dim)
