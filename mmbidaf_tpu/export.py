@@ -21,10 +21,13 @@ The exported program takes ``(*weight_leaves, *raw_leaves)`` as a FLAT
 argument list — no pytree-structure serialization problem — and returns
 ``(log_p, picks)`` exactly like ``make_end_to_end_decode``'s jitted fn.
 
-Scope: the deterministic greedy path, single-device or data-parallel. A
-``data_parallel=True`` Summarizer exports the GSPMD-sharded program: the
-manifest records the mesh, and the loader rebuilds an identically-shaped
-mesh from the serving host's local devices (device count is validated).
+Scope: the deterministic greedy path — single-device, data-parallel,
+tensor-parallel (``MeshConfig.tp_vgg``), or DP × TP. A mesh-backed
+Summarizer exports the GSPMD-sharded program: the manifest records the
+mesh plus per-leaf weight PartitionSpecs (tp_vgg's sharded VGG classifier
+stays sharded through the artifact), and the loader rebuilds an
+identically-shaped mesh from the serving host's local devices (device
+count is validated).
 Stochastic top-k (carries an rng stream), beam (decode-mode flag), and
 ``sp_audio`` (shard_map chains) raise at export time — their value is
 interactive serving, which `Summarizer` already covers.
@@ -106,24 +109,34 @@ def export_summarizer(
             " are not exportable; export a non-SP Summarizer"
         )
     mesh_meta = None
-    if summ._dp:
-        # Data-parallel export: freeze the GSPMD-sharded program. The
-        # artifact records the mesh (axis names + shape); the serving host
-        # rebuilds an identically-shaped mesh from its local devices —
-        # jax.export validates the device count at call time.
-        if batch_size % summ._dp_shards != 0:
-            raise ValueError(
-                f"data_parallel export shards the batch over"
-                f" {summ._dp_shards} devices: batch_size must be a multiple"
-                f" (got {batch_size})"
-            )
+    if summ._dp and batch_size % summ._dp_shards != 0:
+        raise ValueError(
+            f"data_parallel export shards the batch over"
+            f" {summ._dp_shards} devices: batch_size must be a multiple"
+            f" (got {batch_size})"
+        )
+    if summ._mesh is not None:
+        # Sharded export (data-parallel, tensor-parallel tp_vgg, or both):
+        # freeze the GSPMD-sharded program. The artifact records the mesh
+        # (axis names + shape) plus the batch axes and PER-LEAF weight
+        # PartitionSpecs (tp_vgg shards the VGG classifier; everything else
+        # is replicated); the serving host rebuilds an identically-shaped
+        # mesh from its local devices — jax.export validates the device
+        # count at call time.
         from mmbidaf_tpu.parallel.mesh import _data_axes
 
         mesh = summ._mesh
+        data_axes = list(_data_axes(mesh))
+        n_batch = int(np.prod([mesh.shape[a] for a in data_axes]))
+        # TP-only latency artifacts (no --data_parallel) may pin a batch
+        # the data axes don't divide — replicate the batch in the program
+        # instead of failing (the DP divisibility error above still guards
+        # the explicitly data-parallel case).
+        batch_axes = data_axes if batch_size % n_batch == 0 else []
         mesh_meta = {
             "axis_names": list(mesh.axis_names),
             "shape": [int(mesh.shape[a]) for a in mesh.axis_names],
-            "batch_axes": list(_data_axes(mesh)),
+            "batch_axes": batch_axes,
         }
 
     p_leaves, p_def = jax.tree_util.tree_flatten(summ.params)
@@ -138,13 +151,28 @@ def export_summarizer(
         return decode(params, fe, raw)
 
     specs = _raw_specs(summ.cfg, batch_size, frame_hw)
-    if summ._dp:
-        from mmbidaf_tpu.parallel.mesh import batch_sharding, replicated_sharding
+    weight_pspecs = None
+    if summ._mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
 
-        rep, bsh = replicated_sharding(summ._mesh), batch_sharding(summ._mesh)
+        mesh = summ._mesh
+        bsh = NamedSharding(mesh, PartitionSpec(tuple(batch_axes)))
+
+        def leaf_pspec(x):
+            # each weight leaf keeps the sharding the Summarizer committed
+            # it with (tp_vgg: fc1/fc2 over 'model'; everything else P())
+            sh = getattr(x, "sharding", None)
+            if (isinstance(sh, NamedSharding)
+                    and sh.mesh.axis_names == mesh.axis_names):
+                return sh.spec
+            return jax.sharding.PartitionSpec()
+
+        weight_pspecs = [leaf_pspec(x) for x in p_leaves + fe_leaves]
         weight_specs = [
-            jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=rep)
-            for x in p_leaves + fe_leaves
+            jax.ShapeDtypeStruct(
+                x.shape, x.dtype, sharding=NamedSharding(mesh, ps)
+            )
+            for x, ps in zip(p_leaves + fe_leaves, weight_pspecs)
         ]
         raw_arg_specs = [
             jax.ShapeDtypeStruct(specs[k].shape, specs[k].dtype, sharding=bsh)
@@ -208,6 +236,12 @@ def export_summarizer(
         ],
         "outputs": ["log_p", "picks"],
         "mesh": mesh_meta,  # null = single-device program
+        # per-leaf PartitionSpecs (entries: null | axis | [axes]); null =
+        # all-replicated weights (pre-tp_vgg artifacts load the same way)
+        "weight_pspecs": None if weight_pspecs is None else [
+            [list(e) if isinstance(e, (tuple, list)) else e for e in ps]
+            for ps in weight_pspecs
+        ],
     }
     with open(os.path.join(out_dir, _MANIFEST), "w") as f:
         json.dump(manifest, f, indent=1)
@@ -250,11 +284,13 @@ class ExportedDecoder:
                 )
         with open(os.path.join(artifact_dir, _PROGRAM), "rb") as f:
             self._exported = jax.export.deserialize(f.read())
-        # Data-parallel artifacts record the exporting mesh; rebuild an
-        # identically-shaped mesh from local devices and place weights
-        # (replicated) / raw inputs (batch-sharded) on it. Shardings are
-        # constructed inline: the loader stays jax+numpy-only.
-        self._rep = self._bsh = None
+        # Sharded artifacts (DP and/or tp_vgg) record the exporting mesh;
+        # rebuild an identically-shaped mesh from local devices and place
+        # weights per the manifest's per-leaf PartitionSpecs (tp_vgg shards
+        # the VGG classifier; older/plain-DP manifests carry null = all
+        # replicated) / raw inputs batch-sharded. Shardings are constructed
+        # inline: the loader stays jax+numpy-only.
+        self._rep = self._bsh = self._wshs = None
         mesh_meta = self.manifest.get("mesh")
         if mesh_meta is not None:
             from jax.sharding import (
@@ -278,6 +314,14 @@ class ExportedDecoder:
             self._bsh = NamedSharding(
                 mesh, PartitionSpec(tuple(mesh_meta["batch_axes"]))
             )
+            pspecs = self.manifest.get("weight_pspecs")
+            if pspecs is not None:
+                self._wshs = [
+                    NamedSharding(mesh, PartitionSpec(*[
+                        tuple(e) if isinstance(e, list) else e for e in ps
+                    ]))
+                    for ps in pspecs
+                ]
         npz = np.load(os.path.join(artifact_dir, _WEIGHTS))
         n = self.manifest["n_weight_leaves"]
         dtypes = self.manifest["weight_dtypes"]
@@ -285,7 +329,10 @@ class ExportedDecoder:
             jnp.asarray(npz[f"w{i:05d}"]).astype(dtypes[i]) for i in range(n)
         ]
         if self._rep is not None:
-            self._weights = [jax.device_put(w, self._rep) for w in self._weights]
+            shs = self._wshs or [self._rep] * n
+            self._weights = [
+                jax.device_put(w, sh) for w, sh in zip(self._weights, shs)
+            ]
         self.batch_size = self.manifest["batch_size"]
         self.frame_hw = tuple(self.manifest["frame_hw"])
 

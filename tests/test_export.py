@@ -14,7 +14,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from mmbidaf_tpu.config import tiny_test_config
+from mmbidaf_tpu.config import MeshConfig, tiny_test_config
 from mmbidaf_tpu.export import (
     ExportedDecoder,
     ExportedSummarizer,
@@ -305,6 +305,68 @@ def test_data_parallel_export_matches_single_device(artifact, tmp_path, rng):
     with pytest.raises(ValueError, match="multiple"):
         export_summarizer(dp, str(tmp_path / "x"), batch_size=3,
                           frame_hw=(12, 16))
+
+
+def test_tp_vgg_export_matches_single_device(artifact, tmp_path, rng):
+    """A DP × TP (MeshConfig.tp_vgg) Summarizer exports with per-leaf
+    PartitionSpecs: the reloaded artifact keeps the VGG classifier sharded
+    over 'model' and reproduces the single-device picks."""
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    _, summ = artifact
+    cfg_tp = dataclasses.replace(
+        summ.cfg, mesh=MeshConfig(num_data=4, num_model=2, tp_vgg=True)
+    )
+    tp = Summarizer.init_random(cfg_tp, seed=3, vgg_spec=TINY_SPEC,
+                                data_parallel=True, serve_batch_size=8)
+    out = str(tmp_path / "tp_art")
+    export_summarizer(tp, out, batch_size=8, frame_hw=(12, 16))
+    with open(os.path.join(out, "manifest.json")) as f:
+        m = json.load(f)
+    assert m["mesh"]["axis_names"] == ["data", "model"]
+    assert m["mesh"]["batch_axes"] == ["data"]
+    pspecs = m["weight_pspecs"]
+    assert pspecs is not None
+    sharded = [ps for ps in pspecs if any(e is not None for e in ps)]
+    assert len(sharded) == 3  # fc1_w (col), fc1_b, fc2_w (row)
+
+    dec = ExportedDecoder(out)
+    n_sharded = sum(
+        0 if w.sharding.is_fully_replicated else 1 for w in dec._weights
+    )
+    assert n_sharded == 3
+    raw = random_raw(summ.cfg, rng, batch=8, frame_hw=(12, 16))
+    _, picks = dec.decode_raw(raw)
+    _, single = summ._decode(
+        summ.params, summ.fe_params, {k: jnp.asarray(v) for k, v in raw.items()}
+    )
+    np.testing.assert_array_equal(picks, np.asarray(single))
+
+
+def test_tp_only_export_replicates_indivisible_batch(artifact, tmp_path, rng):
+    """A TP-only (no data_parallel) Summarizer with B=1 exports a program
+    whose batch replicates over the mesh (1 % num_data != 0 must not fail)
+    and still matches single-device picks."""
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    _, summ = artifact
+    cfg_tp = dataclasses.replace(
+        summ.cfg, mesh=MeshConfig(num_data=4, num_model=2, tp_vgg=True)
+    )
+    tp = Summarizer.init_random(cfg_tp, seed=3, vgg_spec=TINY_SPEC)
+    out = str(tmp_path / "tp_b1_art")
+    export_summarizer(tp, out, batch_size=1, frame_hw=(12, 16))
+    with open(os.path.join(out, "manifest.json")) as f:
+        m = json.load(f)
+    assert m["mesh"]["batch_axes"] == []  # replicated batch
+
+    dec = ExportedDecoder(out)
+    raw = random_raw(summ.cfg, rng, batch=1, frame_hw=(12, 16))
+    _, picks = dec.decode_raw(raw)
+    _, single = summ._decode(
+        summ.params, summ.fe_params, {k: jnp.asarray(v) for k, v in raw.items()}
+    )
+    np.testing.assert_array_equal(picks, np.asarray(single))
 
 
 def test_data_parallel_artifact_fresh_process(artifact, tmp_path, rng):

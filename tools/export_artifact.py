@@ -41,6 +41,14 @@ def main() -> None:
                          " this process's device mesh (--batch must be a"
                          " multiple of the device count); the serving host"
                          " must present an identically-shaped mesh")
+    ap.add_argument("--tp_vgg", type=int, choices=[0, 1], default=None,
+                    help="1: shard the VGG classifier tensor-parallel over"
+                         " the 'model' mesh axis in the exported program"
+                         " (needs --num_model N > 1; composes with"
+                         " --data_parallel); 0: force replicated weights")
+    ap.add_argument("--num_model", type=int, default=None,
+                    help="devices on the 'model' mesh axis (override the"
+                         " run config)")
     ap.add_argument("--vgg", choices=["vgg16", "tiny"], default=None,
                     help="frontend variant for --random (run_dir uses the"
                          " run's saved config)")
@@ -59,8 +67,15 @@ def main() -> None:
         {"data_parallel": True, "serve_batch_size": a.batch}
         if a.data_parallel else {}
     )
+    mesh_over = {}
+    if a.tp_vgg is not None:
+        mesh_over["tp_vgg"] = bool(a.tp_vgg)
+    if a.num_model is not None:
+        mesh_over["num_model"] = a.num_model
     if a.run_dir:
-        summ = Summarizer.from_run(a.run_dir, **dp_kw)
+        summ = Summarizer.from_run(
+            a.run_dir, mesh_overrides=mesh_over or None, **dp_kw
+        )
     else:
         import dataclasses
 
@@ -79,6 +94,10 @@ def main() -> None:
             spec = TINY_SPEC
         else:
             cfg, spec = Config(), VGG16_SPEC
+        if mesh_over:
+            cfg = dataclasses.replace(
+                cfg, mesh=dataclasses.replace(cfg.mesh, **mesh_over)
+            )
         summ = Summarizer.init_random(cfg, seed=0, vgg_spec=spec, **dp_kw)
 
     export_summarizer(summ, a.out, batch_size=a.batch, frame_hw=(h, w),
