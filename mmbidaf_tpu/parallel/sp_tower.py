@@ -42,16 +42,19 @@ def sp_axes(mesh: Mesh, cfg: Config) -> tuple[str, tuple[str, ...] | None]:
 
     The seq axis is ``cfg.mesh.seq_axis`` when the mesh has one (the
     DP × SP product), else the mesh's last axis (a pure-SP serving mesh
-    built by hand). The batch axes are EVERY other >1-wide axis — on a
+    built by hand). The batch axes are EVERY other >1-wide axis EXCEPT the
+    TP ``model`` axis (it shards weights, never the batch) — on a
     multi-host ``('dcn', 'data', 'seq')`` mesh the batch dim is sharded
     over ``('dcn', 'data')`` (same rule as ``parallel.mesh._data_axes``);
     naming only ``data`` would silently all-gather the batch across hosts
-    at the shard_map boundary.
+    at the shard_map boundary, and naming ``model`` would demand a batch
+    divisible by axes that don't carry it.
     """
     m = cfg.mesh
     seq = m.seq_axis if m.seq_axis in mesh.axis_names else mesh.axis_names[-1]
     batch = tuple(
-        a for a in mesh.axis_names if a != seq and mesh.shape[a] > 1
+        a for a in mesh.axis_names
+        if a not in (seq, m.model_axis) and mesh.shape[a] > 1
     )
     return seq, (batch or None)
 

@@ -167,6 +167,30 @@ def test_tp_vgg_without_dp(videos):
     assert s_tp.summarize(videos[0]) == s_one.summarize(videos[0])
 
 
+def test_dp_sp_tp_three_axis_mesh(videos):
+    """All three parallelism flags on ONE (data, seq, model) mesh: batch
+    over 'data', audio frames over 'seq' (SP chain), VGG classifier over
+    'model' (TP) — outputs still match plain single-device serving."""
+    def pad_aud(cfg):  # seq axis needs a divisible frame bucket
+        return dataclasses.replace(
+            cfg, data=dataclasses.replace(cfg.data, max_audio_frames=16)
+        )
+
+    s_local = Summarizer.init_random(pad_aud(_cfg()), seed=12,
+                                     vgg_spec=TINY_SPEC, serve_batch_size=2)
+    s_all = Summarizer.init_random(
+        pad_aud(_cfg(num_data=2, num_seq=2, sp_audio=True,
+                     num_model=2, tp_vgg=True)),
+        seed=12, vgg_spec=TINY_SPEC, serve_batch_size=2, data_parallel=True,
+    )
+    assert s_all._mesh.axis_names == ("data", "seq", "model")
+    assert s_all._audio_g_fn is not None and s_all._dp_shards == 2
+    from jax.sharding import PartitionSpec as P
+
+    assert s_all.fe_params["vgg"]["fc2_w"].sharding.spec == P("model", None)
+    assert s_all.summarize_batch(videos) == s_local.summarize_batch(videos)
+
+
 def test_dp_requires_divisible_static_batch():
     with pytest.raises(ValueError, match="multiple of 8"):
         Summarizer.init_random(_cfg(num_data=8), vgg_spec=TINY_SPEC,
