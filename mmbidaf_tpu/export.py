@@ -49,7 +49,13 @@ _PROGRAM = "decode.jaxexport"
 _WEIGHTS = "weights.npz"
 _CONFIG = "config.json"
 _VOCAB = "vocab.json"
+# v1: replicated weights (single-device / plain DP). v2: the manifest's
+# weight_pspecs carry SHARDED leaves (tp_vgg) that the loader must honor —
+# written only for such artifacts, so a v1-only loader refuses them loudly
+# instead of placing TP weights replicated and failing inside exported.call.
 _FORMAT_VERSION = 1
+_FORMAT_VERSION_TP = 2
+_SUPPORTED_VERSIONS = (1, 2)
 
 # Raw-input call order is pinned by the manifest, not by dict iteration.
 _RAW_KEYS = (
@@ -123,11 +129,11 @@ def export_summarizer(
         # is replicated); the serving host rebuilds an identically-shaped
         # mesh from its local devices — jax.export validates the device
         # count at call time.
-        from mmbidaf_tpu.parallel.mesh import _data_axes
+        from mmbidaf_tpu.parallel.mesh import _data_axes, data_shard_count
 
         mesh = summ._mesh
         data_axes = list(_data_axes(mesh))
-        n_batch = int(np.prod([mesh.shape[a] for a in data_axes]))
+        n_batch = data_shard_count(mesh)
         # TP-only latency artifacts (no --data_parallel) may pin a batch
         # the data axes don't divide — replicate the batch in the program
         # instead of failing (the DP divisibility error above still guards
@@ -155,8 +161,11 @@ def export_summarizer(
     if summ._mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
 
+        from mmbidaf_tpu.parallel.mesh import batch_sharding
+
         mesh = summ._mesh
-        bsh = NamedSharding(mesh, PartitionSpec(tuple(batch_axes)))
+        bsh = (batch_sharding(mesh) if batch_axes
+               else NamedSharding(mesh, PartitionSpec(())))
 
         def leaf_pspec(x):
             # each weight leaf keeps the sharding the Summarizer committed
@@ -213,8 +222,11 @@ def export_summarizer(
                 h.update(block)
         return h.hexdigest()
 
+    tp_sharded = any(
+        any(e is not None for e in ps) for ps in (weight_pspecs or [])
+    )
     manifest = {
-        "format_version": _FORMAT_VERSION,
+        "format_version": _FORMAT_VERSION_TP if tp_sharded else _FORMAT_VERSION,
         "jax_version": jax.__version__,
         # weights and program are opaque binaries with no internal check of
         # their own pairing — a swapped/corrupted/partially-copied file must
@@ -262,10 +274,10 @@ class ExportedDecoder:
     def __init__(self, artifact_dir: str):
         with open(os.path.join(artifact_dir, _MANIFEST)) as f:
             self.manifest = json.load(f)
-        if self.manifest["format_version"] != _FORMAT_VERSION:
+        if self.manifest["format_version"] not in _SUPPORTED_VERSIONS:
             raise ValueError(
-                f"artifact format {self.manifest['format_version']} !="
-                f" supported {_FORMAT_VERSION}"
+                f"artifact format {self.manifest['format_version']} not in"
+                f" supported {_SUPPORTED_VERSIONS}"
             )
         import hashlib
 

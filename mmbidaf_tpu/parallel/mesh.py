@@ -94,6 +94,12 @@ def _data_axes(mesh: Mesh) -> tuple[str, ...]:
     )
 
 
+def data_shard_count(mesh: Mesh) -> int:
+    """Number of ways the batch dim shards on this mesh (product of the
+    data axes; ``seq``/``model`` never carry the batch)."""
+    return int(np.prod([mesh.shape[a] for a in _data_axes(mesh)], dtype=int))
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard dim 0 (batch) over every mesh axis; other dims replicated."""
     return NamedSharding(mesh, P(_data_axes(mesh)))
@@ -140,7 +146,7 @@ def local_batch_rows(mesh: Mesh, batch_size: int) -> np.ndarray | None:
     """
     if jax.process_count() == 1:
         return None
-    n = int(np.prod([mesh.shape[a] for a in _data_axes(mesh)]))
+    n = data_shard_count(mesh)
     if batch_size % n:
         return None  # shard_batch will replicate: all rows needed
     sh = batch_sharding(mesh)
@@ -167,7 +173,7 @@ def shard_batch(batch: Mapping[str, Any], mesh: Mesh) -> dict:
 
     sh = batch_sharding(mesh)
     rep = replicated_sharding(mesh)
-    n = int(np.prod([mesh.shape[a] for a in _data_axes(mesh)]))
+    n = data_shard_count(mesh)
 
     def place(k, v):
         v = jnp.asarray(v) if not hasattr(v, "shape") else v
@@ -228,7 +234,7 @@ def shard_frontend(fe_params: Any, mesh: Mesh, tp_vgg: bool = False) -> Any:
     fc_dim = int(fe_params["vgg"]["fc1_w"].shape[1])
     if fc_dim % n:
         raise ValueError(
-            f"tp_vgg: fc_dim {fc_dim} must divide the model axis ({n}); "
+            f"tp_vgg: the model axis ({n}) must divide fc_dim {fc_dim}; "
             f"pick num_model from the divisors of {fc_dim}"
         )
     tp_specs = {
@@ -237,14 +243,19 @@ def shard_frontend(fe_params: Any, mesh: Mesh, tp_vgg: bool = False) -> Any:
         "fc2_w": P(MODEL_AXIS, None),
     }
     rep = replicated_sharding(mesh)
-    out = jax.tree.map(lambda x: _put_global(x, rep), dict(fe_params))
+    # ONE placement per leaf: the fc leaves must never be uploaded
+    # replicated first (a full-classifier HBM spike + wasted H2D of the
+    # very weights tp_vgg exists to split).
+    out = {
+        k: jax.tree.map(lambda x: _put_global(x, rep), sub)
+        for k, sub in fe_params.items()
+        if k != "vgg"
+    }
     out["vgg"] = {
-        k: _put_global(
-            fe_params["vgg"][k], NamedSharding(mesh, tp_specs.get(k, P()))
-        )
+        k: _put_global(v, NamedSharding(mesh, tp_specs[k]))
         if k in tp_specs
-        else out["vgg"][k]
-        for k in fe_params["vgg"]
+        else jax.tree.map(lambda x: _put_global(x, rep), v)
+        for k, v in fe_params["vgg"].items()
     }
     return out
 

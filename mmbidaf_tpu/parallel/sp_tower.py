@@ -51,7 +51,18 @@ def sp_axes(mesh: Mesh, cfg: Config) -> tuple[str, tuple[str, ...] | None]:
     divisible by axes that don't carry it.
     """
     m = cfg.mesh
-    seq = m.seq_axis if m.seq_axis in mesh.axis_names else mesh.axis_names[-1]
+    if m.seq_axis in mesh.axis_names:
+        seq = m.seq_axis
+    elif m.model_axis in mesh.axis_names:
+        # the last-axis fallback would silently repurpose the TP weight
+        # axis as sequence parallelism (audio frames shard_mapped over
+        # weight shards) — demand an explicit seq axis instead
+        raise ValueError(
+            "sp_audio on a mesh with a 'model' (TP) axis needs an explicit"
+            " 'seq' axis: set MeshConfig.num_seq > 1"
+        )
+    else:
+        seq = mesh.axis_names[-1]
     batch = tuple(
         a for a in mesh.axis_names
         if a not in (seq, m.model_axis) and mesh.shape[a] > 1

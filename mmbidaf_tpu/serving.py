@@ -195,9 +195,9 @@ class Summarizer:
             # Static shapes stay the rule, so a divisible serve_batch_size
             # is required: shard_batch silently REPLICATES non-divisible
             # batches (correct but n× slower), which would defeat the flag.
-            from mmbidaf_tpu.parallel.mesh import _data_axes
+            from mmbidaf_tpu.parallel.mesh import data_shard_count
 
-            n = int(np.prod([self._mesh.shape[a] for a in _data_axes(self._mesh)]))
+            n = data_shard_count(self._mesh)
             if serve_batch_size is None or serve_batch_size % n != 0:
                 raise ValueError(
                     f"data_parallel serving shards the batch over {n} "

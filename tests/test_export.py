@@ -325,6 +325,8 @@ def test_tp_vgg_export_matches_single_device(artifact, tmp_path, rng):
         m = json.load(f)
     assert m["mesh"]["axis_names"] == ["data", "model"]
     assert m["mesh"]["batch_axes"] == ["data"]
+    # TP-sharded weights bump the format so a pre-TP loader refuses loudly
+    assert m["format_version"] == 2
     pspecs = m["weight_pspecs"]
     assert pspecs is not None
     sharded = [ps for ps in pspecs if any(e is not None for e in ps)]

@@ -187,6 +187,21 @@ def test_summarizer_tp_validation():
         Summarizer.init_random(flat, vgg_spec=TINY_SPEC)
 
 
+def test_sp_audio_with_tp_needs_explicit_seq_axis():
+    """sp_audio + a 'model' axis but num_seq=1: the pure-SP last-axis
+    fallback would shard audio frames over the TP weight axis — it must
+    raise instead (train.py guards this; sp_axes now guards serving too)."""
+    from mmbidaf_tpu.parallel.sp_tower import sp_axes
+
+    cfg = dataclasses.replace(
+        _cfg(), mesh=MeshConfig(num_data=4, num_model=2,
+                                tp_vgg=True, sp_audio=True)
+    )
+    mesh = make_mesh(cfg.mesh)
+    with pytest.raises(ValueError, match="num_seq"):
+        sp_axes(mesh, cfg)
+
+
 def test_from_run_mesh_overrides(tmp_path):
     """from_run(mesh_overrides=...) rewrites the saved MeshConfig — the
     deploy-time knob tools/serve.py's --tp_vgg/--num_model ride on. A run
