@@ -273,6 +273,121 @@ def run_sp_train_steps(n_steps: int = 3):
     return losses
 
 
+def run_tp_train_steps(n_steps: int = 3):
+    """DP × TP across "hosts": the tp_vgg frontend (VGG classifier sharded
+    over 'model') on a 2x2x2 ('dcn','data','model') mesh — the batch dim
+    sharded over dcn × data, the fc weights over model (each process
+    uploads only its local weight shards via _put_global). Run by the
+    in-process 8-device parent (reference) and by each process of the
+    two-process rendezvous; loss trajectories must match."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mmbidaf_tpu.config import MeshConfig, tiny_test_config
+    from mmbidaf_tpu.data.frontend import frontend_init
+    from mmbidaf_tpu.data.synthetic import random_word_vectors
+    from mmbidaf_tpu.models.mmbidaf import mmbidaf_init
+    from mmbidaf_tpu.ops.vgg import TINY_SPEC
+    from mmbidaf_tpu.parallel import (
+        make_mesh, shard_batch, shard_frontend, shard_params,
+    )
+    from mmbidaf_tpu.train.loop import init_train_state, make_train_step
+
+    cfg = tiny_test_config()
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(
+            cfg.model, img_feat_dim=32, audio_feat_dim=cfg.data.n_mfcc,
+            drop_prob=0.0,
+        ),
+        train=dataclasses.replace(cfg.train, batch_size=8),
+        mesh=MeshConfig(num_dcn=2, num_data=2, num_model=2, tp_vgg=True),
+    )
+    mesh = make_mesh(cfg.mesh)
+    rng = np.random.default_rng(0)
+    d = cfg.data
+    wv = random_word_vectors(rng, d.vocab_size, cfg.model.emb_dim)
+    params = mmbidaf_init(jax.random.key(0), cfg, jnp.asarray(wv))
+    fe = frontend_init(jax.random.key(1), cfg, vgg_spec=TINY_SPEC)
+    state = shard_params(init_train_state(jax.random.key(2), params, cfg), mesh)
+    fe = shard_frontend(fe, mesh, tp_vgg=True)
+    train_step = make_train_step(cfg, fe_params=fe, vgg_spec=TINY_SPEC)
+
+    B = cfg.train.batch_size
+    n_samples = d.max_audio_frames * d.hop_length + d.win_length
+    losses = []
+    for _ in range(n_steps):
+        nb = {
+            "text_ids": rng.integers(
+                2, d.vocab_size, (B, d.max_sentences, d.max_words)
+            ).astype(np.int32),
+            "word_mask": np.ones((B, d.max_sentences, d.max_words), np.float32),
+            "sent_mask": np.ones((B, d.max_sentences), np.float32),
+            "frames": (rng.random((B, d.max_keyframes, 24, 20, 3)) * 255
+                       ).astype(np.uint8),
+            "img_mask": np.ones((B, d.max_keyframes), np.float32),
+            "waveform": (rng.standard_normal((B, n_samples)) * 0.1
+                         ).astype(np.float32),
+            "aud_mask": np.ones((B, d.max_audio_frames), np.float32),
+            "targets": np.stack(
+                [rng.permutation(d.max_sentences)[: cfg.model.max_decode_steps]
+                 for _ in range(B)]
+            ).astype(np.int32),
+            "target_mask": np.ones((B, cfg.model.max_decode_steps), np.float32),
+        }
+        batch = shard_batch(nb, mesh)
+        state, metrics = train_step(state, batch)
+        losses.append(float(jax.device_get(metrics["loss"])))
+    return losses
+
+
+_TP_TRAIN_WORKER = """
+import json, sys
+sys.path.insert(0, __REPO__)
+sys.path.insert(0, __REPO__ + "/tests")
+import jax
+from mmbidaf_tpu.parallel import initialize_distributed
+
+assert initialize_distributed(), "coordinator env vars not picked up"
+assert jax.device_count() == 8 and jax.local_device_count() == 4
+from test_multihost import run_tp_train_steps
+
+print("LOSSES", json.dumps(run_tp_train_steps()), flush=True)
+"""
+
+
+@pytest.mark.skipif(
+    not os.environ.get("MMB_MULTIHOST"),
+    reason="two-process DP x TP train parity; run with MMB_MULTIHOST=1",
+)
+def test_two_process_tp_train_parity(tmp_path):
+    """tp_vgg training across two processes == the same steps in-process:
+    multi-host DP × tensor parallelism (each host uploads only its shards
+    of the 'model'-sharded classifier)."""
+    import json
+
+    import numpy as np
+
+    script = tmp_path / "tp_train_worker.py"
+    script.write_text(_TP_TRAIN_WORKER.replace("__REPO__", repr(REPO)))
+    outs = _spawn_two({pid: [sys.executable, str(script)] for pid in range(2)},
+                      timeout=600)
+
+    got = []
+    for out in outs:
+        line = [ln for ln in out.splitlines() if ln.startswith("LOSSES ")]
+        assert line, out[-3000:]
+        got.append(json.loads(line[-1][len("LOSSES "):]))
+    assert got[0] == got[1], "hosts disagree on the replicated loss"
+
+    want = run_tp_train_steps()
+    assert len(want) == len(got[0]) and all(np.isfinite(want))
+    np.testing.assert_allclose(got[0], want, rtol=2e-5, atol=1e-6)
+
+
 _SP_TRAIN_WORKER = """
 import json, sys
 sys.path.insert(0, __REPO__)
