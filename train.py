@@ -253,18 +253,8 @@ def main():
             def close(self): pass
         logger = tb = _NullSink()
 
-    mesh = make_mesh(cfg.mesh)
-    say(f"devices: {jax.device_count()} ({jax.default_backend()})"
-        + (f" across {jax.process_count()} hosts" if distributed else "")
-        + f", mesh: {mesh}")
-
-    audio_g_fn = None
-    # multi-host local decode: the global batch rows THIS host's devices
-    # own (None single-process = decode everything). Drives the bucketed
-    # train stream and the eval featurization assembly below.
-    from mmbidaf_tpu.parallel import local_batch_rows
-
-    local_rows = local_batch_rows(mesh, cfg.train.batch_size)
+    # Flag validation BEFORE mesh construction: a wrong device count would
+    # otherwise surface as a mesh-shape error instead of the actionable fix.
     if cfg.mesh.sp_audio:
         # Sequence-parallel audio tower (SURVEY §3.3 SP row): frame axis
         # sharded over the 'seq' mesh axis, never gathered.
@@ -283,9 +273,6 @@ def main():
                 "--sp_audio needs a sequence axis: pass --num_seq N > 1 "
                 "(devices split as data x seq)"
             )
-        from mmbidaf_tpu.parallel.sp_tower import make_sp_audio_tower
-
-        audio_g_fn = make_sp_audio_tower(mesh, cfg)
     if cfg.mesh.tp_vgg:
         # Tensor-parallel VGG classifier (SURVEY §3.3 TP row): the frozen
         # frontend's fc weights shard over the 'model' axis. Only meaningful
@@ -303,6 +290,23 @@ def main():
                 "--tp_vgg needs a model axis: pass --num_model N > 1 "
                 "(devices split as data x model)"
             )
+
+    mesh = make_mesh(cfg.mesh)
+    say(f"devices: {jax.device_count()} ({jax.default_backend()})"
+        + (f" across {jax.process_count()} hosts" if distributed else "")
+        + f", mesh: {mesh}")
+
+    audio_g_fn = None
+    # multi-host local decode: the global batch rows THIS host's devices
+    # own (None single-process = decode everything). Drives the bucketed
+    # train stream and the eval featurization assembly below.
+    from mmbidaf_tpu.parallel import local_batch_rows
+
+    local_rows = local_batch_rows(mesh, cfg.train.batch_size)
+    if cfg.mesh.sp_audio:
+        from mmbidaf_tpu.parallel.sp_tower import make_sp_audio_tower
+
+        audio_g_fn = make_sp_audio_tower(mesh, cfg)
 
     np_rng = np.random.default_rng(cfg.train.seed)
     fe_params = None
