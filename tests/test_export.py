@@ -371,6 +371,48 @@ def test_tp_only_export_replicates_indivisible_batch(artifact, tmp_path, rng):
     np.testing.assert_array_equal(picks, np.asarray(single))
 
 
+def test_serve_daemon_tp_artifact(artifact, tmp_path, rng):
+    """The full TP deployment chain: export a DP × TP artifact, serve it
+    through the HTTP daemon (ExportedSummarizer pads the request to the
+    pinned batch), and get the same summary as plain single-device
+    serving."""
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    import http.client
+    import sys
+    import threading
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from serve import serve
+
+    _, summ = artifact
+    cfg_tp = dataclasses.replace(
+        summ.cfg, mesh=MeshConfig(num_data=4, num_model=2, tp_vgg=True)
+    )
+    tp = Summarizer.init_random(cfg_tp, seed=3, vgg_spec=TINY_SPEC,
+                                data_parallel=True, serve_batch_size=8)
+    out = str(tmp_path / "tp_daemon_art")
+    export_summarizer(tp, out, batch_size=8, frame_hw=(12, 16))
+    art = ExportedSummarizer(out)
+    srv = serve(art, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        dirs = make_video_dirs(tmp_path, summ.cfg, rng, 1)
+        conn = http.client.HTTPConnection(
+            "127.0.0.1", srv.server_address[1], timeout=300)
+        conn.request("POST", "/summarize",
+                     body=json.dumps({"video_dir": dirs[0]}))
+        resp = conn.getresponse()
+        body = json.loads(resp.read() or b"{}")
+        conn.close()
+        assert resp.status == 200
+        assert body["summary"] == summ.summarize(dirs[0])
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
 def test_data_parallel_artifact_fresh_process(artifact, tmp_path, rng):
     """The DP artifact loads in a fresh 8-device process (no model code)
     and errors clearly on a host with too few devices."""
