@@ -408,6 +408,14 @@ def test_serve_daemon_tp_artifact(artifact, tmp_path, rng):
         conn.close()
         assert resp.status == 200
         assert body["summary"] == summ.summarize(dirs[0])
+        # /healthz surfaces the artifact's mesh layout for ops
+        conn = http.client.HTTPConnection(
+            "127.0.0.1", srv.server_address[1], timeout=60)
+        conn.request("GET", "/healthz")
+        health = json.loads(conn.getresponse().read())
+        conn.close()
+        assert health["parallelism"]["mesh_axes"] == {"data": 4, "model": 2}
+        assert health["parallelism"]["artifact_format"] == 2
     finally:
         srv.shutdown()
         srv.server_close()

@@ -79,6 +79,47 @@ def test_healthz(server):
     port, _, _ = server
     status, out = _req(port, "GET", "/healthz")
     assert status == 200 and out["ok"] is True
+    assert "parallelism" not in out  # plain single-device Summarizer
+
+
+def test_parallelism_info_live_mesh():
+    """_parallelism_info reports the live mesh layout (DP × TP) that
+    /healthz exposes for ops."""
+    import jax
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+    from serve import _parallelism_info
+
+    from mmbidaf_tpu.config import MeshConfig
+
+    cfg = tiny_test_config()
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(
+            cfg.model, img_feat_dim=32, audio_feat_dim=cfg.data.n_mfcc
+        ),
+        mesh=MeshConfig(num_data=4, num_model=2, tp_vgg=True),
+    )
+    s = Summarizer.init_random(cfg, vgg_spec=TINY_SPEC,
+                               serve_batch_size=4, data_parallel=True)
+    info = _parallelism_info(s)
+    assert info == {
+        "mesh_axes": {"data": 4, "model": 2},
+        "dp_shards": 4,
+        "sp_audio": False,
+        "tp_vgg": True,
+    }
+    assert _parallelism_info(
+        Summarizer.init_random(
+            dataclasses.replace(cfg, mesh=MeshConfig()), vgg_spec=TINY_SPEC
+        )
+    ) is None
 
 
 def test_summarize_roundtrip(server):

@@ -77,11 +77,34 @@ class _LatencyStats:
             return out
 
 
+def _parallelism_info(s) -> dict | None:
+    """Mesh/sharding layout for /healthz — ops needs to see whether the
+    process actually serves sharded (DP/SP/TP) without reading logs.
+    Works for both the live Summarizer and an ExportedSummarizer."""
+    mesh = getattr(s, "_mesh", None)
+    if mesh is not None:
+        return {
+            "mesh_axes": {a: int(mesh.shape[a]) for a in mesh.axis_names},
+            "dp_shards": int(getattr(s, "_dp_shards", 1)),
+            "sp_audio": getattr(s, "_audio_g_fn", None) is not None,
+            "tp_vgg": bool(s.cfg.mesh.tp_vgg),
+        }
+    dec = getattr(s, "decoder", None)  # AOT artifact
+    if dec is not None and dec.manifest.get("mesh"):
+        mm = dec.manifest["mesh"]
+        return {
+            "mesh_axes": dict(zip(mm["axis_names"], mm["shape"])),
+            "artifact_format": dec.manifest["format_version"],
+        }
+    return None
+
+
 def make_handler(summarizer, use_long: bool, batcher=None):
     import jax
 
     backend = jax.default_backend()
     latency = _LatencyStats()
+    parallelism = _parallelism_info(summarizer)
 
     class Handler(BaseHTTPRequestHandler):
         # one summarize at a time keeps device memory bounded; host decode
@@ -110,6 +133,8 @@ def make_handler(summarizer, use_long: bool, batcher=None):
             if self.path == "/healthz":
                 payload = {"ok": True, "backend": backend,
                            "latency": latency.snapshot()}
+                if parallelism is not None:
+                    payload["parallelism"] = parallelism
                 if batcher is not None:
                     payload["batcher"] = dict(batcher.stats)
                 self._reply(200, payload)
