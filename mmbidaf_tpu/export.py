@@ -328,6 +328,15 @@ class ExportedDecoder:
             )
             pspecs = self.manifest.get("weight_pspecs")
             if pspecs is not None:
+                if len(pspecs) != self.manifest["n_weight_leaves"]:
+                    # zip() below would silently leave tail weights
+                    # unplaced — a hand-edited/mixed manifest must fail
+                    # at load, not produce a half-sharded program
+                    raise ValueError(
+                        f"manifest weight_pspecs has {len(pspecs)} entries"
+                        f" for {self.manifest['n_weight_leaves']} weight"
+                        " leaves — corrupted or mixed artifact"
+                    )
                 self._wshs = [
                     NamedSharding(mesh, PartitionSpec(*[
                         tuple(e) if isinstance(e, list) else e for e in ps

@@ -236,6 +236,31 @@ def test_export_cli_data_parallel(tmp_path):
     assert picks.shape[0] == 8
 
 
+def test_wrong_length_pspecs_fail_at_load(artifact, tmp_path, rng):
+    """A manifest whose weight_pspecs length disagrees with the leaf count
+    fails at load (zip truncation would half-place the weights)."""
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    _, summ = artifact
+    cfg_tp = dataclasses.replace(
+        summ.cfg, mesh=MeshConfig(num_data=4, num_model=2, tp_vgg=True)
+    )
+    tp = Summarizer.init_random(cfg_tp, seed=3, vgg_spec=TINY_SPEC,
+                                data_parallel=True, serve_batch_size=8)
+    out = str(tmp_path / "bad_pspecs_art")
+    export_summarizer(tp, out, batch_size=8, frame_hw=(12, 16))
+    mpath = os.path.join(out, "manifest.json")
+    with open(mpath) as f:
+        m = json.load(f)
+    m["weight_pspecs"] = m["weight_pspecs"][:-2]
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+    # keep the sha check out of the way: it guards weights/program bytes,
+    # not the manifest itself
+    with pytest.raises(ValueError, match="weight_pspecs"):
+        ExportedDecoder(out)
+
+
 def test_corrupted_weights_fail_at_load(artifact, tmp_path):
     """A flipped byte in weights.npz (or a program/weights mix-up) fails at
     load with the checksum error — never silently wrong summaries."""
