@@ -351,6 +351,7 @@ def bucketed_iterator(
     img_buckets: Sequence[int] | None = None,
     aud_buckets: Sequence[int] | None = None,
     decode_rows: Sequence[int] | None = None,
+    seq_align: int = 1,
 ) -> Iterator[dict[str, np.ndarray]]:
     """Bucketed-shape batched stream (SURVEY.md §8 ground rules / risk R3).
 
@@ -364,9 +365,12 @@ def bucketed_iterator(
     attends over what was cut. XLA compiles one program per shape tuple
     (jit caches by shape); pass ``()`` for an axis to keep it static.
 
-    Defaults: quarter/half/full ladders per axis. Note for
-    ``MeshConfig.sp_audio``: audio buckets must divide the ``seq`` axis —
-    pass ``aud_buckets`` as multiples of ``num_seq``.
+    Defaults: quarter/half/full ladders per axis. For ``MeshConfig.
+    sp_audio`` pass ``seq_align=num_seq`` (train.py does): every audio
+    bucket — default ladder or explicit — is rounded UP to a multiple, so
+    the SP frontend's ``num_frames % num_seq`` check can never kill a run
+    mid-epoch on an unaligned bucket; an unaligned ``max_audio_frames``
+    cap fails here, at startup.
 
     ``decode_rows`` (multi-host: ``parallel.mesh.local_batch_rows``) names
     the batch rows THIS host's devices own: only those are decoded from
@@ -395,6 +399,17 @@ def bucketed_iterator(
             default_axis_buckets(d.max_audio_frames) if aud_buckets is None else aud_buckets
         )}
     ) or [d.max_audio_frames]
+    if seq_align > 1:
+        if d.max_audio_frames % seq_align:
+            raise ValueError(
+                f"max_audio_frames {d.max_audio_frames} must be a multiple"
+                f" of seq_align {seq_align} (MeshConfig.num_seq) to bucket"
+                " the audio axis under sp_audio"
+            )
+        aud_buckets = sorted({
+            min(-(-b // seq_align) * seq_align, d.max_audio_frames)
+            for b in aud_buckets
+        })
 
     lengths = [corpus.example_lengths(i) for i in range(len(corpus))]
     groups: dict[int, list[int]] = {}

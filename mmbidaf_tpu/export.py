@@ -64,6 +64,18 @@ _RAW_KEYS = (
 )
 
 
+def _file_sha256(path: str) -> str:
+    """Chunked file hash — a VGG16 artifact's weights are ~0.5 GB; reading
+    them whole for hashing would double peak host memory at load."""
+    import hashlib
+
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for block in iter(lambda: f.read(1 << 20), b""):
+            h.update(block)
+    return h.hexdigest()
+
+
 def _raw_specs(cfg, batch_size: int, frame_hw: tuple[int, int]) -> dict:
     """ShapeDtypeStructs for the raw batch ``host_raw_row`` rows stack into
     (same shapes ``Summarizer.warmup`` pins)."""
@@ -213,15 +225,6 @@ def export_summarizer(
             for i, x in enumerate(weight_leaves)
         },
     )
-    import hashlib
-
-    def _file_sha256(path: str) -> str:
-        h = hashlib.sha256()
-        with open(path, "rb") as f:
-            for block in iter(lambda: f.read(1 << 20), b""):
-                h.update(block)
-        return h.hexdigest()
-
     tp_sharded = any(
         any(e is not None for e in ps) for ps in (weight_pspecs or [])
     )
@@ -279,15 +282,12 @@ class ExportedDecoder:
                 f"artifact format {self.manifest['format_version']} not in"
                 f" supported {_SUPPORTED_VERSIONS}"
             )
-        import hashlib
-
         for fname, key in ((_WEIGHTS, "weights_sha256"),
                            (_PROGRAM, "program_sha256")):
             want = self.manifest.get(key)
             if want is None:
                 continue  # pre-checksum artifact
-            with open(os.path.join(artifact_dir, fname), "rb") as f:
-                got = hashlib.sha256(f.read()).hexdigest()
+            got = _file_sha256(os.path.join(artifact_dir, fname))
             if got != want:
                 raise ValueError(
                     f"{fname} does not match the manifest's {key} — the"

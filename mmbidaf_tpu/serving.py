@@ -678,6 +678,7 @@ class DynamicBatcher:
         # all other stats fields are batcher-thread-only; 'rejected' is
         # bumped from concurrent submitter threads and needs the lock
         self._reject_lock = threading.Lock()
+        self._close_lock = threading.Lock()  # orders submit's put vs close
         self._queue: _queue_mod.Queue = _queue_mod.Queue()
         self._closed = False
         self._thread = threading.Thread(
@@ -708,17 +709,28 @@ class DynamicBatcher:
             )
         row, sentences = self.summarizer._raw_row(video_dir)  # host work, caller's thread
         fut: Future = Future()
-        self._queue.put((row, sentences, fut))
+        # enqueue under the close lock: the host decode above can take
+        # seconds, during which close() may have drained and stopped the
+        # loop — a put after that would block this caller forever on a
+        # queue nobody reads
+        with self._close_lock:
+            if self._closed:
+                raise RuntimeError("DynamicBatcher is closed")
+            self._queue.put((row, sentences, fut))
         return fut.result()
 
     def close(self, timeout: float = 30.0) -> None:
         """Stop the batcher thread; in-flight batches finish, then queued
         requests that never made it into a batch fail with RuntimeError."""
-        if self._closed:
-            return
-        self._closed = True
+        with self._close_lock:
+            if self._closed:
+                return
+            self._closed = True
         self._queue.put(None)
         self._thread.join(timeout)
+        # anything that raced into the queue before _closed flipped (the
+        # loop's own sentinel drain may have run first) fails loudly here
+        self._drain_failed()
 
     def __enter__(self):
         return self
@@ -764,16 +776,22 @@ class DynamicBatcher:
                 item[2].set_exception(RuntimeError("DynamicBatcher closed"))
 
     def _run_batch(self, items: list) -> None:
-        rows = [row for row, _, _ in items]
-        n_real = len(rows)
-        rows = rows + [rows[-1]] * (self.max_batch_size - n_real)
-        raw = {k: jnp.asarray(np.stack([r[k] for r in rows])) for k in rows[0]}
+        n_real = len(items)
+        # EVERYTHING batch-scoped stays inside the try: a stacking error
+        # (e.g. two videos decoded at different frame resolutions) must
+        # fail these futures, not escape and kill the batcher thread —
+        # a dead thread hangs every pending and future submit() forever.
         try:
+            rows = [row for row, _, _ in items]
+            rows = rows + [rows[-1]] * (self.max_batch_size - n_real)
+            raw = {
+                k: jnp.asarray(np.stack([r[k] for r in rows])) for k in rows[0]
+            }
             picks = self.summarizer._decode_batch(raw)
             summaries = [
                 summary_from_picks(picks[i], items[i][1]) for i in range(n_real)
             ]
-        except Exception as e:  # device/step fault → fail the whole batch
+        except Exception as e:  # batch fault → fail the whole batch
             for _, _, fut in items:
                 fut.set_exception(e)
             return

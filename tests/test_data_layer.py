@@ -517,6 +517,20 @@ def test_bucketed_iterator_all_axes(tmp_path, rng):
         np.asarray(lp_t), np.asarray(lp_f)[:, :, :T_s], rtol=2e-4, atol=1e-5
     )
 
+    # sp_audio alignment (seq_align=num_seq): every audio bucket — even an
+    # explicitly unaligned ladder — rounds UP to a multiple, so the SP
+    # frontend's num_frames % num_seq check can never kill a run mid-epoch
+    it3 = bucketed_iterator(
+        corpus, batch_size=2, buckets=(4, 8), seed=0,
+        aud_buckets=(3, 5, 16), seq_align=2,
+    )
+    for _ in range(4):
+        assert next(it3)["aud_mask"].shape[1] % 2 == 0
+    # an unaligned max_audio_frames cap fails at startup, not mid-epoch
+    with pytest.raises(ValueError, match="seq_align"):
+        next(bucketed_iterator(corpus, batch_size=2, buckets=(4,),
+                               seq_align=3))
+
     # lengths are cached on the corpus: a second iterator construction does
     # no corpus IO (delete the files and construct again)
     assert len(corpus._lengths) == len(corpus)

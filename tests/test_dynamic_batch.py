@@ -175,6 +175,52 @@ def test_daemon_dynamic_batch_path(serving_setup):
         batcher.close()
 
 
+def test_batch_assembly_error_fails_batch_not_thread(serving_setup):
+    """A batch-assembly error (e.g. rows stacked at mismatched shapes)
+    fails the coalesced requests' futures and the batcher SURVIVES — a
+    dead batcher thread would hang every later submit() forever."""
+    from concurrent.futures import Future
+
+    s, dirs, _ = serving_setup
+    with DynamicBatcher(s, max_batch_size=4, max_wait_ms=5.0) as b:
+        row0, sents0 = s._raw_row(dirs[0])
+        row1, sents1 = s._raw_row(dirs[1])
+        row1 = dict(row1)
+        row1["frames"] = row1["frames"][:, :-1]  # mismatched resolution
+        items = [(row0, sents0, Future()), (row1, sents1, Future())]
+        b._run_batch(items)
+        for _, _, fut in items:
+            with pytest.raises(ValueError):
+                fut.result(timeout=5)
+        # the batcher still serves clean requests afterwards
+        assert b.submit(dirs[0]) == s.summarize(dirs[0])
+
+
+def test_submit_racing_close_raises_not_hangs(serving_setup, monkeypatch):
+    """A request whose host decode straddles close() must raise, not
+    enqueue into a queue nobody reads and block its caller forever."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    s, dirs, _ = serving_setup
+    b = DynamicBatcher(s, max_batch_size=2, max_wait_ms=5.0)
+    real_raw = s._raw_row
+    started, release = threading.Event(), threading.Event()
+
+    def slow_raw(video_dir):
+        started.set()
+        assert release.wait(30)
+        return real_raw(video_dir)
+
+    monkeypatch.setattr(s, "_raw_row", slow_raw)
+    with ThreadPoolExecutor(1) as ex:
+        fut = ex.submit(b.submit, dirs[0])
+        assert started.wait(30)
+        b.close()          # closes while the submit thread is mid-decode
+        release.set()
+        with pytest.raises(RuntimeError, match="closed"):
+            fut.result(timeout=30)
+
+
 def test_max_queue_sheds_load(serving_setup):
     """With the device step blocked and max_queue pending requests queued,
     submit() rejects BEFORE any host decode: submitting the poisoned video

@@ -403,6 +403,10 @@ def main():
                 img_buckets=axis(a.img_buckets, "img"),
                 aud_buckets=axis(a.aud_buckets, "aud"),
                 decode_rows=local_rows,
+                # sp_audio shards the frame axis num_seq-ways: every audio
+                # bucket rounds up to a multiple so no batch can hit the SP
+                # divisibility check mid-epoch
+                seq_align=cfg.mesh.num_seq if cfg.mesh.sp_audio else 1,
             )
         elif a.loader_workers > 0:
             # grain DataLoader: PNG/WAV decode in worker subprocesses
