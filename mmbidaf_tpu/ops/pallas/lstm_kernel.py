@@ -112,10 +112,39 @@ def lstm_pallas(
     return jnp.swapaxes(out, 0, 1), (h_last, c_last)
 
 
+_VMEM_BUDGET = int(15.5 * 1024 * 1024)  # TPU scoped-vmem limit is 16 MiB
+
+
+def _kernel_vmem_bytes(B: int, T: int, h: int) -> int:
+    """Rough f32 bytes resident in VMEM for one direction's pallas_call:
+    double-buffered ``(1, B, 4h)`` gate blocks + ``(T, B)`` mask +
+    ``(h, 4h)`` W_h + out block / h / c / scratch (5 × ``(B, h)``).
+    Calibrated against the compiler's scoped-vmem report (26 MB at
+    B=4096, h=128, T=16 — the word-level LSTM, where the effective batch
+    is batch × sentences)."""
+    return 4 * (2 * B * 4 * h + T * B + 4 * h * h + 5 * B * h)
+
+
+def _fits_vmem(params, x, scale: int = 1) -> bool:
+    B, T, _ = x.shape
+    h = params["fwd"]["w_h"].shape[0]
+    return scale * _kernel_vmem_bytes(int(B), int(T), int(h)) <= _VMEM_BUDGET
+
+
 def bilstm_pallas(
     params: dict, x: jax.Array, mask: jax.Array, interpret: bool | None = None
 ) -> tuple[jax.Array, tuple[jax.Array, jax.Array]]:
-    """Bidirectional wrapper matching ``ops.lstm.bilstm_apply``."""
+    """Bidirectional wrapper matching ``ops.lstm.bilstm_apply``.
+
+    Falls back to the jnp scan when the per-step state would overflow the
+    kernel's scoped VMEM (huge effective batches, e.g. batch × sentences
+    at serving batch ≥ 128) — the kernel's win is B=1 latency; at those
+    batches the scan is MXU-bound anyway, and a crash is never the right
+    trade."""
+    if not interpret and not _fits_vmem(params, x):
+        from mmbidaf_tpu.ops.lstm import bilstm_apply
+
+        return bilstm_apply(params, x, mask)
     out_f, (h_f, c_f) = lstm_pallas(params["fwd"], x, mask, reverse=False, interpret=interpret)
     out_b, (h_b, c_b) = lstm_pallas(params["bwd"], x, mask, reverse=True, interpret=interpret)
     out = jnp.concatenate([out_f, out_b], axis=-1)
@@ -350,7 +379,15 @@ lstm_pallas_trainable.defvjp(_trainable_fwd, _trainable_bwd)
 def bilstm_pallas_trainable(
     params: dict, x: jax.Array, mask: jax.Array, interpret: bool | None = None
 ) -> tuple[jax.Array, tuple[jax.Array, jax.Array]]:
-    """Bidirectional trainable wrapper matching ``ops.lstm.bilstm_apply``."""
+    """Bidirectional trainable wrapper matching ``ops.lstm.bilstm_apply``.
+
+    Same VMEM guard as ``bilstm_pallas`` with a 2× factor: the BPTT
+    backward kernel additionally holds dgates blocks and the dW_h
+    accumulator in VMEM."""
+    if not interpret and not _fits_vmem(params, x, scale=2):
+        from mmbidaf_tpu.ops.lstm import bilstm_apply
+
+        return bilstm_apply(params, x, mask)
     out_f, (h_f, c_f) = lstm_pallas_trainable(params["fwd"], x, mask, False, interpret)
     out_b, (h_b, c_b) = lstm_pallas_trainable(params["bwd"], x, mask, True, interpret)
     out = jnp.concatenate([out_f, out_b], axis=-1)

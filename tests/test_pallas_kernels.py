@@ -132,6 +132,33 @@ def test_model_decode_with_pallas_lstm_matches(rng):
     np.testing.assert_allclose(np.asarray(log_p_ref), np.asarray(log_p_pl), atol=3e-5)
 
 
+def test_lstm_vmem_guard_falls_back_on_huge_batch(rng):
+    """Effective batches that would overflow the kernel's 16 MiB scoped
+    VMEM (word-level LSTM sees batch × sentences rows; measured 26 MB at
+    B=4096, h=128) dispatch to the jnp scan instead of crashing the
+    compile. Small batches stay on the kernel."""
+    from mmbidaf_tpu.ops.lstm import bilstm_apply, bilstm_init
+    from mmbidaf_tpu.ops.pallas.lstm_kernel import (
+        _fits_vmem, bilstm_pallas, bilstm_pallas_trainable,
+    )
+
+    params = bilstm_init(jax.random.key(0), 8, 128)
+    assert _fits_vmem(params, jnp.zeros((1024, 16, 8)))
+    assert not _fits_vmem(params, jnp.zeros((4096, 16, 8)))
+    # trainable holds ~2x (backward residuals + dW_h accumulator)
+    assert not _fits_vmem(params, jnp.zeros((2048, 16, 8)), scale=2)
+
+    # the oversized dispatch runs (scan path — no pallas_call, so it
+    # executes compiled on CPU) and matches the scan exactly
+    x = jnp.asarray(rng.standard_normal((4096, 4, 8)).astype(np.float32))
+    mask = jnp.ones((4096, 4), jnp.float32)
+    out, (h, c) = bilstm_pallas(params, x, mask)
+    want, (hw, cw) = bilstm_apply(params, x, mask)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(want))
+    out_t, _ = bilstm_pallas_trainable(params, x, mask)
+    np.testing.assert_array_equal(np.asarray(out_t), np.asarray(want))
+
+
 def test_fused_bidaf_trainable_grads_match_jnp(rng):
     """custom-VJP fused attention: grads == jnp reference grads (interpret)."""
     from mmbidaf_tpu.ops.pallas.bidaf_kernel import bidaf_attention_fused_trainable
