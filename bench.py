@@ -32,7 +32,7 @@ def enable_compilation_cache():
     enable(os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
 
 
-def build_bench_config(quick: bool):
+def build_bench_config(quick: bool, vgg_chunk: int = 0):
     from mmbidaf_tpu.config import Config, DataConfig, ModelConfig
 
     if quick:
@@ -56,7 +56,8 @@ def build_bench_config(quick: bool):
         model = ModelConfig(hidden_size=128, img_feat_dim=4096, audio_feat_dim=40,
                             drop_prob=0.0, max_decode_steps=4,
                             compute_dtype="bfloat16", use_pallas_attention=True,
-                            use_pallas_lstm=True, use_pallas_melspec=True)
+                            use_pallas_lstm=True, use_pallas_melspec=True,
+                            vgg_frame_chunk=vgg_chunk)
     return Config(model=model, data=data)
 
 
@@ -289,19 +290,30 @@ def main():
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--baseline-videos", type=int, default=5)
     ap.add_argument("--skip-baseline", action="store_true")
+    ap.add_argument(
+        "--vgg-chunk", type=int, default=None,
+        help="resize+VGG frame-chunk size (ModelConfig.vgg_frame_chunk); "
+        "default: 1024 when batch*T_img > 1024 (caps peak activation HBM "
+        "at the measured B=64 level so B >= 128 fits the 16 GB chip), 0 "
+        "(single pass) otherwise",
+    )
     args = ap.parse_args()
 
     from mmbidaf_tpu.ops.vgg import TINY_SPEC, VGG16_SPEC
 
-    cfg = build_bench_config(args.quick)
-    vgg_spec = TINY_SPEC if args.quick else VGG16_SPEC
     # Default serving batch 64 (round-3 A/B on the chip): per-batch fixed
     # work (resize setup, model towers, decode, dispatch) amortizes over
-    # more videos — 304.3 v/s at B=64 vs 287.7 at B=32, +5.8%. B=128
-    # overflows the Pallas LSTM kernel's scoped VMEM (the word-level LSTM
-    # sees batch × sentences rows; the kernel now falls back to the scan
-    # there) with no further gain expected — the pipeline is conv-bound.
+    # more videos — 304.3 v/s at B=64 vs 287.7 at B=32, +5.8%. At B=128 the
+    # word-level Pallas LSTM kernel falls back to the jnp scan (batch ×
+    # sentences rows overflow its scoped VMEM) and the VGG runs frame-
+    # chunked (see --vgg-chunk) to fit HBM.
     batch = args.batch or (8 if args.quick else 64)
+    vgg_chunk = args.vgg_chunk
+    if vgg_chunk is None:
+        t_img = 4 if args.quick else 16
+        vgg_chunk = 1024 if batch * t_img > 1024 else 0
+    cfg = build_bench_config(args.quick, vgg_chunk)
+    vgg_spec = TINY_SPEC if args.quick else VGG16_SPEC
 
     enable_compilation_cache()
     jax_res = bench_jax(cfg, batch, args.iters, vgg_spec)
@@ -331,6 +343,7 @@ def main():
         "baseline_videos_per_sec_cpu": round(baseline_vps, 3) if baseline_vps else None,
         "baseline_videos": None if args.skip_baseline else base_res["n_videos"],
         "batch_size": batch,
+        "vgg_frame_chunk": vgg_chunk,
         "backend": jax_res["backend"],
         "n_chips": jax_res["n_chips"],
         "compile_s": round(jax_res["compile_s"], 1),

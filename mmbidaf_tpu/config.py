@@ -52,6 +52,14 @@ class ModelConfig:
     # direct conv XLA emits; ~1e-2 rel. error in bf16 — ops/winograd.py).
     # Off by default: exact-parity runs use the XLA conv.
     use_winograd_conv: bool = False
+    # Process the flattened [B*T_img] keyframe axis through resize+VGG in
+    # sequential chunks of this many frames (0 = single pass). The early
+    # conv layers hold ~6.4 MB/frame of activations at 224² (two live
+    # buffers ≈ 13 GB at 1024 frames) — chunking caps peak HBM at
+    # ~2×chunk×6.4 MB so large serving batches fit the 16 GB chip. The
+    # frames are independent, so chunking only reorders XLA fusion
+    # (~1e-6 fp noise); it serializes the (compute-bound) conv stack.
+    vgg_frame_chunk: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -82,18 +82,36 @@ def apply_frontend(
     if cfg.model.use_images and "frames" in raw:
         B, T_i = raw["frames"].shape[:2]
         flat = raw["frames"].reshape((B * T_i,) + raw["frames"].shape[2:])
-        # Resize runs directly in the compute dtype (memory-bound; bf16
-        # halves its traffic), feeding the VGG's MXU path without a recast.
-        imgs = vgg_ops.preprocess_frames(flat, d.image_size, dtype=compute_dtype)
         vgg_params = fe_params["vgg"]
         if compute_dtype != jnp.float32:
             # The VGG convs are ~95% of frontend FLOPs — run them on the
             # bf16 MXU path when the model's compute dtype asks for it.
             cast = lambda x: x.astype(compute_dtype) if x.dtype == jnp.float32 else x
             vgg_params = jax.tree.map(cast, vgg_params)
-        feats = vgg_ops.vgg_features(
-            vgg_params, imgs, vgg_spec, winograd=cfg.model.use_winograd_conv
-        ).astype(jnp.float32)
+
+        def featurize(fr):
+            # Resize runs directly in the compute dtype (memory-bound; bf16
+            # halves its traffic), feeding the VGG's MXU path w/o a recast.
+            imgs = vgg_ops.preprocess_frames(fr, d.image_size, dtype=compute_dtype)
+            return vgg_ops.vgg_features(
+                vgg_params, imgs, vgg_spec, winograd=cfg.model.use_winograd_conv
+            )
+
+        chunk = cfg.model.vgg_frame_chunk
+        if chunk and flat.shape[0] > chunk:
+            # Sequential frame chunks cap peak activation HBM (the frames
+            # are independent; only XLA fusion order differs vs one pass).
+            n = flat.shape[0]
+            pad = -n % chunk
+            if pad:
+                flat = jnp.concatenate(
+                    [flat, jnp.zeros((pad,) + flat.shape[1:], flat.dtype)], axis=0
+                )
+            feats = jax.lax.map(featurize, flat.reshape((-1, chunk) + flat.shape[1:]))
+            feats = feats.reshape((-1,) + feats.shape[2:])[:n]
+        else:
+            feats = featurize(flat)
+        feats = feats.astype(jnp.float32)
         out["images"] = feats.reshape(B, T_i, -1) * raw["img_mask"][:, :, None]
         out["img_mask"] = raw["img_mask"]
     if cfg.model.use_audio and "waveform" in raw and sp_audio:

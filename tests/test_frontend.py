@@ -65,3 +65,28 @@ def test_end_to_end_decode_one_program(rng):
     # picks are valid sentence indices
     n_valid = np.asarray(raw["sent_mask"]).sum(axis=1)
     assert (np.asarray(picks) < n_valid[:, None]).all()
+
+
+def test_vgg_frame_chunk_parity(rng):
+    """Chunked resize+VGG (ModelConfig.vgg_frame_chunk) matches the single
+    pass — frames are independent; only XLA fusion order differs between the
+    two compiled programs (~1e-6 fp reassociation). Chunk sizes cover the
+    non-divisible tail (B*T_i = 12 frames, chunk 5 → pad 3)."""
+    import dataclasses
+
+    cfg = tiny_test_config()
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, img_feat_dim=32, audio_feat_dim=cfg.data.n_mfcc)
+    )
+    fe = frontend_init(jax.random.key(0), cfg, vgg_spec=TINY_SPEC)
+    raw = {k: jnp.asarray(v) for k, v in _raw_batch(rng, cfg).items()}
+    base = apply_frontend(fe, raw, cfg, vgg_spec=TINY_SPEC)
+
+    for chunk in (5, 4):  # non-divisor (pads the tail) and divisor
+        ccfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, vgg_frame_chunk=chunk)
+        )
+        got = apply_frontend(fe, raw, ccfg, vgg_spec=TINY_SPEC)
+        np.testing.assert_allclose(
+            np.asarray(got["images"]), np.asarray(base["images"]), rtol=1e-4, atol=1e-5
+        )
