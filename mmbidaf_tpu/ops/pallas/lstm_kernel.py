@@ -22,9 +22,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _lstm_kernel(gates_ref, mask_ref, wh_ref, out_ref, hlast_ref, clast_ref, state):
-    t = pl.program_id(0)
-    T = pl.num_programs(0)
+def _lstm_kernel(gates_ref, mask_ref, wh_ref, out_ref, hlast_ref, clast_ref, state,
+                 *, t_axis=0):
+    t = pl.program_id(t_axis)
+    T = pl.num_programs(t_axis)
 
     @pl.when(t == 0)
     def _():
@@ -53,20 +54,32 @@ def _lstm_kernel(gates_ref, mask_ref, wh_ref, out_ref, hlast_ref, clast_ref, sta
         clast_ref[:] = state[1]
 
 
-@partial(jax.jit, static_argnames=("reverse", "interpret"))
+@partial(jax.jit, static_argnames=("reverse", "interpret", "row_chunk"))
 def lstm_pallas(
     params: dict,
     x: jax.Array,
     mask: jax.Array,
     reverse: bool = False,
     interpret: bool | None = None,
+    row_chunk: int = 0,
 ) -> tuple[jax.Array, tuple[jax.Array, jax.Array]]:
-    """Drop-in replacement for ``lstm_scan`` (same outputs/semantics)."""
+    """Drop-in replacement for ``lstm_scan`` (same outputs/semantics).
+
+    ``row_chunk`` (0 = whole batch) splits the batch rows over an outer grid
+    dimension so huge effective batches (word-level LSTM sees
+    batch × sentences rows) fit the kernel's scoped VMEM: grid ``(nb, T)``
+    runs the full recurrence per row-chunk with only that chunk's state
+    resident. Must divide B. The single-chunk path keeps the exact original
+    ``grid=(T,)`` program (same HLO → warm compile caches)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     B, T, _ = x.shape
     h_dim = params["w_h"].shape[0]
     f32 = jnp.float32
+    C = row_chunk or B
+    if B % C:
+        raise ValueError(f"row_chunk {C} must divide batch rows {B}")
+    nb = B // C
 
     gates_all = (x @ params["w_x"] + params["b"]).astype(f32)  # [B, T, 4h]
     gates_all = jnp.swapaxes(gates_all, 0, 1)                  # [T, B, 4h]
@@ -76,39 +89,66 @@ def lstm_pallas(
         # Kernel step t reads gates[T-1-t] and writes out[T-1-t] via the
         # index maps (no data movement); the mask is indexed by kernel step
         # directly, so it must be flipped to follow the gates stream.
-        g_idx = lambda t: (T - 1 - t, 0, 0)
         mask_for_kernel = jnp.flip(mask_t, axis=0)
     else:
-        g_idx = lambda t: (t, 0, 0)
         mask_for_kernel = mask_t
-    o_idx = g_idx
 
-    out, h_last, c_last = pl.pallas_call(
-        _lstm_kernel,
-        out_shape=[
-            jax.ShapeDtypeStruct((T, B, h_dim), f32),
-            jax.ShapeDtypeStruct((B, h_dim), f32),
-            jax.ShapeDtypeStruct((B, h_dim), f32),
-        ],
-        grid=(T,),
-        in_specs=[
-            pl.BlockSpec((1, B, 4 * h_dim), g_idx, memory_space=pltpu.VMEM),
-            pl.BlockSpec((T, B), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((h_dim, 4 * h_dim), lambda t: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, B, h_dim), o_idx, memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, h_dim), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, h_dim), lambda t: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        scratch_shapes=[pltpu.VMEM((2, B, h_dim), f32)],
-        interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=2 * T * B * h_dim * 4 * h_dim,
-            bytes_accessed=4 * T * B * (4 * h_dim + h_dim) + 4 * h_dim * 4 * h_dim,
-            transcendentals=5 * T * B * h_dim,
-        ),
-    )(gates_all, mask_for_kernel, params["w_h"].astype(f32))
+    cost = pl.CostEstimate(
+        flops=2 * T * B * h_dim * 4 * h_dim,
+        bytes_accessed=4 * T * B * (4 * h_dim + h_dim) + 4 * h_dim * 4 * h_dim,
+        transcendentals=5 * T * B * h_dim,
+    )
+    if nb == 1:
+        g_idx = (lambda t: (T - 1 - t, 0, 0)) if reverse else (lambda t: (t, 0, 0))
+        out, h_last, c_last = pl.pallas_call(
+            _lstm_kernel,
+            out_shape=[
+                jax.ShapeDtypeStruct((T, B, h_dim), f32),
+                jax.ShapeDtypeStruct((B, h_dim), f32),
+                jax.ShapeDtypeStruct((B, h_dim), f32),
+            ],
+            grid=(T,),
+            in_specs=[
+                pl.BlockSpec((1, B, 4 * h_dim), g_idx, memory_space=pltpu.VMEM),
+                pl.BlockSpec((T, B), lambda t: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((h_dim, 4 * h_dim), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, B, h_dim), g_idx, memory_space=pltpu.VMEM),
+                pl.BlockSpec((B, h_dim), lambda t: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((B, h_dim), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[pltpu.VMEM((2, B, h_dim), f32)],
+            interpret=interpret,
+            cost_estimate=cost,
+        )(gates_all, mask_for_kernel, params["w_h"].astype(f32))
+    else:
+        # Chunked grid: b outermost, t innermost → per row-chunk the state
+        # scratch resets at t == 0 and the h/c outputs flush at t == T-1,
+        # exactly the single-chunk schedule run nb times.
+        g_idx = (lambda b, t: (T - 1 - t, b, 0)) if reverse else (lambda b, t: (t, b, 0))
+        out, h_last, c_last = pl.pallas_call(
+            partial(_lstm_kernel, t_axis=1),
+            out_shape=[
+                jax.ShapeDtypeStruct((T, B, h_dim), f32),
+                jax.ShapeDtypeStruct((B, h_dim), f32),
+                jax.ShapeDtypeStruct((B, h_dim), f32),
+            ],
+            grid=(nb, T),
+            in_specs=[
+                pl.BlockSpec((1, C, 4 * h_dim), g_idx, memory_space=pltpu.VMEM),
+                pl.BlockSpec((T, C), lambda b, t: (0, b), memory_space=pltpu.VMEM),
+                pl.BlockSpec((h_dim, 4 * h_dim), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, C, h_dim), g_idx, memory_space=pltpu.VMEM),
+                pl.BlockSpec((C, h_dim), lambda b, t: (b, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((C, h_dim), lambda b, t: (b, 0), memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[pltpu.VMEM((2, C, h_dim), f32)],
+            interpret=interpret,
+            cost_estimate=cost,
+        )(gates_all, mask_for_kernel, params["w_h"].astype(f32))
     return jnp.swapaxes(out, 0, 1), (h_last, c_last)
 
 
@@ -131,22 +171,43 @@ def _fits_vmem(params, x, scale: int = 1) -> bool:
     return scale * _kernel_vmem_bytes(int(B), int(T), int(h)) <= _VMEM_BUDGET
 
 
+def _best_row_chunk(params, x, scale: int = 1) -> int | None:
+    """Largest divisor of the batch whose per-chunk VMEM estimate fits
+    (0 = whole batch fits; None = no usable chunking, e.g. a huge prime
+    batch — caller falls back to the scan)."""
+    B, T, _ = x.shape
+    h = params["fwd"]["w_h"].shape[0]
+    if scale * _kernel_vmem_bytes(int(B), int(T), int(h)) <= _VMEM_BUDGET:
+        return 0
+    for c in range(int(B) // 2, 0, -1):
+        if B % c == 0 and scale * _kernel_vmem_bytes(c, int(T), int(h)) <= _VMEM_BUDGET:
+            # Tiny chunks lose the kernel's point (per-step GEMMs degrade
+            # below the MXU tile) — the scan is the better program there.
+            return c if c >= 8 else None
+    return None
+
+
 def bilstm_pallas(
     params: dict, x: jax.Array, mask: jax.Array, interpret: bool | None = None
 ) -> tuple[jax.Array, tuple[jax.Array, jax.Array]]:
     """Bidirectional wrapper matching ``ops.lstm.bilstm_apply``.
 
-    Falls back to the jnp scan when the per-step state would overflow the
-    kernel's scoped VMEM (huge effective batches, e.g. batch × sentences
-    at serving batch ≥ 128) — the kernel's win is B=1 latency; at those
-    batches the scan is MXU-bound anyway, and a crash is never the right
-    trade."""
-    if not interpret and not _fits_vmem(params, x):
+    Huge effective batches (batch × sentences rows at serving batch ≥ 128)
+    overflow the kernel's scoped VMEM as a single block — the batch rows
+    are then chunked over an outer grid dimension (``row_chunk``), and only
+    if no divisor chunk fits does this fall back to the jnp scan (a crash
+    is never the right trade)."""
+    chunk = 0 if interpret else _best_row_chunk(params, x)
+    if chunk is None:
         from mmbidaf_tpu.ops.lstm import bilstm_apply
 
         return bilstm_apply(params, x, mask)
-    out_f, (h_f, c_f) = lstm_pallas(params["fwd"], x, mask, reverse=False, interpret=interpret)
-    out_b, (h_b, c_b) = lstm_pallas(params["bwd"], x, mask, reverse=True, interpret=interpret)
+    out_f, (h_f, c_f) = lstm_pallas(
+        params["fwd"], x, mask, reverse=False, interpret=interpret, row_chunk=chunk
+    )
+    out_b, (h_b, c_b) = lstm_pallas(
+        params["bwd"], x, mask, reverse=True, interpret=interpret, row_chunk=chunk
+    )
     out = jnp.concatenate([out_f, out_b], axis=-1)
     return out, (
         jnp.concatenate([h_f, h_b], axis=-1),
@@ -165,8 +226,8 @@ def bilstm_pallas(
 
 
 def _lstm_fwd_train_kernel(gates_ref, mask_ref, wh_ref,
-                           out_ref, hseq_ref, cseq_ref, state):
-    t = pl.program_id(0)
+                           out_ref, hseq_ref, cseq_ref, state, *, t_axis=0):
+    t = pl.program_id(t_axis)
 
     @pl.when(t == 0)
     def _():
@@ -194,10 +255,14 @@ def _lstm_fwd_train_kernel(gates_ref, mask_ref, wh_ref,
 
 def _lstm_bwd_kernel(gates_ref, mask_ref, wh_ref, hprev_ref, cprev_ref,
                      dout_ref, dhlast_ref, dclast_ref,
-                     dgates_ref, dwh_ref, state):
-    s = pl.program_id(0)
-    T = pl.num_programs(0)
+                     dgates_ref, dwh_ref, state, *, t_axis=0):
+    s = pl.program_id(t_axis)
+    T = pl.num_programs(t_axis)
     t = T - 1 - s
+    # dW_h accumulates across the WHOLE grid (its block is resident for all
+    # programs); in the row-chunked grid it must initialize only on the very
+    # first program, while the dh/dc carry re-seeds per row-chunk at s == 0.
+    first_program = jnp.logical_and(s == 0, pl.program_id(0) == 0) if t_axis else s == 0
 
     @pl.when(s == 0)
     def _():
@@ -242,75 +307,99 @@ def _lstm_bwd_kernel(gates_ref, mask_ref, wh_ref, hprev_ref, cprev_ref,
 
     partial_wh = jnp.dot(h_prev.T, dz, preferred_element_type=jnp.float32)
 
-    @pl.when(s == 0)
+    @pl.when(first_program)
     def _():
         dwh_ref[:] = partial_wh
 
-    @pl.when(s > 0)
+    @pl.when(jnp.logical_not(first_program))
     def _():
         dwh_ref[:] += partial_wh
 
 
-def _lstm_train_fwd_impl(params, x, mask, interpret):
+def _lstm_train_fwd_impl(params, x, mask, interpret, row_chunk=0):
     """Forward with residuals. x/mask are already in processing order."""
     B, T, _ = x.shape
     h_dim = params["w_h"].shape[0]
     f32 = jnp.float32
+    C = row_chunk or B
+    nb = B // C
     gates_all = (x @ params["w_x"] + params["b"]).astype(f32)
     gates_all = jnp.swapaxes(gates_all, 0, 1)
     mask_t = jnp.swapaxes(mask, 0, 1).astype(f32)
 
-    out, h_seq, c_seq = pl.pallas_call(
-        _lstm_fwd_train_kernel,
-        out_shape=[
-            jax.ShapeDtypeStruct((T, B, h_dim), f32),
-            jax.ShapeDtypeStruct((T, B, h_dim), f32),
-            jax.ShapeDtypeStruct((T, B, h_dim), f32),
-        ],
-        grid=(T,),
-        in_specs=[
-            pl.BlockSpec((1, B, 4 * h_dim), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((T, B), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((h_dim, 4 * h_dim), lambda t: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, B, h_dim), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, h_dim), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, h_dim), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        scratch_shapes=[pltpu.VMEM((2, B, h_dim), f32)],
-        interpret=interpret,
-    )(gates_all, mask_t, params["w_h"].astype(f32))
+    out_shape = [
+        jax.ShapeDtypeStruct((T, B, h_dim), f32),
+        jax.ShapeDtypeStruct((T, B, h_dim), f32),
+        jax.ShapeDtypeStruct((T, B, h_dim), f32),
+    ]
+    if nb == 1:
+        out, h_seq, c_seq = pl.pallas_call(
+            _lstm_fwd_train_kernel,
+            out_shape=out_shape,
+            grid=(T,),
+            in_specs=[
+                pl.BlockSpec((1, B, 4 * h_dim), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((T, B), lambda t: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((h_dim, 4 * h_dim), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, B, h_dim), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, B, h_dim), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, B, h_dim), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[pltpu.VMEM((2, B, h_dim), f32)],
+            interpret=interpret,
+        )(gates_all, mask_t, params["w_h"].astype(f32))
+    else:
+        out, h_seq, c_seq = pl.pallas_call(
+            partial(_lstm_fwd_train_kernel, t_axis=1),
+            out_shape=out_shape,
+            grid=(nb, T),
+            in_specs=[
+                pl.BlockSpec((1, C, 4 * h_dim), lambda b, t: (t, b, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((T, C), lambda b, t: (0, b), memory_space=pltpu.VMEM),
+                pl.BlockSpec((h_dim, 4 * h_dim), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, C, h_dim), lambda b, t: (t, b, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, C, h_dim), lambda b, t: (t, b, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, C, h_dim), lambda b, t: (t, b, 0), memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[pltpu.VMEM((2, C, h_dim), f32)],
+            interpret=interpret,
+        )(gates_all, mask_t, params["w_h"].astype(f32))
     return out, h_seq, c_seq
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def lstm_pallas_trainable(params, x, mask, reverse=False, interpret=None):
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def lstm_pallas_trainable(params, x, mask, reverse=False, interpret=None, row_chunk=0):
     """``lstm_scan``-compatible Pallas LSTM with a fused Pallas BPTT VJP."""
-    out, _, _, h_last, c_last = _lstm_train_fwd(params, x, mask, reverse, interpret)
+    out, _, _, h_last, c_last = _lstm_train_fwd(
+        params, x, mask, reverse, interpret, row_chunk
+    )
     return out, (h_last, c_last)
 
 
-def _lstm_train_fwd(params, x, mask, reverse, interpret):
+def _lstm_train_fwd(params, x, mask, reverse, interpret, row_chunk=0):
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     xp = jnp.flip(x, axis=1) if reverse else x
     mp = jnp.flip(mask, axis=1) if reverse else mask
-    out, h_seq, c_seq = _lstm_train_fwd_impl(params, xp, mp, interpret)
+    out, h_seq, c_seq = _lstm_train_fwd_impl(params, xp, mp, interpret, row_chunk)
     out_b = jnp.swapaxes(out, 0, 1)
     if reverse:
         out_b = jnp.flip(out_b, axis=1)
     return out_b, h_seq, c_seq, h_seq[-1], c_seq[-1]
 
 
-def _trainable_fwd(params, x, mask, reverse, interpret):
+def _trainable_fwd(params, x, mask, reverse, interpret, row_chunk):
     out_b, h_seq, c_seq, h_last, c_last = _lstm_train_fwd(
-        params, x, mask, reverse, interpret
+        params, x, mask, reverse, interpret, row_chunk
     )
     return (out_b, (h_last, c_last)), (params, x, mask, h_seq, c_seq)
 
 
-def _trainable_bwd(reverse, interpret, res, cotangents):
+def _trainable_bwd(reverse, interpret, row_chunk, res, cotangents):
     params, x, mask, h_seq, c_seq = res
     dout, (dh_last, dc_last) = cotangents
     if interpret is None:
@@ -318,6 +407,8 @@ def _trainable_bwd(reverse, interpret, res, cotangents):
     B, T, _ = x.shape
     h_dim = params["w_h"].shape[0]
     f32 = jnp.float32
+    C = row_chunk or B
+    nb = B // C
 
     xp = jnp.flip(x, axis=1) if reverse else x
     mp = jnp.flip(mask, axis=1) if reverse else mask
@@ -328,36 +419,64 @@ def _trainable_bwd(reverse, interpret, res, cotangents):
     mask_t = jnp.swapaxes(mp, 0, 1).astype(f32)
     dout_t = jnp.swapaxes(doutp, 0, 1).astype(f32)
 
-    rev_idx = lambda s: (T - 1 - s, 0, 0)
-    prev_idx = lambda s: (jnp.maximum(T - 2 - s, 0), 0, 0)
-
-    dgates, dwh = pl.pallas_call(
-        _lstm_bwd_kernel,
-        out_shape=[
-            jax.ShapeDtypeStruct((T, B, 4 * h_dim), f32),
-            jax.ShapeDtypeStruct((h_dim, 4 * h_dim), f32),
-        ],
-        grid=(T,),
-        in_specs=[
-            pl.BlockSpec((1, B, 4 * h_dim), rev_idx, memory_space=pltpu.VMEM),
-            pl.BlockSpec((T, B), lambda s: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((h_dim, 4 * h_dim), lambda s: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, h_dim), prev_idx, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, h_dim), prev_idx, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, h_dim), rev_idx, memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, h_dim), lambda s: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, h_dim), lambda s: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, B, 4 * h_dim), rev_idx, memory_space=pltpu.VMEM),
-            pl.BlockSpec((h_dim, 4 * h_dim), lambda s: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        scratch_shapes=[pltpu.VMEM((2, B, h_dim), f32)],
-        interpret=interpret,
-    )(
-        gates_all, mask_t, params["w_h"].astype(f32), h_seq, c_seq,
-        dout_t, dh_last.astype(f32), dc_last.astype(f32),
-    )
+    out_shape = [
+        jax.ShapeDtypeStruct((T, B, 4 * h_dim), f32),
+        jax.ShapeDtypeStruct((h_dim, 4 * h_dim), f32),
+    ]
+    if nb == 1:
+        rev_idx = lambda s: (T - 1 - s, 0, 0)
+        prev_idx = lambda s: (jnp.maximum(T - 2 - s, 0), 0, 0)
+        dgates, dwh = pl.pallas_call(
+            _lstm_bwd_kernel,
+            out_shape=out_shape,
+            grid=(T,),
+            in_specs=[
+                pl.BlockSpec((1, B, 4 * h_dim), rev_idx, memory_space=pltpu.VMEM),
+                pl.BlockSpec((T, B), lambda s: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((h_dim, 4 * h_dim), lambda s: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, B, h_dim), prev_idx, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, B, h_dim), prev_idx, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, B, h_dim), rev_idx, memory_space=pltpu.VMEM),
+                pl.BlockSpec((B, h_dim), lambda s: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((B, h_dim), lambda s: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, B, 4 * h_dim), rev_idx, memory_space=pltpu.VMEM),
+                pl.BlockSpec((h_dim, 4 * h_dim), lambda s: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[pltpu.VMEM((2, B, h_dim), f32)],
+            interpret=interpret,
+        )(
+            gates_all, mask_t, params["w_h"].astype(f32), h_seq, c_seq,
+            dout_t, dh_last.astype(f32), dc_last.astype(f32),
+        )
+    else:
+        rev_idx = lambda b, s: (T - 1 - s, b, 0)
+        prev_idx = lambda b, s: (jnp.maximum(T - 2 - s, 0), b, 0)
+        dgates, dwh = pl.pallas_call(
+            partial(_lstm_bwd_kernel, t_axis=1),
+            out_shape=out_shape,
+            grid=(nb, T),
+            in_specs=[
+                pl.BlockSpec((1, C, 4 * h_dim), rev_idx, memory_space=pltpu.VMEM),
+                pl.BlockSpec((T, C), lambda b, s: (0, b), memory_space=pltpu.VMEM),
+                pl.BlockSpec((h_dim, 4 * h_dim), lambda b, s: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, C, h_dim), prev_idx, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, C, h_dim), prev_idx, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, C, h_dim), rev_idx, memory_space=pltpu.VMEM),
+                pl.BlockSpec((C, h_dim), lambda b, s: (b, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((C, h_dim), lambda b, s: (b, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, C, 4 * h_dim), rev_idx, memory_space=pltpu.VMEM),
+                pl.BlockSpec((h_dim, 4 * h_dim), lambda b, s: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[pltpu.VMEM((2, C, h_dim), f32)],
+            interpret=interpret,
+        )(
+            gates_all, mask_t, params["w_h"].astype(f32), h_seq, c_seq,
+            dout_t, dh_last.astype(f32), dc_last.astype(f32),
+        )
 
     # Outside GEMMs: dgates → (dx, dW_x, db).
     dgates_b = jnp.swapaxes(dgates, 0, 1)                       # [B, T, 4h]
@@ -381,15 +500,16 @@ def bilstm_pallas_trainable(
 ) -> tuple[jax.Array, tuple[jax.Array, jax.Array]]:
     """Bidirectional trainable wrapper matching ``ops.lstm.bilstm_apply``.
 
-    Same VMEM guard as ``bilstm_pallas`` with a 2× factor: the BPTT
-    backward kernel additionally holds dgates blocks and the dW_h
-    accumulator in VMEM."""
-    if not interpret and not _fits_vmem(params, x, scale=2):
+    Same row-chunking/fallback policy as ``bilstm_pallas`` with a 2×
+    VMEM factor: the BPTT backward kernel additionally holds dgates
+    blocks and the dW_h accumulator in VMEM."""
+    chunk = 0 if interpret else _best_row_chunk(params, x, scale=2)
+    if chunk is None:
         from mmbidaf_tpu.ops.lstm import bilstm_apply
 
         return bilstm_apply(params, x, mask)
-    out_f, (h_f, c_f) = lstm_pallas_trainable(params["fwd"], x, mask, False, interpret)
-    out_b, (h_b, c_b) = lstm_pallas_trainable(params["bwd"], x, mask, True, interpret)
+    out_f, (h_f, c_f) = lstm_pallas_trainable(params["fwd"], x, mask, False, interpret, chunk)
+    out_b, (h_b, c_b) = lstm_pallas_trainable(params["bwd"], x, mask, True, interpret, chunk)
     out = jnp.concatenate([out_f, out_b], axis=-1)
     return out, (
         jnp.concatenate([h_f, h_b], axis=-1),

@@ -132,14 +132,15 @@ def test_model_decode_with_pallas_lstm_matches(rng):
     np.testing.assert_allclose(np.asarray(log_p_ref), np.asarray(log_p_pl), atol=3e-5)
 
 
-def test_lstm_vmem_guard_falls_back_on_huge_batch(rng):
+def test_lstm_vmem_guard_row_chunks_huge_batch(rng):
     """Effective batches that would overflow the kernel's 16 MiB scoped
     VMEM (word-level LSTM sees batch × sentences rows; measured 26 MB at
-    B=4096, h=128) dispatch to the jnp scan instead of crashing the
-    compile. Small batches stay on the kernel."""
+    B=4096, h=128) now run the kernel ROW-CHUNKED over an outer grid
+    dimension; only batches with no usable divisor chunk (huge primes)
+    fall back to the jnp scan. Neither crashes the compile."""
     from mmbidaf_tpu.ops.lstm import bilstm_apply, bilstm_init
     from mmbidaf_tpu.ops.pallas.lstm_kernel import (
-        _fits_vmem, bilstm_pallas, bilstm_pallas_trainable,
+        _best_row_chunk, _fits_vmem, bilstm_pallas, bilstm_pallas_trainable,
     )
 
     params = bilstm_init(jax.random.key(0), 8, 128)
@@ -148,15 +149,67 @@ def test_lstm_vmem_guard_falls_back_on_huge_batch(rng):
     # trainable holds ~2x (backward residuals + dW_h accumulator)
     assert not _fits_vmem(params, jnp.zeros((2048, 16, 8)), scale=2)
 
-    # the oversized dispatch runs (scan path — no pallas_call, so it
-    # executes compiled on CPU) and matches the scan exactly
-    x = jnp.asarray(rng.standard_normal((4096, 4, 8)).astype(np.float32))
-    mask = jnp.ones((4096, 4), jnp.float32)
-    out, (h, c) = bilstm_pallas(params, x, mask)
+    # divisible overflow → a chunk is found (and halves again for trainable)
+    assert _best_row_chunk(params, jnp.zeros((4096, 16, 8))) == 2048
+    assert _best_row_chunk(params, jnp.zeros((4096, 16, 8)), scale=2) == 1024
+    # fits outright → 0 (single-block program, unchanged HLO)
+    assert _best_row_chunk(params, jnp.zeros((1024, 16, 8))) == 0
+    # huge prime → no usable divisor → scan fallback
+    assert _best_row_chunk(params, jnp.zeros((4099, 16, 8))) is None
+
+    # oversized-but-divisible dispatch runs row-chunked (interpret mode on
+    # CPU) and matches the scan; shrink rows to keep interpret-mode cheap
+    # while still forcing a multi-chunk grid via the real selector on a
+    # pretend-huge batch: call the kernel with an explicit chunk instead.
+    x = jnp.asarray(rng.standard_normal((4099, 4, 8)).astype(np.float32))
+    mask = jnp.ones((4099, 4), jnp.float32)
+    out, (h, c) = bilstm_pallas(params, x, mask)       # prime → scan fallback
     want, (hw, cw) = bilstm_apply(params, x, mask)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(want))
     out_t, _ = bilstm_pallas_trainable(params, x, mask)
     np.testing.assert_array_equal(np.asarray(out_t), np.asarray(want))
+
+
+def test_lstm_row_chunked_kernel_parity(rng):
+    """The row-chunked grid (explicit ``row_chunk``) matches the jnp scan —
+    both directions, ragged masks, a non-sublane-aligned chunk, and BPTT
+    grads through the chunked backward kernel (dW_h accumulates across
+    row-chunks; dh/dc carries re-seed per chunk)."""
+    from mmbidaf_tpu.ops.lstm import bilstm_apply, bilstm_init, lstm_scan
+    from mmbidaf_tpu.ops.pallas.lstm_kernel import (
+        lstm_pallas, lstm_pallas_trainable,
+    )
+
+    B, T, in_dim, h = 12, 7, 6, 8
+    params = bilstm_init(jax.random.key(3), in_dim, h)
+    x = jnp.asarray(rng.standard_normal((B, T, in_dim)).astype(np.float32))
+    lengths = rng.integers(1, T + 1, size=B)
+    mask = jnp.asarray((np.arange(T)[None] < lengths[:, None]).astype(np.float32))
+
+    for reverse in (False, True):
+        want, (hw, cw) = lstm_scan(params["fwd"], x, mask, reverse=reverse)
+        for chunk in (4, 3):  # aligned and non-sublane-aligned
+            out, (hh, cc) = lstm_pallas(
+                params["fwd"], x, mask, reverse=reverse, interpret=True, row_chunk=chunk
+            )
+            np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=1e-6)
+            np.testing.assert_allclose(np.asarray(hh), np.asarray(hw), atol=1e-6)
+            np.testing.assert_allclose(np.asarray(cc), np.asarray(cw), atol=1e-6)
+
+    def loss_chunked(p, xx):
+        out_f, (h_f, c_f) = lstm_pallas_trainable(p["fwd"], xx, mask, False, True, 4)
+        out_b, (h_b, c_b) = lstm_pallas_trainable(p["bwd"], xx, mask, True, True, 4)
+        out = jnp.concatenate([out_f, out_b], axis=-1)
+        return (out ** 2).sum() + (h_f * 0.3).sum() + (c_b ** 2).sum()
+
+    def loss_ref(p, xx):
+        out, (h_n, c_n) = bilstm_apply(p, xx, mask)
+        return (out ** 2).sum() + (h_n[:, :h] * 0.3).sum() + (c_n[:, h:] ** 2).sum()
+
+    gc = jax.grad(loss_chunked, argnums=(0, 1))(params, x)
+    gr = jax.grad(loss_ref, argnums=(0, 1))(params, x)
+    for a, b in zip(jax.tree.leaves(gc), jax.tree.leaves(gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-5)
 
 
 def test_fused_bidaf_trainable_grads_match_jnp(rng):
