@@ -291,11 +291,10 @@ def main():
     ap.add_argument("--baseline-videos", type=int, default=5)
     ap.add_argument("--skip-baseline", action="store_true")
     ap.add_argument(
-        "--vgg-chunk", type=int, default=None,
+        "--vgg-chunk", type=int, default=0,
         help="resize+VGG frame-chunk size (ModelConfig.vgg_frame_chunk); "
-        "default: 1024 when batch*T_img > 1024 (caps peak activation HBM "
-        "at the measured B=64 level so B >= 128 fits the 16 GB chip), 0 "
-        "(single pass) otherwise",
+        "0 = auto (single pass unless the activation footprint exceeds "
+        "the HBM budget — B >= 128 then runs chunked instead of OOMing)",
     )
     args = ap.parse_args()
 
@@ -303,15 +302,13 @@ def main():
 
     # Default serving batch 64 (round-3 A/B on the chip): per-batch fixed
     # work (resize setup, model towers, decode, dispatch) amortizes over
-    # more videos — 304.3 v/s at B=64 vs 287.7 at B=32, +5.8%. At B=128 the
-    # word-level Pallas LSTM kernel falls back to the jnp scan (batch ×
-    # sentences rows overflow its scoped VMEM) and the VGG runs frame-
-    # chunked (see --vgg-chunk) to fit HBM.
+    # more videos — 304.3 v/s at B=64 vs 287.7 at B=32, +5.8%. B=128 was
+    # measured at 302.9 (slight loss): it needs frame-chunked VGG to fit
+    # HBM (auto, see ModelConfig.vgg_frame_chunk) and the chunk loop's
+    # serialization cancels the amortization; its word-level LSTM rows run
+    # the Pallas kernel row-chunked.
     batch = args.batch or (8 if args.quick else 64)
     vgg_chunk = args.vgg_chunk
-    if vgg_chunk is None:
-        t_img = 4 if args.quick else 16
-        vgg_chunk = 1024 if batch * t_img > 1024 else 0
     cfg = build_bench_config(args.quick, vgg_chunk)
     vgg_spec = TINY_SPEC if args.quick else VGG16_SPEC
 

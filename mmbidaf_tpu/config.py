@@ -53,12 +53,16 @@ class ModelConfig:
     # Off by default: exact-parity runs use the XLA conv.
     use_winograd_conv: bool = False
     # Process the flattened [B*T_img] keyframe axis through resize+VGG in
-    # sequential chunks of this many frames (0 = single pass). The early
-    # conv layers hold ~6.4 MB/frame of activations at 224² (two live
-    # buffers ≈ 13 GB at 1024 frames) — chunking caps peak HBM at
-    # ~2×chunk×6.4 MB so large serving batches fit the 16 GB chip. The
-    # frames are independent, so chunking only reorders XLA fusion
+    # sequential chunks of this many frames. The early conv layers hold
+    # ~6.4 MB/frame of activations at 224² bf16 (two live buffers ≈ 13 GB
+    # at 1024 frames) — chunking caps peak HBM at ~2×chunk×6.4 MB so large
+    # serving batches fit the 16 GB chip. 0 = AUTO: single pass unless the
+    # estimated footprint exceeds the safe budget (data/frontend.py), then
+    # the largest fitting chunk — oversized batches run instead of OOMing.
+    # The frames are independent, so chunking only reorders XLA fusion
     # (~1e-6 fp noise); it serializes the (compute-bound) conv stack.
+    # Measured (round 3): B=128 chunked = 302.9 v/s vs B=64 single-pass
+    # 304.3 — chunking is a fit-the-chip knob, not a throughput win.
     vgg_frame_chunk: int = 0
 
 

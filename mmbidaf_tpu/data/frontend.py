@@ -19,6 +19,28 @@ from mmbidaf_tpu.config import Config
 from mmbidaf_tpu.ops import audio as audio_ops
 from mmbidaf_tpu.ops import vgg as vgg_ops
 
+# Auto frame-chunking engages when the VGG stack's two live activation
+# buffers (first-conv width × image_size² per frame — the early layers
+# dominate; pooling halves later stages) would exceed this budget. 14 GB
+# keeps today's measured-working single-pass shapes (1024 frames @224²
+# bf16 ≈ 13.2 GB) single-pass on the 16 GB chip while chunking anything
+# bigger instead of OOMing.
+_AUTO_VGG_ACT_BUDGET = 14e9
+
+
+def _auto_vgg_chunk(
+    n_frames: int, image_size: int, first_ch: int, itemsize: int,
+    budget: float = _AUTO_VGG_ACT_BUDGET,
+) -> int:
+    """Frame-chunk size for ``vgg_frame_chunk=0`` (auto): 0 (single pass)
+    while the estimated two-live-buffer activation footprint fits
+    ``budget``; otherwise the largest 128-multiple chunk that fits (floor
+    128 — best effort below that, chunking finer buys nothing)."""
+    per_frame = 2 * image_size * image_size * first_ch * itemsize
+    if n_frames * per_frame <= budget:
+        return 0
+    return max(128, int(budget / per_frame) // 128 * 128)
+
 
 def frontend_init(key: jax.Array, cfg: Config, vgg_spec=vgg_ops.VGG16_SPEC) -> dict:
     """Frontend params: VGG weights (portable from torchvision) + audio consts."""
@@ -98,6 +120,14 @@ def apply_frontend(
             )
 
         chunk = cfg.model.vgg_frame_chunk
+        if chunk == 0:
+            # Auto: a 128-video batch at 224² needs ~26 GB in one pass —
+            # chunk it so oversized batches run instead of OOMing.
+            chunk = _auto_vgg_chunk(
+                flat.shape[0], d.image_size,
+                next(c for c in vgg_spec if isinstance(c, int)),
+                jnp.dtype(compute_dtype).itemsize,
+            )
         if chunk and flat.shape[0] > chunk:
             # Sequential frame chunks cap peak activation HBM (the frames
             # are independent; only XLA fusion order differs vs one pass).

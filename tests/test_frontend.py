@@ -90,3 +90,19 @@ def test_vgg_frame_chunk_parity(rng):
         np.testing.assert_allclose(
             np.asarray(got["images"]), np.asarray(base["images"]), rtol=1e-4, atol=1e-5
         )
+
+
+def test_auto_vgg_chunk_policy():
+    """vgg_frame_chunk=0 (auto): single pass while the two-live-buffer
+    activation estimate fits the 14 GB budget; largest 128-multiple chunk
+    otherwise. Anchored to the measured shapes: 1024 frames @224² bf16
+    (serving B=64) stays single-pass, 2048 frames (B=128) chunks at 1024."""
+    from mmbidaf_tpu.data.frontend import _auto_vgg_chunk
+
+    assert _auto_vgg_chunk(1024, 224, 64, 2) == 0       # B=64 bf16: fits
+    assert _auto_vgg_chunk(2048, 224, 64, 2) == 1024    # B=128 bf16: chunks
+    assert _auto_vgg_chunk(512, 224, 64, 4) == 0        # fp32 B=32: fits
+    assert _auto_vgg_chunk(1024, 224, 64, 4) == 512     # fp32 B=64: chunks
+    assert _auto_vgg_chunk(4096, 32, 8, 4) == 0         # tiny spec: fits
+    # floor: absurdly large frames still get a best-effort 128 chunk
+    assert _auto_vgg_chunk(4096, 2048, 64, 4) == 128
