@@ -528,3 +528,20 @@ def test_serve_daemon_warmup_and_sigterm(tmp_path, synthetic_corpus):
     stdout = proc.stdout.read()
     assert code == 0, stdout[-2000:]
     assert "warmup: serving programs compiled" in stdout
+
+
+def test_profile_cli_smoke(tmp_path):
+    """tools/profile.py traces steady-state steps and prints a per-op
+    table (serve mode, quick shapes, CPU)."""
+    res = subprocess.run(
+        [sys.executable, "tools/profile.py", "--quick", "--mode", "serve",
+         "--steps", "2", "--top", "5", "--trace_dir", str(tmp_path / "tr"),
+         "--json"],
+        cwd=REPO, env=_cpu_env(), capture_output=True, text=True, timeout=600,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    import json as _json
+
+    rows = [_json.loads(l) for l in res.stdout.strip().splitlines() if l.startswith("{")]
+    assert 0 < len(rows) <= 5
+    assert all({"name", "total_ms", "pct"} <= set(r) for r in rows)
