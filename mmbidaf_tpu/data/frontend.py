@@ -30,16 +30,21 @@ _AUTO_VGG_ACT_BUDGET = 14e9
 
 def _auto_vgg_chunk(
     n_frames: int, image_size: int, first_ch: int, itemsize: int,
-    budget: float = _AUTO_VGG_ACT_BUDGET,
+    budget: float = _AUTO_VGG_ACT_BUDGET, shards: int = 1,
 ) -> int:
     """Frame-chunk size for ``vgg_frame_chunk=0`` (auto): 0 (single pass)
     while the estimated two-live-buffer activation footprint fits
     ``budget``; otherwise the largest 128-multiple chunk that fits (floor
-    128 — best effort below that, chunking finer buys nothing)."""
+    128 — best effort below that, chunking finer buys nothing).
+
+    ``shards``: ways the frame axis is data-parallel-sharded (GSPMD serving
+    traces GLOBAL shapes but each chip only holds 1/shards of the
+    activations) — the estimate is per shard and the returned global chunk
+    keeps every shard evenly loaded (per-shard chunk × shards)."""
     per_frame = 2 * image_size * image_size * first_ch * itemsize
-    if n_frames * per_frame <= budget:
+    if (n_frames // shards) * per_frame <= budget:
         return 0
-    return max(128, int(budget / per_frame) // 128 * 128)
+    return max(128, int(budget / per_frame) // 128 * 128) * shards
 
 
 def frontend_init(key: jax.Array, cfg: Config, vgg_spec=vgg_ops.VGG16_SPEC) -> dict:
@@ -78,6 +83,7 @@ def apply_frontend(
     cfg: Config,
     vgg_spec=vgg_ops.VGG16_SPEC,
     sp_audio: bool = False,
+    data_shards: int = 1,
 ) -> dict:
     """Raw batch → model-ready feature batch (jittable).
 
@@ -89,6 +95,10 @@ def apply_frontend(
     ``sp_audio=True`` (MeshConfig.sp_audio): the waveform passes through raw
     — the sequence-parallel tower (parallel/sp_tower.py) featurizes it
     inside the model with the frame axis sharded over the ``seq`` mesh axis.
+
+    ``data_shards``: DP-serving shard count of the batch axis, so the
+    auto frame-chunk heuristic (``vgg_frame_chunk=0``) budgets per-chip
+    activations rather than the global traced shape.
     """
     d = cfg.data
     compute_dtype = jnp.dtype(cfg.model.compute_dtype)
@@ -127,6 +137,7 @@ def apply_frontend(
                 flat.shape[0], d.image_size,
                 next(c for c in vgg_spec if isinstance(c, int)),
                 jnp.dtype(compute_dtype).itemsize,
+                shards=data_shards,
             )
         if chunk and flat.shape[0] > chunk:
             # Sequential frame chunks cap peak activation HBM (the frames
@@ -165,19 +176,23 @@ def apply_frontend(
     return out
 
 
-def make_end_to_end_decode(cfg: Config, vgg_spec=vgg_ops.VGG16_SPEC, audio_g_fn=None):
+def make_end_to_end_decode(
+    cfg: Config, vgg_spec=vgg_ops.VGG16_SPEC, audio_g_fn=None, data_shards: int = 1
+):
     """One jitted program: raw video batch → summary sentence indices.
 
     ``audio_g_fn`` routes the audio tower through the sequence-parallel
     chain (``MeshConfig.sp_audio``); the frontend then passes the raw
-    waveform through for the tower to featurize sharded.
+    waveform through for the tower to featurize sharded. ``data_shards``
+    informs the auto frame-chunk heuristic under DP serving.
     """
     from mmbidaf_tpu.models.mmbidaf import mmbidaf_decode
 
     @jax.jit
     def end_to_end(params: dict, fe_params: dict, raw: Mapping[str, jax.Array]):
         batch = apply_frontend(
-            fe_params, raw, cfg, vgg_spec, sp_audio=audio_g_fn is not None
+            fe_params, raw, cfg, vgg_spec, sp_audio=audio_g_fn is not None,
+            data_shards=data_shards,
         )
         return mmbidaf_decode(params, batch, cfg, audio_g_fn=audio_g_fn)
 

@@ -231,9 +231,11 @@ class Summarizer:
                 self._mesh, cfg, use_batch_axis=self._dp
             )
         sp = self._audio_g_fn is not None
+        n_dp = self._dp_shards  # auto frame-chunking budgets per-chip activations
         if mode == "greedy":
             self._decode = make_end_to_end_decode(
-                cfg, vgg_spec=vgg_spec, audio_g_fn=self._audio_g_fn
+                cfg, vgg_spec=vgg_spec, audio_g_fn=self._audio_g_fn,
+                data_shards=n_dp,
             )
         elif mode == "beam":
             from mmbidaf_tpu.data.frontend import apply_frontend
@@ -241,7 +243,9 @@ class Summarizer:
 
             @jax.jit
             def decode_beam(params, fe, raw):
-                batch = apply_frontend(fe, raw, cfg, vgg_spec, sp_audio=sp)
+                batch = apply_frontend(
+                    fe, raw, cfg, vgg_spec, sp_audio=sp, data_shards=n_dp
+                )
                 return mmbidaf_decode(
                     params, batch, cfg, mode="beam", topk=topk,
                     audio_g_fn=self._audio_g_fn,
@@ -254,7 +258,9 @@ class Summarizer:
 
             @jax.jit
             def decode(params, fe, raw, rng):
-                batch = apply_frontend(fe, raw, cfg, vgg_spec, sp_audio=sp)
+                batch = apply_frontend(
+                    fe, raw, cfg, vgg_spec, sp_audio=sp, data_shards=n_dp
+                )
                 return mmbidaf_decode(
                     params, batch, cfg, mode="topk", topk=topk, rng=rng,
                     audio_g_fn=self._audio_g_fn,

@@ -106,3 +106,7 @@ def test_auto_vgg_chunk_policy():
     assert _auto_vgg_chunk(4096, 32, 8, 4) == 0         # tiny spec: fits
     # floor: absurdly large frames still get a best-effort 128 chunk
     assert _auto_vgg_chunk(4096, 2048, 64, 4) == 128
+    # DP serving traces GLOBAL shapes but each chip holds 1/shards of the
+    # activations: per-shard estimate, shard-scaled global chunk
+    assert _auto_vgg_chunk(2048, 224, 64, 2, shards=8) == 0   # 256/chip: fits
+    assert _auto_vgg_chunk(16384, 224, 64, 2, shards=8) == 8192  # 2048/chip
