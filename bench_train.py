@@ -30,6 +30,10 @@ def main():
     ap.add_argument("--tree_opt", action="store_true",
                     help="per-leaf optimizer tree_maps instead of the default "
                          "flat raveled update (A/B for TrainConfig.flat_updates)")
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialize the encoder towers in backprop "
+                         "(A/B for TrainConfig.remat_towers: recompute FLOPs "
+                         "vs activation-HBM traffic)")
     a = ap.parse_args()
 
     import jax
@@ -53,7 +57,8 @@ def main():
             drop_prob=a.drop,
         ),
         train=dataclasses.replace(cfg.train, optimizer="adadelta",
-                                  flat_updates=not a.tree_opt),
+                                  flat_updates=not a.tree_opt,
+                                  remat_towers=a.remat),
     )
     B = a.batch or (8 if a.quick else 32)
 

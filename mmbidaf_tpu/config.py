@@ -118,6 +118,13 @@ class TrainConfig:
     # opt_state layout: resuming a run saved with the other setting needs a
     # matching `{"train": {"flat_updates": ...}}` overlay (docs/OPERATIONS.md).
     flat_updates: bool = True
+    # Rematerialize the encoder towers in the backward pass
+    # (``jax.checkpoint``): activations of the word/sentence/image/audio
+    # towers are dropped after the forward and recomputed during backprop —
+    # the canonical FLOPs-for-HBM trade for bigger batches / longer
+    # buckets. Exact (bitwise-same grads); composes with grad_accum_steps
+    # (accum slices the batch, remat slims each microbatch's live set).
+    remat_towers: bool = False
     ema_decay: float = 0.999
     l2_wd: float = 0.0
     eval_steps: int = 500

@@ -202,28 +202,48 @@ def mmbidaf_fused_reps(
     else:
         bilstm_fn = bilstm_apply
 
-    text_enc = encode_text(
-        params, batch["text_ids"], batch["word_mask"], batch["sent_mask"], drop, rngs[0],
-        bilstm_fn,
+    # Training-only rematerialization (TrainConfig.remat_towers): drop each
+    # tower's activations after the forward and recompute them in backprop
+    # — exact (bitwise-same grads), trades FLOPs for HBM so bigger batches
+    # / longer buckets fit. Inference (rng=None) never pays the barrier.
+    remat = rng is not None and cfg.train.remat_towers
+    maybe_ckpt = jax.checkpoint if remat else (lambda f: f)
+
+    def _text_tower(p, text_ids, word_mask, sent_mask, r):
+        return encode_text(p, text_ids, word_mask, sent_mask, drop, r, bilstm_fn)
+
+    text_enc = maybe_ckpt(_text_tower)(
+        params, batch["text_ids"], batch["word_mask"], batch["sent_mask"], rngs[0]
     )
     sent_mask = batch["sent_mask"]
 
     gs = []
     if m.use_images:
-        img_enc, _ = bilstm_fn(params["img_lstm"], batch["images"], batch["img_mask"])
-        gs.append(
-            _bidaf(params["att_img"], text_enc, img_enc, sent_mask,
-                   batch["img_mask"], drop, rngs[1], cfg)
-        )
+
+        def _img_tower(p, t_enc, images, img_mask, r):
+            img_enc, _ = bilstm_fn(p["img_lstm"], images, img_mask)
+            return _bidaf(p["att_img"], t_enc, img_enc, sent_mask,
+                          img_mask, drop, r, cfg)
+
+        gs.append(maybe_ckpt(_img_tower)(
+            params, text_enc, batch["images"], batch["img_mask"], rngs[1]
+        ))
     if m.use_audio:
         if audio_g_fn is not None:
+            # The SP chain carries its own sharding structure (shard_map
+            # stages) — remat inside it would need per-stage policies;
+            # keep it un-remat'ed.
             gs.append(audio_g_fn(params, text_enc, batch, drop, rngs[2]))
         else:
-            aud_enc, _ = bilstm_fn(params["aud_lstm"], batch["audio"], batch["aud_mask"])
-            gs.append(
-                _bidaf(params["att_aud"], text_enc, aud_enc, sent_mask,
-                       batch["aud_mask"], drop, rngs[2], cfg)
-            )
+
+            def _aud_tower(p, t_enc, audio, aud_mask, r):
+                aud_enc, _ = bilstm_fn(p["aud_lstm"], audio, aud_mask)
+                return _bidaf(p["att_aud"], t_enc, aud_enc, sent_mask,
+                              aud_mask, drop, r, cfg)
+
+            gs.append(maybe_ckpt(_aud_tower)(
+                params, text_enc, batch["audio"], batch["aud_mask"], rngs[2]
+            ))
     if not gs:
         gs.append(
             _bidaf(params["att_self"], text_enc, text_enc, sent_mask,

@@ -379,3 +379,52 @@ def test_flat_updates_checkpoint_mismatch_is_actionable(tmp_path):
     template = init_train_state(jax.random.key(23), state.params, cfg_tree)
     with pytest.raises(RuntimeError, match="flat_updates"):
         ckpt.restore_latest(mgr, template)
+
+
+def test_remat_towers_matches_plain_step():
+    """TrainConfig.remat_towers (jax.checkpoint around the encoder towers)
+    recomputes the SAME forward in backprop — loss, grad norm, and updated
+    params match the un-remat'ed step to fp-reassociation noise. Covers
+    the dropout path (rng consumption must be identical under remat)."""
+    cfg, rng, state = _setup(seed=11)
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, drop_prob=0.2)
+    )
+    batch = {k: jnp.asarray(v) for k, v in synthetic_batch(rng, cfg, batch_size=4).items()}
+    cfg_remat = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, remat_towers=True)
+    )
+    s1, m1 = make_train_step(cfg)(state, batch)
+    _, _, state2 = _setup(seed=11)
+    s2, m2 = make_train_step(cfg_remat)(state2, batch)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
+    np.testing.assert_allclose(float(m1["grad_norm"]), float(m2["grad_norm"]), rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=6e-4
+        ),
+        s1.params, s2.params,
+    )
+
+
+def test_remat_towers_pallas_kernels():
+    """remat composes with the custom-VJP Pallas kernels (attention +
+    LSTM BPTT): the checkpointed tower re-invokes the fused backward."""
+    cfg, rng, state = _setup(seed=13)
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(
+            cfg.model, use_pallas_attention=True, use_pallas_lstm=True,
+            drop_prob=0.0,
+        ),
+    )
+    batch = {k: jnp.asarray(v) for k, v in synthetic_batch(rng, cfg, batch_size=4).items()}
+    cfg_remat = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, remat_towers=True)
+    )
+    s1, m1 = make_train_step(cfg)(state, batch)
+    _, _, state2 = _setup(seed=13)
+    s2, m2 = make_train_step(cfg_remat)(state2, batch)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
+    np.testing.assert_allclose(float(m1["grad_norm"]), float(m2["grad_norm"]), rtol=1e-5)

@@ -83,6 +83,10 @@ def parse_args():
     ap.add_argument("--grad_accum_steps", type=int, default=1,
                     help=">1: microbatch gradient accumulation inside the "
                          "jitted step (exact full-batch gradient semantics)")
+    ap.add_argument("--remat_towers", action="store_true",
+                    help="rematerialize the encoder towers in backprop "
+                         "(jax.checkpoint): exact grads, trades FLOPs for "
+                         "HBM so bigger batches / longer buckets fit")
     ap.add_argument("--ema_decay", type=float, default=0.999)
     ap.add_argument("--l2_wd", type=float, default=0.0)
     ap.add_argument("--eval_steps", type=int, default=200)
@@ -134,7 +138,7 @@ _DATA_KEYS = ("max_sentences", "max_words")
 _MESH_KEYS = ("num_seq", "sp_audio", "num_model", "tp_vgg")
 _TRAIN_KEYS = (
     "batch_size", "lr", "optimizer", "max_grad_norm", "grad_accum_steps",
-    "ema_decay", "l2_wd",
+    "remat_towers", "ema_decay", "l2_wd",
     "eval_steps", "seed", "save_dir", "load_path", "name", "max_checkpoints",
     "metric_name",
 )
@@ -188,6 +192,7 @@ def build_config(a, defaults):
             optimizer=a.optimizer,
             max_grad_norm=a.max_grad_norm,
             grad_accum_steps=a.grad_accum_steps,
+            remat_towers=a.remat_towers,
             ema_decay=a.ema_decay,
             l2_wd=a.l2_wd,
             eval_steps=a.eval_steps,
