@@ -52,15 +52,19 @@ def _serve_step(cfg, batch_size):
     fe = cast_vgg_weights(fe, cfg.model.compute_dtype)
     raw = make_raw_batch_on_device(cfg, batch_size)
 
+    # The raw batch (and params) MUST be jit ARGUMENTS, not closure
+    # constants: closed-over device arrays are embedded in the HLO as
+    # literals, and lowering then ships the 100+ MB frames tensor inside
+    # the remote-compile request (HTTP 413 on the tunnelled backend).
     @jax.jit
-    def step(acc):
+    def _step(acc, params, fe, raw):
         r = dict(raw)
         r["waveform"] = raw["waveform"] + acc * 1e-12
         batch = apply_frontend(fe, r, cfg, vgg_spec)
         _, picks = mmbidaf_decode(params, batch, cfg)
         return picks.sum().astype(jnp.float32) * 1e-6
 
-    return step, jnp.float32(0.0)
+    return (lambda acc: _step(acc, params, fe, raw)), jnp.float32(0.0)
 
 
 def _train_step(cfg, batch_size):
