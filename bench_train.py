@@ -34,6 +34,10 @@ def main():
                     help="rematerialize the encoder towers in backprop "
                          "(A/B for TrainConfig.remat_towers: recompute FLOPs "
                          "vs activation-HBM traffic)")
+    ap.add_argument("--bf16", action="store_true",
+                    help="mixed-precision training: towers/attention on the "
+                         "bf16 MXU path, params/optimizer/loss in f32 (the "
+                         "serving config's compute dtype)")
     a = ap.parse_args()
 
     import jax
@@ -51,7 +55,7 @@ def main():
     cfg = dataclasses.replace(
         cfg,
         model=dataclasses.replace(
-            cfg.model, compute_dtype="float32",
+            cfg.model, compute_dtype="bfloat16" if a.bf16 else "float32",
             use_pallas_attention=a.pallas,
             use_pallas_lstm=a.pallas,
             drop_prob=a.drop,
