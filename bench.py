@@ -41,7 +41,8 @@ def build_bench_config(quick: bool, vgg_chunk: int = 0):
             vocab_size=5000, image_size=64, n_fft=256, win_length=200, hop_length=160,
         )
         model = ModelConfig(hidden_size=64, img_feat_dim=512, audio_feat_dim=40,
-                            drop_prob=0.0, max_decode_steps=4)
+                            drop_prob=0.0, max_decode_steps=4,
+                            vgg_frame_chunk=vgg_chunk)
     else:
         data = DataConfig(
             max_sentences=32, max_words=16, max_keyframes=16, max_audio_frames=512,

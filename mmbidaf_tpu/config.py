@@ -122,7 +122,8 @@ class TrainConfig:
     # (``jax.checkpoint``): activations of the word/sentence/image/audio
     # towers are dropped after the forward and recomputed during backprop —
     # the canonical FLOPs-for-HBM trade for bigger batches / longer
-    # buckets. Exact (bitwise-same grads); composes with grad_accum_steps
+    # buckets. Same math, exact to fp-reassociation noise (XLA fuses the
+    # recomputed forward differently); composes with grad_accum_steps
     # (accum slices the batch, remat slims each microbatch's live set).
     remat_towers: bool = False
     ema_decay: float = 0.999

@@ -34,8 +34,10 @@ def _auto_vgg_chunk(
 ) -> int:
     """Frame-chunk size for ``vgg_frame_chunk=0`` (auto): 0 (single pass)
     while the estimated two-live-buffer activation footprint fits
-    ``budget``; otherwise the largest 128-multiple chunk that fits (floor
-    128 — best effort below that, chunking finer buys nothing).
+    ``budget``; otherwise the largest 128-multiple chunk that fits, or the
+    raw fitting count when even 128 frames exceed the budget (huge
+    image_size) — the chunk must stay below the frame count or the
+    oversized batch would run single-pass and OOM.
 
     ``shards``: ways the frame axis is data-parallel-sharded (GSPMD serving
     traces GLOBAL shapes but each chip only holds 1/shards of the
@@ -44,7 +46,9 @@ def _auto_vgg_chunk(
     per_frame = 2 * image_size * image_size * first_ch * itemsize
     if (n_frames // shards) * per_frame <= budget:
         return 0
-    return max(128, int(budget / per_frame) // 128 * 128) * shards
+    per_shard = int(budget / per_frame)
+    per_shard = per_shard // 128 * 128 or max(1, per_shard)
+    return per_shard * shards
 
 
 def frontend_init(key: jax.Array, cfg: Config, vgg_spec=vgg_ops.VGG16_SPEC) -> dict:

@@ -204,8 +204,9 @@ def mmbidaf_fused_reps(
 
     # Training-only rematerialization (TrainConfig.remat_towers): drop each
     # tower's activations after the forward and recompute them in backprop
-    # — exact (bitwise-same grads), trades FLOPs for HBM so bigger batches
-    # / longer buckets fit. Inference (rng=None) never pays the barrier.
+    # — same math (grads equal to fp-reassociation noise), trades FLOPs for
+    # HBM so bigger batches / longer buckets fit. Inference (rng=None)
+    # never pays the barrier.
     remat = rng is not None and cfg.train.remat_towers
     maybe_ckpt = jax.checkpoint if remat else (lambda f: f)
 

@@ -322,6 +322,11 @@ def _lstm_train_fwd_impl(params, x, mask, interpret, row_chunk=0):
     h_dim = params["w_h"].shape[0]
     f32 = jnp.float32
     C = row_chunk or B
+    if B % C:
+        # A (nb, T) grid over a non-divisor chunk would silently leave the
+        # tail rows as uninitialized VMEM garbage — same contract as
+        # lstm_pallas.
+        raise ValueError(f"row_chunk {C} must divide batch rows {B}")
     nb = B // C
     gates_all = (x @ params["w_x"] + params["b"]).astype(f32)
     gates_all = jnp.swapaxes(gates_all, 0, 1)

@@ -388,8 +388,11 @@ class Summarizer:
 
             cfg, spec = self.cfg, self.vgg_spec
             sp = self._audio_g_fn is not None
+            n_dp = self._dp_shards  # per-chip auto frame-chunk budgeting
             self._featurize = jax.jit(
-                lambda fe, raw: apply_frontend(fe, raw, cfg, spec, sp_audio=sp)
+                lambda fe, raw: apply_frontend(
+                    fe, raw, cfg, spec, sp_audio=sp, data_shards=n_dp
+                )
             )
         return self._featurize
 

@@ -134,7 +134,8 @@ def init_train_state(key: jax.Array, params: Any, cfg: Config) -> TrainState:
 
 
 def make_train_step(
-    cfg: Config, fe_params: Any = None, vgg_spec=None, audio_g_fn: Callable | None = None
+    cfg: Config, fe_params: Any = None, vgg_spec=None,
+    audio_g_fn: Callable | None = None, data_shards: int = 1,
 ) -> Callable:
     """Build the jitted, donated train step for config ``cfg``.
 
@@ -145,6 +146,10 @@ def make_train_step(
     ``audio_g_fn`` (``parallel.sp_tower.make_sp_audio_tower``, wired by
     ``MeshConfig.sp_audio``) runs the audio tower sequence-parallel; batches
     must then be raw (carry ``waveform``).
+
+    ``data_shards``: ways the batch shards over the mesh's data axes, so
+    the raw-mode frontend's auto frame-chunk heuristic budgets per-chip
+    activations (see ``data/frontend.py::_auto_vgg_chunk``).
     """
     decay = cfg.train.ema_decay
     # Built eagerly from THIS cfg (a lazily-cached closure would silently
@@ -177,7 +182,8 @@ def make_train_step(
             if not raw_mode:
                 return b
             feat = apply_frontend(
-                fe_params, b, cfg, spec, sp_audio=audio_g_fn is not None
+                fe_params, b, cfg, spec, sp_audio=audio_g_fn is not None,
+                data_shards=data_shards,
             )
             feat["targets"] = b["targets"]
             feat["target_mask"] = b["target_mask"]

@@ -104,8 +104,10 @@ def test_auto_vgg_chunk_policy():
     assert _auto_vgg_chunk(512, 224, 64, 4) == 0        # fp32 B=32: fits
     assert _auto_vgg_chunk(1024, 224, 64, 4) == 512     # fp32 B=64: chunks
     assert _auto_vgg_chunk(4096, 32, 8, 4) == 0         # tiny spec: fits
-    # floor: absurdly large frames still get a best-effort 128 chunk
-    assert _auto_vgg_chunk(4096, 2048, 64, 4) == 128
+    # huge image_size where even 128 frames blow the budget: the raw
+    # fitting count (6 frames @~2.1 GB each), NOT a 128 floor that would
+    # exceed small frame counts and silently disable chunking
+    assert _auto_vgg_chunk(100, 2048, 64, 4) == 6
     # DP serving traces GLOBAL shapes but each chip holds 1/shards of the
     # activations: per-shard estimate, shard-scaled global chunk
     assert _auto_vgg_chunk(2048, 224, 64, 2, shards=8) == 0   # 256/chip: fits

@@ -186,6 +186,15 @@ def test_lstm_row_chunked_kernel_parity(rng):
     lengths = rng.integers(1, T + 1, size=B)
     mask = jnp.asarray((np.arange(T)[None] < lengths[:, None]).astype(np.float32))
 
+    import pytest
+
+    # non-divisor chunks are rejected on BOTH entry points (a (nb, T) grid
+    # would silently leave tail rows as uninitialized VMEM garbage)
+    with pytest.raises(ValueError, match="must divide"):
+        lstm_pallas(params["fwd"], x, mask, interpret=True, row_chunk=5)
+    with pytest.raises(ValueError, match="must divide"):
+        lstm_pallas_trainable(params["fwd"], x, mask, False, True, 5)
+
     for reverse in (False, True):
         want, (hw, cw) = lstm_scan(params["fwd"], x, mask, reverse=reverse)
         for chunk in (4, 3):  # aligned and non-sublane-aligned

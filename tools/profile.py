@@ -30,7 +30,7 @@ import tempfile
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _serve_step(cfg, batch_size):
+def _serve_step(cfg, batch_size, vgg_spec):
     """Jitted raw→picks pipeline step + its carried inputs (bench program)."""
     import jax
     import jax.numpy as jnp
@@ -42,9 +42,6 @@ def _serve_step(cfg, batch_size):
     )
     from mmbidaf_tpu.data.synthetic import random_word_vectors
     from mmbidaf_tpu.models.mmbidaf import mmbidaf_decode, mmbidaf_init
-    from mmbidaf_tpu.ops.vgg import TINY_SPEC, VGG16_SPEC
-
-    vgg_spec = TINY_SPEC if cfg.model.vgg_variant == "tiny" else VGG16_SPEC
     rng = np.random.default_rng(0)
     wv = random_word_vectors(rng, cfg.data.vocab_size, cfg.model.emb_dim)
     params = mmbidaf_init(jax.random.key(0), cfg, jnp.asarray(wv))
@@ -116,10 +113,14 @@ def main():
     enable_compilation_cache()
     import jax
 
+    from mmbidaf_tpu.ops.vgg import TINY_SPEC, VGG16_SPEC
     from mmbidaf_tpu.utils.profiling import trace
     from mmbidaf_tpu.utils.trace_summary import summarize_trace
 
     cfg = build_bench_config(a.quick)
+    # Mirror bench.py's spec choice: --quick traces the TINY frontend the
+    # quick bench actually runs, not the 13-conv VGG16.
+    vgg_spec = TINY_SPEC if a.quick else VGG16_SPEC
     if a.mode == "train":
         # Match bench_train.py: fp32 reference-style autodiff by default,
         # --pallas dispatches the custom-VJP fused kernels.
@@ -134,7 +135,7 @@ def main():
         step, carry = _train_step(cfg, batch)
     else:
         batch = a.batch or (8 if a.quick else 64)
-        step, carry = _serve_step(cfg, batch)
+        step, carry = _serve_step(cfg, batch, vgg_spec)
 
     # Warmup: compile + the relay claim/handshake stay OUT of the trace.
     carry = step(carry)

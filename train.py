@@ -531,10 +531,13 @@ def main():
         say(f"warm-started params from {cfg.train.load_path} "
               f"(source step {int(warm.step)})")
 
+    from mmbidaf_tpu.parallel.mesh import data_shard_count
+
     train_step = make_train_step(
         cfg, fe_params=fe_params,
         vgg_spec=None if fe_params is None else vgg_spec,
         audio_g_fn=audio_g_fn,
+        data_shards=data_shard_count(mesh),
     )
     from mmbidaf_tpu.parallel import replicated_sharding
 
