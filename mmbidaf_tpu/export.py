@@ -21,16 +21,17 @@ The exported program takes ``(*weight_leaves, *raw_leaves)`` as a FLAT
 argument list — no pytree-structure serialization problem — and returns
 ``(log_p, picks)`` exactly like ``make_end_to_end_decode``'s jitted fn.
 
-Scope: the deterministic greedy path — single-device, data-parallel,
-tensor-parallel (``MeshConfig.tp_vgg``), or DP × TP. A mesh-backed
-Summarizer exports the GSPMD-sharded program: the manifest records the
-mesh plus per-leaf weight PartitionSpecs (tp_vgg's sharded VGG classifier
-stays sharded through the artifact), and the loader rebuilds an
-identically-shaped mesh from the serving host's local devices (device
-count is validated).
-Stochastic top-k (carries an rng stream), beam (decode-mode flag), and
-``sp_audio`` (shard_map chains) raise at export time — their value is
-interactive serving, which `Summarizer` already covers.
+Scope: the deterministic decode paths — greedy and beam search (both are
+pure functions of weights + raw batch; the manifest records which one the
+program froze) — single-device, data-parallel, tensor-parallel
+(``MeshConfig.tp_vgg``), or DP × TP. A mesh-backed Summarizer exports the
+GSPMD-sharded program: the manifest records the mesh plus per-leaf weight
+PartitionSpecs (tp_vgg's sharded VGG classifier stays sharded through the
+artifact), and the loader rebuilds an identically-shaped mesh from the
+serving host's local devices (device count is validated).
+Stochastic top-k (carries an rng stream) and ``sp_audio`` (shard_map
+chains) raise at export time — their value is interactive serving, which
+`Summarizer` already covers.
 """
 
 from __future__ import annotations
@@ -101,7 +102,7 @@ def export_summarizer(
     frame_hw: tuple[int, int] = (240, 320),
     platforms: Sequence[str] | None = None,
 ) -> None:
-    """Export ``summ``'s greedy end-to-end decode as an AOT artifact.
+    """Export ``summ``'s end-to-end decode (greedy or beam) as an artifact.
 
     ``batch_size`` and ``frame_hw`` are compile-time constants of the
     exported program (XLA static shapes): requests at serve time must arrive
@@ -115,11 +116,12 @@ def export_summarizer(
 
     if not isinstance(summ, Summarizer):
         raise TypeError(f"expected a Summarizer, got {type(summ).__name__}")
-    if summ.mode != "greedy":
+    if summ.mode not in ("greedy", "beam"):
         raise ValueError(
-            f"only the deterministic greedy path exports (mode={summ.mode!r}):"
-            " top-k carries an rng stream and beam is a different program —"
-            " serve those interactively via Summarizer"
+            f"only the deterministic paths export (mode={summ.mode!r}):"
+            " greedy and beam are pure functions of weights + raw batch;"
+            " top-k carries an rng stream — serve it interactively via"
+            " Summarizer"
         )
     if summ._audio_g_fn is not None:
         raise ValueError(
@@ -160,7 +162,10 @@ def export_summarizer(
     p_leaves, p_def = jax.tree_util.tree_flatten(summ.params)
     fe_leaves, fe_def = jax.tree_util.tree_flatten(summ.fe_params)
     n_p, n_fe = len(p_leaves), len(fe_leaves)
-    decode = summ._decode  # the jitted greedy end_to_end(params, fe, raw)
+    # the jitted end_to_end(params, fe, raw) — greedy's returns per-step
+    # log_probs [B,K,T_s]; beam's returns the best beam's total sequence
+    # log-prob [B] (same (log_p, picks) pair either way)
+    decode = summ._decode
 
     def flat_fn(*leaves):
         params = jax.tree_util.tree_unflatten(p_def, leaves[:n_p])
@@ -249,6 +254,12 @@ def export_summarizer(
             }
             for k in _RAW_KEYS
         ],
+        # which decode program is frozen: "greedy" (log_p = per-step
+        # [B,K,T_s]) or "beam" (log_p = best-beam total sequence log-prob
+        # [B], beam width baked in at export). Absent in pre-beam manifests
+        # (greedy was the only exportable mode then).
+        "decode_mode": summ.mode,
+        "beam_width": summ.topk if summ.mode == "beam" else None,
         "outputs": ["log_p", "picks"],
         "mesh": mesh_meta,  # null = single-device program
         # per-leaf PartitionSpecs (entries: null | axis | [axes]); null =
@@ -356,6 +367,8 @@ class ExportedDecoder:
             ]
         self.batch_size = self.manifest["batch_size"]
         self.frame_hw = tuple(self.manifest["frame_hw"])
+        # pre-beam artifacts have no decode_mode key; they froze greedy
+        self.decode_mode = self.manifest.get("decode_mode", "greedy")
 
     def decode_raw(self, raw: Mapping[str, np.ndarray]):
         """Run the exported program on one raw batch (manifest shapes)."""

@@ -579,3 +579,84 @@ def test_export_cli_random_verify(tmp_path):
     assert r.returncode == 0, r.stderr
     assert "verify ok" in r.stdout
     assert os.path.exists(os.path.join(out, "decode.jaxexport"))
+
+
+@pytest.fixture(scope="module")
+def beam_artifact(tmp_path_factory):
+    """A beam-search artifact (width 3) over the same tiny config."""
+    cfg = make_cfg()
+    summ = Summarizer.init_random(cfg, seed=3, vgg_spec=TINY_SPEC,
+                                  mode="beam", topk=3)
+    out = str(tmp_path_factory.mktemp("beam_artifact"))
+    export_summarizer(summ, out, batch_size=2, frame_hw=(12, 16))
+    return out, summ
+
+
+def test_beam_export_roundtrip_parity(beam_artifact, rng):
+    """Beam search is deterministic → exportable: the frozen program
+    reproduces the live beam decode exactly (picks AND the best beam's
+    total sequence log-prob), and the manifest records mode + width."""
+    out, summ = beam_artifact
+    dec = ExportedDecoder(out)
+    assert dec.decode_mode == "beam"
+    assert dec.manifest["beam_width"] == 3
+    raw = random_raw(summ.cfg, rng, batch=2, frame_hw=(12, 16))
+    log_p, picks = dec.decode_raw(raw)
+    live_lp, live_picks = summ._decode(
+        summ.params, summ.fe_params, {k: jnp.asarray(v) for k, v in raw.items()}
+    )
+    assert log_p.shape == (2,)  # total seq log-prob, not per-step [B,K,T]
+    np.testing.assert_array_equal(picks, np.asarray(live_picks))
+    np.testing.assert_allclose(log_p, np.asarray(live_lp), rtol=0, atol=0)
+
+
+def test_beam_exported_summarizer_matches_live(beam_artifact, tmp_path, rng):
+    """End-to-end video dirs through a beam artifact == live beam serving
+    (incl. the pad-to-static-batch tail: 3 requests over batch 2)."""
+    out, summ = beam_artifact
+    dirs = make_video_dirs(tmp_path, summ.cfg, rng, 3)
+    got = ExportedSummarizer(out).summarize_batch(dirs)
+    want = summ.summarize_batch(dirs)
+    assert got == want
+    assert all(isinstance(s, str) and s for s in got)
+
+
+def test_greedy_manifest_decode_mode(artifact):
+    out, _ = artifact
+    with open(os.path.join(out, "manifest.json")) as f:
+        m = json.load(f)
+    assert m["decode_mode"] == "greedy" and m["beam_width"] is None
+
+
+def test_pre_beam_manifest_defaults_greedy(artifact, tmp_path):
+    """Artifacts written before decode_mode existed load as greedy."""
+    import shutil
+
+    out, _ = artifact
+    old = str(tmp_path / "old_art")
+    shutil.copytree(out, old)
+    mp = os.path.join(old, "manifest.json")
+    with open(mp) as f:
+        m = json.load(f)
+    del m["decode_mode"], m["beam_width"]
+    # the manifest hash covers weights/program, not itself — safe to edit
+    with open(mp, "w") as f:
+        json.dump(m, f)
+    assert ExportedDecoder(old).decode_mode == "greedy"
+
+
+def test_export_cli_beam_verify(tmp_path):
+    """tools/export_artifact.py --mode beam --verify round-trips."""
+    out = str(tmp_path / "art")
+    env = {**os.environ, "JAX_PLATFORMS": "cpu", "PALLAS_AXON_POOL_IPS": ""}
+    r = subprocess.run(
+        [sys.executable, "tools/export_artifact.py", "--random", "--vgg",
+         "tiny", "--out", out, "--batch", "1", "--frame_hw", "12x16",
+         "--mode", "beam", "--topk", "2", "--verify"],
+        capture_output=True, text=True, timeout=600, cwd=REPO, env=env,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "verify ok" in r.stdout and "mode=beam" in r.stdout
+    with open(os.path.join(out, "manifest.json")) as f:
+        m = json.load(f)
+    assert m["decode_mode"] == "beam" and m["beam_width"] == 2

@@ -31,6 +31,12 @@ def main() -> None:
     ap.add_argument("--out", required=True, help="artifact output directory")
     ap.add_argument("--batch", type=int, default=1,
                     help="static serving batch size baked into the program")
+    ap.add_argument("--mode", choices=["greedy", "beam"], default="greedy",
+                    help="decode program to freeze (both deterministic;"
+                         " stochastic top-k is interactive-only)")
+    ap.add_argument("--topk", type=int, default=4,
+                    help="beam width for --mode beam (baked into the"
+                         " program)")
     ap.add_argument("--frame_hw", default="240x320",
                     help="decoded frame HxW baked into the program")
     ap.add_argument("--platforms", default=None,
@@ -67,6 +73,7 @@ def main() -> None:
         {"data_parallel": True, "serve_batch_size": a.batch}
         if a.data_parallel else {}
     )
+    dp_kw.update(mode=a.mode, topk=a.topk)
     mesh_over = {}
     if a.tp_vgg is not None:
         mesh_over["tp_vgg"] = bool(a.tp_vgg)
@@ -105,8 +112,9 @@ def main() -> None:
     total = sum(
         os.path.getsize(os.path.join(a.out, f)) for f in os.listdir(a.out)
     )
+    mode_note = f" mode={a.mode}" + (f"(width {a.topk})" if a.mode == "beam" else "")
     print(f"exported {a.out} ({total / 1e6:.1f} MB) for platforms="
-          f"{platforms or 'current'} batch={a.batch} frames={h}x{w}")
+          f"{platforms or 'current'} batch={a.batch} frames={h}x{w}{mode_note}")
 
     if a.verify:
         import numpy as np
