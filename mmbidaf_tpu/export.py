@@ -495,5 +495,88 @@ class ExportedSummarizer:
     def summarize(self, video_dir: str) -> str:
         return self.summarize_batch([video_dir])[0]
 
+    def summarize_long(self, video_dir: str, stride: int | None = None) -> str:
+        """Windowed serving for transcripts longer than the
+        ``max_sentences`` bucket, over the frozen program (mirrors
+        ``Summarizer.summarize_long``: overlapping sentence windows share
+        the video's global media context; per-window picks merge by
+        log-prob).
+
+        The artifact's input signature is raw frames/waveform, so every
+        window chunk re-ships the (identical) media rows and re-featurizes
+        them — the live Summarizer's featurize-once shortcut can't exist
+        inside a frozen program. Fine on a direct-attached serving host;
+        prefer live serving over thin-relay links.
+        """
+        from mmbidaf_tpu.data.video import audio_frames_valid, load_video_assets
+        from mmbidaf_tpu.data.text import encode_sentences, sent_tokenize
+        from mmbidaf_tpu.serving import (
+            merge_window_picks, num_audio_samples, picks_scores,
+            transcript_windows,
+        )
+        from mmbidaf_tpu.train.metrics import summary_from_picks
+
+        d, m = self.cfg.data, self.cfg.model
+        assets = load_video_assets(
+            video_dir, d.max_keyframes, num_audio_samples(self.cfg),
+            keyframe_policy=d.keyframe_policy,
+        )
+        hw = assets["frames"].shape[1:3]
+        if tuple(hw) != self.decoder.frame_hw:
+            raise ValueError(
+                f"{video_dir}: decoded frames are {tuple(hw)}, artifact was"
+                f" exported for frame_hw={self.decoder.frame_hw}"
+            )
+        sentences = sent_tokenize(assets["transcript"])
+        n_aud = audio_frames_valid(
+            assets["valid_samples"], d.hop_length, d.max_audio_frames
+        )
+        media = {
+            "frames": assets["frames"],
+            "img_mask": assets["img_mask"],
+            "waveform": assets["waveform"],
+            "aud_mask": (np.arange(d.max_audio_frames) < n_aud).astype(np.float32),
+        }
+
+        def window_row(sents):
+            enc = encode_sentences(sents, self.word2idx, d.max_sentences, d.max_words)
+            return {
+                "text_ids": enc["text_ids"],
+                "word_mask": enc["word_mask"],
+                "sent_mask": enc["sent_mask"],
+                **media,
+            }
+
+        sb = self.decoder.batch_size
+
+        def decode_rows(rows):
+            """Pad to the artifact's static batch and decode one chunk."""
+            n_real = len(rows)
+            rows = rows + [rows[-1]] * (sb - n_real)
+            raw = {k: np.stack([r[k] for r in rows]) for k in rows[0]}
+            log_p, picks = self.decoder.decode_raw(raw)
+            return picks[:n_real], picks_scores(log_p, picks)[:n_real]
+
+        if len(sentences) <= d.max_sentences:
+            picks, _ = decode_rows([window_row(sentences)])
+            return summary_from_picks(picks[0], sentences)
+
+        stride = stride or max(d.max_sentences // 2, 1)
+        starts = transcript_windows(len(sentences), d.max_sentences, stride)
+        rows = [window_row(sentences[start:start + d.max_sentences])
+                for start in starts]
+        picks_l, scores_l = [], []
+        for i in range(0, len(rows), sb):
+            p, s = decode_rows(rows[i:i + sb])
+            picks_l.append(p)
+            scores_l.append(s)
+        picks = np.concatenate(picks_l)
+        scores = np.concatenate(scores_l)
+        window_lens = [min(d.max_sentences, len(sentences) - st) for st in starts]
+        chosen = merge_window_picks(
+            picks, scores, starts, window_lens, m.max_decode_steps
+        )
+        return " ".join(sentences[g] for g in chosen)
+
     def warmup(self) -> None:
         self.decoder.warmup()

@@ -82,6 +82,19 @@ def merge_window_picks(
     return sorted(top)
 
 
+def picks_scores(log_p: np.ndarray, picks: np.ndarray) -> np.ndarray:
+    """Per-pick merge scores ``[B, K]`` from a decode's ``log_p``.
+
+    Greedy/top-k return per-step log-probs ``[B, K, T_s]`` → gather each
+    pick's own log-prob. Beam returns the best beam's TOTAL sequence
+    log-prob ``[B]`` → broadcast it per pick (it ranks whole windows, a
+    valid merge key). Shared by live and artifact windowed serving.
+    """
+    if log_p.ndim == 1:
+        return np.broadcast_to(log_p[:, None], picks.shape)
+    return np.take_along_axis(log_p, picks[:, :, None], axis=2)[:, :, 0]
+
+
 def num_audio_samples(cfg: Config) -> int:
     """Waveform samples needed to fill the ``max_audio_frames`` bucket."""
     d = cfg.data
@@ -489,14 +502,7 @@ class Summarizer:
         picks = np.asarray(picks)
         if not with_scores:
             return picks
-        log_p = np.asarray(log_p)
-        if log_p.ndim == 1:
-            # beam mode returns the best beam's TOTAL sequence log-prob [B];
-            # broadcast it per pick — it ranks whole windows, a valid merge key
-            scores = np.broadcast_to(log_p[:, None], picks.shape)
-        else:
-            scores = np.take_along_axis(log_p, picks[:, :, None], axis=2)[:, :, 0]
-        return picks, scores
+        return picks, picks_scores(np.asarray(log_p), picks)
 
     def summarize_batch(self, video_dirs: Sequence[str]) -> list[str]:
         sb = self.serve_batch_size

@@ -660,3 +660,59 @@ def test_export_cli_beam_verify(tmp_path):
     with open(os.path.join(out, "manifest.json")) as f:
         m = json.load(f)
     assert m["decode_mode"] == "beam" and m["beam_width"] == 2
+
+
+def make_long_video(tmp_path, cfg, rng, n_sents=20, frame_hw=(12, 16)):
+    """One video whose transcript (20 sents) overflows max_sentences=7."""
+    from PIL import Image
+
+    d = cfg.data
+    n_samples = d.max_audio_frames * d.hop_length + d.win_length
+    h, w_ = frame_hw
+    vd = tmp_path / "longvid"
+    (vd / "frames").mkdir(parents=True)
+    for i in range(4):
+        arr = (rng.random((h, w_, 3)) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(vd / "frames" / f"f{i}.png")
+    sig = (rng.standard_normal(n_samples // 3) * 8000).astype(np.int16)
+    with wave_mod.open(str(vd / "audio.wav"), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(d.sample_rate)
+        w.writeframes(sig.tobytes())
+    sents = [f"Long video sentence {j} covers topic {j}." for j in range(n_sents)]
+    (vd / "transcript.txt").write_text(" ".join(sents))
+    return str(vd), sents
+
+
+def test_exported_summarize_long_matches_live(artifact, tmp_path, rng):
+    """Windowed long-transcript serving over the frozen program == live
+    Summarizer.summarize_long (the artifact re-ships raw media per window
+    instead of featurizing once — same math, same merged picks)."""
+    out, summ = artifact
+    vd, sents = make_long_video(tmp_path, summ.cfg, rng)
+    got = ExportedSummarizer(out).summarize_long(vd)
+    want = summ.summarize_long(vd)
+    assert got == want
+    picked = [x.strip() + "." for x in got.split(".") if x.strip()]
+    assert all(p in sents for p in picked), picked
+
+
+def test_beam_artifact_summarize_long(beam_artifact, tmp_path, rng):
+    """Beam artifacts window too: the [B] total-sequence log-prob is the
+    window merge key (picks_scores broadcast), matching live beam."""
+    out, summ = beam_artifact
+    vd, sents = make_long_video(tmp_path, summ.cfg, rng)
+    got = ExportedSummarizer(out).summarize_long(vd)
+    assert got == summ.summarize_long(vd)
+    picked = [x.strip() + "." for x in got.split(".") if x.strip()]
+    assert all(p in sents for p in picked), picked
+
+
+def test_exported_summarize_long_short_transcript(artifact, tmp_path, rng):
+    """Short transcripts fall back to a single-window decode that matches
+    plain artifact serving."""
+    out, summ = artifact
+    dirs = make_video_dirs(tmp_path, summ.cfg, rng, 1)
+    es = ExportedSummarizer(out)
+    assert es.summarize_long(dirs[0]) == es.summarize(dirs[0])
