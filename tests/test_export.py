@@ -716,3 +716,39 @@ def test_exported_summarize_long_short_transcript(artifact, tmp_path, rng):
     dirs = make_video_dirs(tmp_path, summ.cfg, rng, 1)
     es = ExportedSummarizer(out)
     assert es.summarize_long(dirs[0]) == es.summarize(dirs[0])
+
+
+def test_serve_daemon_artifact_long(artifact, tmp_path, rng):
+    """The daemon's --long windowed path works over an artifact (the gate
+    that refused --long with --artifact is gone): HTTP response matches
+    ExportedSummarizer.summarize_long, and /healthz reports the frozen
+    decode mode."""
+    import http.client
+    import sys
+    import threading
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from serve import serve
+
+    out, summ = artifact
+    art = ExportedSummarizer(out)
+    vd, _ = make_long_video(tmp_path, summ.cfg, rng)
+    srv = serve(art, port=0, use_long=True)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        conn = http.client.HTTPConnection(
+            "127.0.0.1", srv.server_address[1], timeout=300)
+        conn.request("POST", "/summarize", body=json.dumps({"video_dir": vd}))
+        resp = conn.getresponse()
+        got = json.loads(resp.read())
+        assert resp.status == 200
+        assert got["summary"] == art.summarize_long(vd)
+        conn.request("GET", "/healthz")
+        resp = conn.getresponse()
+        hz = json.loads(resp.read())
+        conn.close()
+        assert hz["decode_mode"] == "greedy"
+    finally:
+        srv.shutdown()
+        srv.server_close()

@@ -79,6 +79,7 @@ def test_healthz(server):
     port, _, _ = server
     status, out = _req(port, "GET", "/healthz")
     assert status == 200 and out["ok"] is True
+    assert out["decode_mode"] == "greedy"  # the live Summarizer's mode
     assert "parallelism" not in out  # plain single-device Summarizer
 
 

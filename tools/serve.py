@@ -105,6 +105,9 @@ def make_handler(summarizer, use_long: bool, batcher=None):
     backend = jax.default_backend()
     latency = _LatencyStats()
     parallelism = _parallelism_info(summarizer)
+    # live Summarizer carries .mode; an artifact's mode was frozen at export
+    dec = getattr(summarizer, "decoder", None)
+    decode_mode = dec.decode_mode if dec is not None else summarizer.mode
 
     class Handler(BaseHTTPRequestHandler):
         # one summarize at a time keeps device memory bounded; host decode
@@ -132,6 +135,7 @@ def make_handler(summarizer, use_long: bool, batcher=None):
         def do_GET(self):
             if self.path == "/healthz":
                 payload = {"ok": True, "backend": backend,
+                           "decode_mode": decode_mode,
                            "latency": latency.snapshot()}
                 if parallelism is not None:
                     payload["parallelism"] = parallelism
@@ -230,8 +234,8 @@ def main():
     src.add_argument("--artifact",
                      help="AOT artifact directory (tools/export_artifact.py):"
                           " serves the frozen StableHLO program without the"
-                          " model-building code; greedy only, batch/frame"
-                          " shapes pinned by the artifact")
+                          " model-building code; decode mode (greedy/beam)"
+                          " and batch/frame shapes pinned by the artifact")
     ap.add_argument("--port", type=int, default=8080)
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--mode", default="greedy", choices=["greedy", "topk", "beam"])
@@ -277,9 +281,10 @@ def main():
                  "windowed decode already batches internally — pick one")
     if a.artifact:
         # the artifact IS the program: mode/batch/sharding were fixed at
-        # export time (--dynamic_batch works, pinned to the artifact batch)
+        # export time (--dynamic_batch works, pinned to the artifact batch;
+        # --long works — ExportedSummarizer windows through the frozen
+        # program)
         for flag, name in ((a.mode != "greedy", "--mode"),
-                           (a.long, "--long"),
                            (a.data_parallel, "--data_parallel"),
                            (a.serve_batch_size, "--serve_batch_size"),
                            (a.tp_vgg is not None, "--tp_vgg"),
