@@ -134,3 +134,58 @@ def test_threaded_serving_with_poisoned_request(tmp_path, rng):
         assert futs[v].result() == serial[good.index(v)]
     with pytest.raises(Exception):
         futs[bad].result()
+
+
+# ---- the same adversarial surface over AOT artifacts -----------------------
+# (ExportedSummarizer shares host_raw_row with live serving, but routes
+# decodes through the frozen program and its own windowing — the edge
+# cases must behave identically there.)
+
+
+@pytest.fixture(scope="module")
+def artifact_summarizer(tmp_path_factory):
+    from mmbidaf_tpu.export import ExportedSummarizer, export_summarizer
+
+    summ = Summarizer.init_random(_cfg(), seed=0, vgg_spec=TINY_SPEC)
+    out = str(tmp_path_factory.mktemp("robust_art"))
+    export_summarizer(summ, out, batch_size=1, frame_hw=(10, 12))
+    return ExportedSummarizer(out)
+
+
+def test_artifact_empty_transcript(tmp_path, rng, artifact_summarizer):
+    vd = _write_video(tmp_path / "a_empty", rng, _cfg(), [])
+    assert artifact_summarizer.summarize(vd) == ""
+    assert artifact_summarizer.summarize_long(vd) == ""
+
+
+def test_artifact_single_sentence(tmp_path, rng, artifact_summarizer):
+    vd = _write_video(tmp_path / "a_single", rng, _cfg(),
+                      ["Only one sentence exists here."])
+    out = artifact_summarizer.summarize(vd)
+    assert out == "Only one sentence exists here."
+    assert artifact_summarizer.summarize_long(vd) == out
+
+
+def test_artifact_corrupt_assets_fail_cleanly(tmp_path, rng, artifact_summarizer):
+    """Bad assets fail the request with a clean exception (never a crash),
+    and the artifact stays usable afterwards — through summarize AND the
+    windowed summarize_long path."""
+    bad_png = _write_video(
+        tmp_path / "a_badpng", rng, _cfg(), ["A sentence."],
+        png_blobs=[b"\x89PNG\r\n\x1a\n" + bytes(rng.integers(0, 256, 64,
+                                                             dtype=np.uint8))],
+    )
+    bad_wav = _write_video(
+        tmp_path / "a_badwav", rng, _cfg(), ["A sentence."],
+        wav_bytes=b"RIFFxxxxWAVEfmt " + bytes(rng.integers(0, 256, 32,
+                                                           dtype=np.uint8)),
+    )
+    for vd in (bad_png, bad_wav):
+        for call in (artifact_summarizer.summarize,
+                     artifact_summarizer.summarize_long):
+            with pytest.raises(Exception) as ei:
+                call(vd)
+            assert not isinstance(ei.value, (SystemExit, KeyboardInterrupt))
+    good = _write_video(tmp_path / "a_recover", rng, _cfg(),
+                        ["Recovery sentence works."])
+    assert "Recovery" in artifact_summarizer.summarize(good)
