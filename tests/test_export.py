@@ -752,3 +752,29 @@ def test_serve_daemon_artifact_long(artifact, tmp_path, rng):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_beam_data_parallel_export_matches_single_device(beam_artifact,
+                                                         tmp_path, rng):
+    """Beam export composes with data-parallel export: the GSPMD-sharded
+    beam program reloaded on the 8-device mesh reproduces the
+    single-device beam picks and sequence log-probs."""
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    _, summ = beam_artifact  # single-device beam (seed 3, width 3)
+    dp = Summarizer.init_random(summ.cfg, seed=3, vgg_spec=TINY_SPEC,
+                                mode="beam", topk=3,
+                                data_parallel=True, serve_batch_size=8)
+    out = str(tmp_path / "beam_dp_art")
+    export_summarizer(dp, out, batch_size=8, frame_hw=(12, 16))
+    dec = ExportedDecoder(out)
+    assert dec.decode_mode == "beam"
+    assert dec.manifest["mesh"] is not None
+
+    raw = random_raw(summ.cfg, rng, batch=8, frame_hw=(12, 16))
+    log_p, picks = dec.decode_raw(raw)
+    single_lp, single = summ._decode(
+        summ.params, summ.fe_params, {k: jnp.asarray(v) for k, v in raw.items()}
+    )
+    np.testing.assert_array_equal(picks, np.asarray(single))
+    np.testing.assert_allclose(log_p, np.asarray(single_lp), atol=2e-5)
