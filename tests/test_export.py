@@ -517,8 +517,10 @@ def test_serve_cli_artifact_flag_conflicts(artifact):
     time (exit 2), before any model or device work."""
     out, _ = artifact
     env = {**os.environ, "JAX_PLATFORMS": "cpu", "PALLAS_AXON_POOL_IPS": ""}
+    # NB --long is NOT a conflict: ExportedSummarizer.summarize_long
+    # windows through the frozen program (test_serve_daemon_artifact_long)
     for extra in (["--mode", "beam"], ["--data_parallel"],
-                  ["--serve_batch_size", "2"], ["--long"]):
+                  ["--serve_batch_size", "2"]):
         r = subprocess.run(
             [sys.executable, "tools/serve.py", "--artifact", out, *extra],
             capture_output=True, text=True, timeout=120, cwd=REPO, env=env,
