@@ -1,9 +1,9 @@
 """A/B: greedy vs beam-search end-to-end serving cost on the bench config.
 
 Beam export/serving (round 3) raises the obvious ops question: what does
-beam width cost at serving time? The decoder is ~1 ms of the ~210 ms
-batch-64 pipeline (docs/KERNELS.md breakdown), so beam should be nearly
-free — this measures it instead of assuming it.
+beam width cost at serving time? Model towers + decode + audio are ~1.2 ms
+of the 110.6 ms batch-32 pipeline (docs/KERNELS.md breakdown), so beam
+should be nearly free — this measures it instead of assuming it.
 
 One process, one TPU claim, both arms timed with bench.py's
 chained-dispatch slope method. The greedy arm is bit-identical HLO to
