@@ -51,7 +51,8 @@ def main():
                     help="real corpus root (per-video dirs); decodes every "
                          "video, prints its summary text, and scores ROUGE "
                          "against summary.txt golds")
-    ap.add_argument("--vgg", default=None, choices=["vgg16", "tiny"],
+    ap.add_argument("--vgg", default=None,
+                    choices=["vgg16", "vgg19", "tiny"],
                     help="frontend variant; default: the run config's "
                          "vgg_variant (vgg16 when no config)")
     ap.add_argument("--config_json", default=None, help="full Config overlay")
@@ -156,10 +157,10 @@ def main():
         from mmbidaf_tpu.data.frontend import frontend_init
         from mmbidaf_tpu.data.pipeline import VideoCorpus
         from mmbidaf_tpu.data.vocab import vocab_from_corpus_dir
-        from mmbidaf_tpu.ops.vgg import TINY_SPEC, VGG16_SPEC
+        from mmbidaf_tpu.ops.vgg import spec_for_variant
 
         vgg = a.vgg or cfg.model.vgg_variant
-        vgg_spec = TINY_SPEC if vgg == "tiny" else VGG16_SPEC
+        vgg_spec = spec_for_variant(vgg)
         # Split corpora: vocabulary comes from train/ (matching training);
         # decoding runs over dev/ when present, else the whole root.
         vocab_dir = decode_dir = a.data_dir

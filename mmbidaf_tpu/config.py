@@ -36,8 +36,9 @@ class ModelConfig:
     # Which towers are active — the five graded configs [B:6-12].
     use_images: bool = True
     use_audio: bool = True
-    # VGG frontend variant ("vgg16" | "tiny") — persisted with the run so
-    # serving can rebuild the exact frontend without a CLI flag.
+    # VGG frontend variant ("vgg16" | "vgg19" | "tiny",
+    # ops/vgg.spec_for_variant) — persisted with the run so serving can
+    # rebuild the exact frontend without a CLI flag.
     vgg_variant: str = "vgg16"
     # Compute dtype for the accelerated path; params stay fp32.
     compute_dtype: str = "float32"

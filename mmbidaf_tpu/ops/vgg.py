@@ -25,8 +25,28 @@ import numpy as np
 # torchvision vgg16 config "D": numbers = out-channels of 3x3 convs, "M" = maxpool.
 VGG16_SPEC: tuple = (64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
                      512, 512, 512, "M", 512, 512, 512, "M")
+# torchvision vgg19 config "E" (one extra conv per 256/512 block).
+VGG19_SPEC: tuple = (64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M",
+                     512, 512, 512, 512, "M", 512, 512, 512, 512, "M")
 # Tiny spec for unit tests (2 blocks).
 TINY_SPEC: tuple = (8, "M", 16, "M")
+
+# ModelConfig.vgg_variant values (single source of truth for CLI choices).
+VARIANTS: tuple = ("tiny", "vgg16", "vgg19")
+
+
+def spec_for_variant(name: str) -> tuple:
+    """``ModelConfig.vgg_variant`` → conv spec. The fc/classifier shape is
+    the same for every variant (fc_dim-d features), so the variant only
+    selects the conv stack; ``port_vgg`` imports the matching torchvision
+    state_dict (``vgg16``/``vgg19``) unchanged."""
+    specs = {"tiny": TINY_SPEC, "vgg16": VGG16_SPEC, "vgg19": VGG19_SPEC}
+    try:
+        return specs[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown vgg_variant {name!r}: expected one of {VARIANTS}"
+        ) from None
 
 # ImageNet normalization (torchvision transforms convention).
 IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)

@@ -353,12 +353,11 @@ class Summarizer:
             cfg = dataclasses.replace(
                 cfg, mesh=dataclasses.replace(cfg.mesh, **mesh_overrides)
             )
-        from mmbidaf_tpu.ops.vgg import TINY_SPEC, VGG16_SPEC
+        from mmbidaf_tpu.ops.vgg import spec_for_variant
 
-        vgg_spec = kw.pop(
-            "vgg_spec",
-            TINY_SPEC if cfg.model.vgg_variant == "tiny" else VGG16_SPEC,
-        )
+        vgg_spec = kw.pop("vgg_spec", None)
+        if vgg_spec is None:
+            vgg_spec = spec_for_variant(cfg.model.vgg_variant)
         return cls.from_checkpoint(
             os.path.join(run_dir, "ckpts"),
             os.path.join(run_dir, "vocab.json"),

@@ -103,3 +103,34 @@ def test_preprocess_matmul_resize_matches_jax_image(rng):
     np.testing.assert_allclose(
         np.asarray(got_up), np.asarray(ref_up), rtol=1e-5, atol=1e-5
     )
+
+
+def test_vgg19_parity(rng):
+    """torchvision config-"E" layout: port_vgg imports a vgg19-layout
+    state_dict (16 convs, extra conv per 256/512 block) and the forward
+    matches torch. Image 32 keeps the full-width conv stack fast on CPU."""
+    torch.manual_seed(7)
+    spec, size, fc = vgg.VGG19_SPEC, 32, 64
+    tm = _torch_vgg(spec, size, fc)
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    params = vgg.port_vgg(sd, spec)
+    assert len(params["convs"]) == 16
+
+    x = rng.standard_normal((2, size, size, 3)).astype(np.float32)
+    ours = vgg.vgg_features(params, jnp.asarray(x), spec)
+    with torch.no_grad():
+        theirs = tm(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    np.testing.assert_allclose(np.asarray(ours), theirs.numpy(), atol=5e-4)
+
+
+def test_spec_for_variant():
+    assert vgg.spec_for_variant("tiny") is vgg.TINY_SPEC
+    assert vgg.spec_for_variant("vgg16") is vgg.VGG16_SPEC
+    assert vgg.spec_for_variant("vgg19") is vgg.VGG19_SPEC
+    import pytest
+
+    with pytest.raises(ValueError, match="vgg19"):
+        vgg.spec_for_variant("vgg20")
+    # every advertised variant resolves
+    for name in vgg.VARIANTS:
+        assert vgg.spec_for_variant(name)

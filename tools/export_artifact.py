@@ -55,7 +55,7 @@ def main() -> None:
     ap.add_argument("--num_model", type=int, default=None,
                     help="devices on the 'model' mesh axis (override the"
                          " run config)")
-    ap.add_argument("--vgg", choices=["vgg16", "tiny"], default=None,
+    ap.add_argument("--vgg", choices=["vgg16", "vgg19", "tiny"], default=None,
                     help="frontend variant for --random (run_dir uses the"
                          " run's saved config)")
     ap.add_argument("--verify", action="store_true",
@@ -87,7 +87,7 @@ def main() -> None:
         import dataclasses
 
         from mmbidaf_tpu.config import Config, tiny_test_config
-        from mmbidaf_tpu.ops.vgg import TINY_SPEC, VGG16_SPEC
+        from mmbidaf_tpu.ops.vgg import TINY_SPEC, spec_for_variant
 
         if a.vgg == "tiny":
             cfg = tiny_test_config()
@@ -100,7 +100,12 @@ def main() -> None:
             )
             spec = TINY_SPEC
         else:
-            cfg, spec = Config(), VGG16_SPEC
+            variant = a.vgg or "vgg16"
+            cfg = Config()
+            cfg = dataclasses.replace(
+                cfg, model=dataclasses.replace(cfg.model, vgg_variant=variant)
+            )
+            spec = spec_for_variant(variant)
         if mesh_over:
             cfg = dataclasses.replace(
                 cfg, mesh=dataclasses.replace(cfg.mesh, **mesh_over)

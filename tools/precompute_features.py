@@ -32,7 +32,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--data_dir", required=True)
     ap.add_argument("--config_json", default=None)
-    ap.add_argument("--vgg", default="vgg16", choices=["vgg16", "tiny"])
+    ap.add_argument("--vgg", default="vgg16",
+                    choices=["vgg16", "vgg19", "tiny"])
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--seed", type=int, default=224)
     ap.add_argument("--force", action="store_true", help="overwrite existing")
@@ -45,10 +46,10 @@ def main():
     from mmbidaf_tpu.data.frontend import apply_frontend, frontend_init
     from mmbidaf_tpu.data.pipeline import VideoCorpus, collate
     from mmbidaf_tpu.data.vocab import vocab_from_corpus_dir
-    from mmbidaf_tpu.ops.vgg import TINY_SPEC, VGG16_SPEC
+    from mmbidaf_tpu.ops.vgg import spec_for_variant
 
     cfg = config_from_json(args.config_json) if args.config_json else Config()
-    vgg_spec = TINY_SPEC if args.vgg == "tiny" else VGG16_SPEC
+    vgg_spec = spec_for_variant(args.vgg)
 
     roots = [args.data_dir]
     if os.path.isdir(os.path.join(args.data_dir, "train")):

@@ -107,7 +107,8 @@ def parse_args():
                     help="root of per-video asset dirs (frames/ audio.wav "
                          "transcript.txt summary.txt); default: synthetic corpus")
     ap.add_argument("--glove_path", default=None, help="GloVe .txt for real corpora")
-    ap.add_argument("--vgg", default="vgg16", choices=["vgg16", "tiny"],
+    ap.add_argument("--vgg", default="vgg16",
+                    choices=["vgg16", "vgg19", "tiny"],
                     help="frontend conv spec (tiny = fast CPU demos)")
     # mesh / parallelism (SURVEY §3.3)
     ap.add_argument("--num_seq", type=int, default=1,
@@ -339,9 +340,9 @@ def main():
             wv = load_glove(a.glove_path, w2i, cfg.model.emb_dim)
         else:
             wv = random_word_vectors(np_rng, len(w2i), cfg.model.emb_dim)
-        from mmbidaf_tpu.ops.vgg import TINY_SPEC, VGG16_SPEC
+        from mmbidaf_tpu.ops.vgg import spec_for_variant
 
-        vgg_spec = TINY_SPEC if a.vgg == "tiny" else VGG16_SPEC
+        vgg_spec = spec_for_variant(a.vgg)
         # persist the frontend variant + vocab with the run so serving can
         # reconstruct everything from run_dir alone (Summarizer.from_run)
         cfg = dataclasses.replace(
