@@ -37,9 +37,49 @@ class _KeyshotMeter:
             agg["keyshot-F1"] = self.total / self.n
 
 
+def _summarizer_corpus_eval(s, corpus, use_long: bool, print_summaries: bool):
+    """Decode every corpus video through a Summarizer-shaped object (live
+    ``Summarizer`` or ``ExportedSummarizer``) and print aggregate ROUGE vs
+    ``summary.txt`` golds + keyshot-F1 (shared by --long and --artifact)."""
+    from mmbidaf_tpu.data.text import sent_tokenize
+    from mmbidaf_tpu.train.metrics import rouge_scores
+
+    agg = {"ROUGE-1": 0.0, "ROUGE-2": 0.0, "ROUGE-L": 0.0}
+    n_scored = 0
+    keyshot = _KeyshotMeter()
+    for i, vid in enumerate(corpus.video_ids):
+        vdir = os.path.join(corpus.root, vid)
+        summary = s.summarize_long(vdir) if use_long else s.summarize(vdir)
+        if print_summaries:
+            print(f"{vid}: {summary}")
+        keyshot.add(vdir, sent_tokenize(summary))
+        _, gold = corpus.example_text(i)
+        if gold:
+            for k, v in rouge_scores(summary, gold).items():
+                agg[k] += v
+            n_scored += 1
+    agg = {k: v / max(n_scored, 1) for k, v in agg.items()}
+    keyshot.finalize(agg)
+    print({k: round(v, 4) for k, v in agg.items()}, f"({n_scored} videos scored)")
+
+
+def _dev_split(data_dir: str) -> str:
+    """Corpus decode root: dev/ when the corpus is split, else the root."""
+    if os.path.isdir(os.path.join(data_dir, "train")):
+        dev = os.path.join(data_dir, "dev")
+        return dev if os.path.isdir(dev) else os.path.join(data_dir, "train")
+    return data_dir
+
+
 def main():
     ap = argparse.ArgumentParser(description="MMBiDAF-TPU inference")
     ap.add_argument("--load_dir", default=None, help="orbax checkpoint dir (runs/NAME/ckpts)")
+    ap.add_argument("--artifact", default=None, metavar="DIR",
+                    help="evaluate a frozen AOT artifact "
+                         "(tools/export_artifact.py) against --data_dir: "
+                         "decode every video through the exported program "
+                         "and score ROUGE/keyshot-F1 — acceptance-test the "
+                         "artifact you are about to deploy")
     ap.add_argument("--hidden_size", type=int, default=128)
     ap.add_argument("--batch_size", type=int, default=8)
     ap.add_argument("--num_batches", type=int, default=1)
@@ -93,6 +133,37 @@ def main():
     cache_dir = enable_cli_cache(a.jax_cache)
     if cache_dir:
         print(f"compilation cache: {cache_dir}")
+
+    if a.artifact:
+        # Frozen-program evaluation: everything about the model (config,
+        # vocab, decode mode, parallel layout) lives in the artifact, so
+        # flags that would rebuild or re-parameterize it are conflicts.
+        if not a.data_dir:
+            raise SystemExit("--artifact evaluates against a corpus: pass --data_dir")
+        for flag, name in ((a.load_dir, "--load_dir"),
+                           (a.mode != "greedy", "--mode"),
+                           (a.config_json, "--config_json"),
+                           (a.vgg, "--vgg"),
+                           (a.sp_audio is not None, "--sp_audio"),
+                           (a.num_seq is not None, "--num_seq"),
+                           (a.tp_vgg is not None, "--tp_vgg"),
+                           (a.num_model is not None, "--num_model")):
+            if flag:
+                raise SystemExit(
+                    f"{name} is fixed inside the artifact — re-export it, or "
+                    "evaluate a checkpoint via --load_dir without --artifact"
+                )
+        from mmbidaf_tpu.data.pipeline import VideoCorpus
+        from mmbidaf_tpu.export import ExportedSummarizer
+
+        s = ExportedSummarizer(a.artifact)
+        corpus = VideoCorpus(
+            _dev_split(a.data_dir), s.cfg, s.word2idx, use_precomputed=False
+        )
+        print(f"artifact decode_mode={s.decoder.decode_mode} "
+              f"batch={s.decoder.batch_size}")
+        _summarizer_corpus_eval(s, corpus, a.long, a.print_summaries)
+        return
 
     from mmbidaf_tpu.config import Config, config_from_json
     from mmbidaf_tpu.data.synthetic import batch_stream, random_word_vectors
@@ -239,25 +310,8 @@ def main():
             state.ema_params, fe_params, w2i, cfg, vgg_spec,
             mode=a.mode, topk=a.topk, serve_batch_size=a.batch_size,
         )
-        from mmbidaf_tpu.data.text import sent_tokenize as _sent_tok
-
-        agg = {"ROUGE-1": 0.0, "ROUGE-2": 0.0, "ROUGE-L": 0.0}
-        n_scored = 0
-        keyshot = _KeyshotMeter()
-        for i, vid in enumerate(corpus.video_ids):
-            vdir = os.path.join(corpus.root, vid)
-            summary = s.summarize_long(vdir)
-            if a.print_summaries:
-                print(f"{vid}: {summary}")
-            keyshot.add(vdir, _sent_tok(summary))
-            _, gold = corpus.example_text(i)
-            if gold:
-                for k, v in rouge_scores(summary, gold).items():
-                    agg[k] += v
-                n_scored += 1
-        agg = {k: v / max(n_scored, 1) for k, v in agg.items()}
-        keyshot.finalize(agg)
-        print({k: round(v, 4) for k, v in agg.items()}, f"({n_scored} videos scored)")
+        _summarizer_corpus_eval(s, corpus, use_long=True,
+                                print_summaries=a.print_summaries)
         return
 
     if corpus is not None:

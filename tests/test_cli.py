@@ -545,3 +545,35 @@ def test_profile_cli_smoke(tmp_path):
     rows = [_json.loads(l) for l in res.stdout.strip().splitlines() if l.startswith("{")]
     assert 0 < len(rows) <= 5
     assert all({"name", "total_ms", "pct"} <= set(r) for r in rows)
+
+
+@pytest.mark.slow
+def test_infer_cli_artifact_eval(tmp_path, synthetic_corpus):
+    """infer.py --artifact: deployment acceptance testing — export a frozen
+    artifact, then score ROUGE against the corpus through the exported
+    program (no checkpoint, no model rebuild). Conflicting flags error."""
+    art = str(tmp_path / "artifact")
+    res = subprocess.run(
+        [sys.executable, "tools/export_artifact.py", "--random", "--vgg",
+         "tiny", "--out", art, "--batch", "1", "--frame_hw", "48x64"],
+        cwd=REPO, env=_cpu_env(), capture_output=True, text=True, timeout=600,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+
+    res = subprocess.run(
+        [sys.executable, "infer.py", "--artifact", art,
+         "--data_dir", synthetic_corpus, "--print_summaries"],
+        cwd=REPO, env=_cpu_env(), capture_output=True, text=True, timeout=600,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "decode_mode=greedy" in res.stdout
+    assert "ROUGE-1" in res.stdout and "videos scored" in res.stdout
+
+    # frozen knobs conflict loudly
+    res = subprocess.run(
+        [sys.executable, "infer.py", "--artifact", art, "--mode", "beam",
+         "--data_dir", synthetic_corpus],
+        cwd=REPO, env=_cpu_env(), capture_output=True, text=True, timeout=300,
+    )
+    assert res.returncode != 0
+    assert "fixed inside the artifact" in (res.stdout + res.stderr)
