@@ -27,6 +27,11 @@ class ModelConfig:
     img_feat_dim: int = 4096      # VGG fc-layer feature size (SURVEY §3.1)
     audio_feat_dim: int = 40      # n_mfcc / n_mels per frame
     num_highway_layers: int = 2
+    # Stacked BiLSTM depth for every encoder tower (word/sentence/image/
+    # audio/modeling) — the reference RNNEncoder's ``num_layers`` knob.
+    # 1 (the reference's actual setting) keeps the flat params pytree;
+    # deeper stacks nest per-layer params ({"layers": [...]}).
+    num_rnn_layers: int = 1
     drop_prob: float = 0.2
     # Decoder
     max_decode_steps: int = 4     # K sentences selected per summary

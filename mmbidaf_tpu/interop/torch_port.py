@@ -31,12 +31,14 @@ def port_linear(sd: Mapping[str, np.ndarray], prefix: str, bias: bool = True) ->
     return out
 
 
-def port_lstm_direction(sd: Mapping[str, np.ndarray], prefix: str, suffix: str = "") -> dict:
-    """One direction of ``nn.LSTM`` layer 0 → our ``{w_x, w_h, b}`` layout."""
-    w_ih = np.asarray(sd[_key(prefix, f"weight_ih_l0{suffix}")])  # [4h, in]
-    w_hh = np.asarray(sd[_key(prefix, f"weight_hh_l0{suffix}")])  # [4h, h]
-    b = np.asarray(sd[_key(prefix, f"bias_ih_l0{suffix}")]) + np.asarray(
-        sd[_key(prefix, f"bias_hh_l0{suffix}")]
+def port_lstm_direction(
+    sd: Mapping[str, np.ndarray], prefix: str, suffix: str = "", layer: int = 0
+) -> dict:
+    """One direction of ``nn.LSTM`` layer ``layer`` → our ``{w_x, w_h, b}`` layout."""
+    w_ih = np.asarray(sd[_key(prefix, f"weight_ih_l{layer}{suffix}")])  # [4h, in]
+    w_hh = np.asarray(sd[_key(prefix, f"weight_hh_l{layer}{suffix}")])  # [4h, h]
+    b = np.asarray(sd[_key(prefix, f"bias_ih_l{layer}{suffix}")]) + np.asarray(
+        sd[_key(prefix, f"bias_hh_l{layer}{suffix}")]
     )
     return {
         "w_x": jnp.asarray(w_ih.T),
@@ -46,11 +48,27 @@ def port_lstm_direction(sd: Mapping[str, np.ndarray], prefix: str, suffix: str =
 
 
 def port_bilstm(sd: Mapping[str, np.ndarray], prefix: str) -> dict:
-    """Bidirectional ``nn.LSTM`` → ``{"fwd": ..., "bwd": ...}``."""
-    return {
-        "fwd": port_lstm_direction(sd, prefix),
-        "bwd": port_lstm_direction(sd, prefix, "_reverse"),
-    }
+    """Bidirectional ``nn.LSTM`` → ``{"fwd": ..., "bwd": ...}``.
+
+    The layer count is read off the state_dict (``weight_ih_l{k}`` keys):
+    1 layer gives the flat pytree, deeper stacks give ``{"layers": [...]}``
+    matching :func:`mmbidaf_tpu.ops.lstm.stacked_bilstm_init`.
+    """
+    num_layers = 0
+    while _key(prefix, f"weight_ih_l{num_layers}") in sd:
+        num_layers += 1
+    if num_layers == 0:
+        raise KeyError(f"no nn.LSTM weights under prefix {prefix!r}")
+
+    def one(layer: int) -> dict:
+        return {
+            "fwd": port_lstm_direction(sd, prefix, layer=layer),
+            "bwd": port_lstm_direction(sd, prefix, "_reverse", layer=layer),
+        }
+
+    if num_layers == 1:
+        return one(0)
+    return {"layers": [one(k) for k in range(num_layers)]}
 
 
 def port_highway(sd: Mapping[str, np.ndarray], prefix: str, num_layers: int = 2) -> dict:
@@ -154,18 +172,22 @@ def _export_linear(out: dict, prefix: str, w, b=None) -> None:
         out[_key(prefix, "bias")] = np.asarray(b)
 
 
-def _export_lstm_direction(out: dict, prefix: str, p: dict, suffix: str = "") -> None:
-    out[_key(prefix, f"weight_ih_l0{suffix}")] = np.asarray(p["w_x"]).T
-    out[_key(prefix, f"weight_hh_l0{suffix}")] = np.asarray(p["w_h"]).T
+def _export_lstm_direction(
+    out: dict, prefix: str, p: dict, suffix: str = "", layer: int = 0
+) -> None:
+    out[_key(prefix, f"weight_ih_l{layer}{suffix}")] = np.asarray(p["w_x"]).T
+    out[_key(prefix, f"weight_hh_l{layer}{suffix}")] = np.asarray(p["w_h"]).T
     b = np.asarray(p["b"])
     # torch stores two bias vectors that are summed; split evenly.
-    out[_key(prefix, f"bias_ih_l0{suffix}")] = b * 0.5
-    out[_key(prefix, f"bias_hh_l0{suffix}")] = b * 0.5
+    out[_key(prefix, f"bias_ih_l{layer}{suffix}")] = b * 0.5
+    out[_key(prefix, f"bias_hh_l{layer}{suffix}")] = b * 0.5
 
 
 def _export_bilstm(out: dict, prefix: str, p: dict) -> None:
-    _export_lstm_direction(out, prefix, p["fwd"])
-    _export_lstm_direction(out, prefix, p["bwd"], "_reverse")
+    layers = p["layers"] if "layers" in p else [p]
+    for k, lp in enumerate(layers):
+        _export_lstm_direction(out, prefix, lp["fwd"], layer=k)
+        _export_lstm_direction(out, prefix, lp["bwd"], "_reverse", layer=k)
 
 
 def _export_bidaf(out: dict, prefix: str, p: dict) -> None:

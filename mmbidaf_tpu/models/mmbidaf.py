@@ -34,26 +34,27 @@ from mmbidaf_tpu.config import Config
 from mmbidaf_tpu.models.decoder import decoder_apply, decoder_init
 from mmbidaf_tpu.models.embedding import embedding_apply, embedding_init
 from mmbidaf_tpu.ops.bidaf import bidaf_apply, bidaf_init
-from mmbidaf_tpu.ops.lstm import bilstm_apply, bilstm_init
+from mmbidaf_tpu.ops.lstm import bilstm_apply, stacked_bilstm_apply, stacked_bilstm_init
 
 
 def mmbidaf_init(key: jax.Array, cfg: Config, word_vectors: jax.Array) -> dict:
     m = cfg.model
     h = m.hidden_size
+    L = m.num_rnn_layers
     keys = jax.random.split(key, 10)
     params: dict[str, Any] = {
         "embedding": embedding_init(keys[0], word_vectors, h, m.num_highway_layers),
-        "word_lstm": bilstm_init(keys[1], h, h),
-        "sent_lstm": bilstm_init(keys[2], 2 * h, h),
+        "word_lstm": stacked_bilstm_init(keys[1], h, h, L),
+        "sent_lstm": stacked_bilstm_init(keys[2], 2 * h, h, L),
         "decoder": decoder_init(keys[9], 2 * h, 2 * h),
     }
     num_g = 0
     if m.use_images:
-        params["img_lstm"] = bilstm_init(keys[3], m.img_feat_dim, h)
+        params["img_lstm"] = stacked_bilstm_init(keys[3], m.img_feat_dim, h, L)
         params["att_img"] = bidaf_init(keys[4], 2 * h)
         num_g += 1
     if m.use_audio:
-        params["aud_lstm"] = bilstm_init(keys[5], m.audio_feat_dim, h)
+        params["aud_lstm"] = stacked_bilstm_init(keys[5], m.audio_feat_dim, h, L)
         params["att_aud"] = bidaf_init(keys[6], 2 * h)
         num_g += 1
     if num_g == 0:  # text-only: sentence self-attention
@@ -64,7 +65,7 @@ def mmbidaf_init(key: jax.Array, cfg: Config, word_vectors: jax.Array) -> dict:
     params["fuse_w"] = jax.random.uniform(keys[7], (fuse_in, 2 * h), jnp.float32, -bound, bound)
     params["fuse_b"] = jnp.zeros((2 * h,), jnp.float32)
     if m.fusion == "concat_linear_bilstm":
-        params["model_lstm"] = bilstm_init(keys[8], 2 * h, h)
+        params["model_lstm"] = stacked_bilstm_init(keys[8], 2 * h, h, L)
     return params
 
 
@@ -194,13 +195,17 @@ def mmbidaf_fused_reps(
         if rng is None:
             from mmbidaf_tpu.ops.pallas.lstm_kernel import bilstm_pallas
 
-            bilstm_fn = bilstm_pallas
+            base_bilstm = bilstm_pallas
         else:
             from mmbidaf_tpu.ops.pallas.lstm_kernel import bilstm_pallas_trainable
 
-            bilstm_fn = bilstm_pallas_trainable
+            base_bilstm = bilstm_pallas_trainable
+        # Stacked params (num_rnn_layers > 1) loop the fused kernel
+        # layer-by-layer; single-layer params pass through unchanged.
+        def bilstm_fn(p, x, mask):
+            return stacked_bilstm_apply(p, x, mask, bilstm_fn=base_bilstm)
     else:
-        bilstm_fn = bilstm_apply
+        bilstm_fn = bilstm_apply  # dispatches stacked pytrees itself
 
     # Training-only rematerialization (TrainConfig.remat_towers): drop each
     # tower's activations after the forward and recompute them in backprop

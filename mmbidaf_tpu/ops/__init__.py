@@ -5,5 +5,7 @@ from mmbidaf_tpu.ops.lstm import (  # noqa: F401
     bilstm_init,
     lstm_scan,
     bilstm_apply,
+    stacked_bilstm_init,
+    stacked_bilstm_apply,
 )
 from mmbidaf_tpu.ops.bidaf import bidaf_init, bidaf_apply  # noqa: F401

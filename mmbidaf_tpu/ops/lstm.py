@@ -119,8 +119,13 @@ def bilstm_apply(
     """Bidirectional LSTM. Returns ``(out [B, T, 2h], (h_last, c_last) [B, 2h])``.
 
     ``out[:, :, :h]`` is the forward direction, ``[:, :, h:]`` the reverse —
-    torch ``nn.LSTM(bidirectional=True)`` output layout.
+    torch ``nn.LSTM(bidirectional=True)`` output layout. A stacked params
+    pytree (``{"layers": [...]}`` from :func:`stacked_bilstm_init`) runs the
+    layers in sequence and returns the LAST layer's outputs/states, matching
+    ``nn.LSTM(num_layers=L)``'s output and ``h_n[-2:]``.
     """
+    if "layers" in params:
+        return stacked_bilstm_apply(params, x, mask)
     out_f, (h_f, c_f) = lstm_scan(params["fwd"], x, mask, reverse=False)
     out_b, (h_b, c_b) = lstm_scan(params["bwd"], x, mask, reverse=True)
     out = jnp.concatenate([out_f, out_b], axis=-1)
@@ -130,9 +135,66 @@ def bilstm_apply(
     )
 
 
-def rnn_encoder_init(key: jax.Array, in_dim: int, hidden: int, dtype=jnp.float32) -> dict:
-    """`RNNEncoder` equivalent (SURVEY §3.1): 1-layer BiLSTM, out dim 2h."""
-    return bilstm_init(key, in_dim, hidden, dtype)
+def stacked_bilstm_init(
+    key: jax.Array, in_dim: int, hidden: int, num_layers: int = 1, dtype=jnp.float32
+) -> dict:
+    """Stacked BiLSTM params — ``nn.LSTM(num_layers=L, bidirectional=True)``.
+
+    ``num_layers == 1`` returns the plain :func:`bilstm_init` pytree (same
+    structure, same rng consumption — existing checkpoints/goldens are
+    unaffected); deeper stacks return ``{"layers": [layer0, layer1, ...]}``
+    where layer 0 takes ``in_dim`` and later layers take ``2*hidden`` (each
+    direction of layer k feeds on the concatenated output of layer k-1,
+    torch's stacking rule).
+    """
+    if num_layers < 1:
+        raise ValueError(f"num_layers must be >= 1, got {num_layers}")
+    if num_layers == 1:
+        return bilstm_init(key, in_dim, hidden, dtype)
+    keys = jax.random.split(key, num_layers)
+    layers = [bilstm_init(keys[0], in_dim, hidden, dtype)]
+    for k in keys[1:]:
+        layers.append(bilstm_init(k, 2 * hidden, hidden, dtype))
+    return {"layers": layers}
+
+
+def stacked_bilstm_apply(
+    params: dict,
+    x: jax.Array,
+    mask: jax.Array,
+    bilstm_fn=None,
+    drop_prob: float = 0.0,
+    rng: jax.Array | None = None,
+) -> tuple[jax.Array, tuple[jax.Array, jax.Array]]:
+    """Run a (possibly stacked) BiLSTM params pytree over ``x``.
+
+    Single-layer params are forwarded to ``bilstm_fn`` unchanged. Stacked
+    params run layer-by-layer; with ``drop_prob > 0`` and an ``rng``,
+    inter-layer dropout is applied to every layer's output except the last —
+    ``nn.LSTM(dropout=p)`` semantics (the reference ``RNNEncoder`` passes its
+    ``drop_prob`` there when ``num_layers > 1``). ``bilstm_fn`` lets the
+    caller substitute the fused Pallas kernel per layer.
+    """
+    fn = bilstm_fn if bilstm_fn is not None else bilstm_apply
+    if "layers" not in params:
+        return fn(params, x, mask)
+    layers = params["layers"]
+    out, state = x, None
+    for i, lp in enumerate(layers):
+        out, state = fn(lp, x, mask)
+        x = out
+        if drop_prob > 0.0 and rng is not None and i < len(layers) - 1:
+            rng, sub = jax.random.split(rng)
+            keep = 1.0 - drop_prob
+            x = x * jax.random.bernoulli(sub, keep, x.shape) / keep
+    return out, state
+
+
+def rnn_encoder_init(
+    key: jax.Array, in_dim: int, hidden: int, dtype=jnp.float32, num_layers: int = 1
+) -> dict:
+    """`RNNEncoder` equivalent (SURVEY §3.1): ``num_layers``-deep BiLSTM, out dim 2h."""
+    return stacked_bilstm_init(key, in_dim, hidden, num_layers, dtype)
 
 
 def rnn_encoder_apply(
@@ -142,9 +204,16 @@ def rnn_encoder_apply(
     drop_prob: float = 0.0,
     rng: jax.Array | None = None,
 ) -> jax.Array:
-    """BiLSTM encoder with output dropout (matches reference RNNEncoder)."""
-    out, _ = bilstm_apply(params, x, mask)
+    """BiLSTM encoder with output dropout (matches reference RNNEncoder).
+
+    For stacked params the same ``drop_prob`` also applies between layers
+    (the reference wires one flag to both ``nn.LSTM(dropout=...)`` and the
+    output ``F.dropout``)."""
+    r_stack = r_out = None
+    if rng is not None:
+        r_stack, r_out = jax.random.split(rng)
+    out, _ = stacked_bilstm_apply(params, x, mask, drop_prob=drop_prob, rng=r_stack)
     if drop_prob > 0.0 and rng is not None:
         keep = 1.0 - drop_prob
-        out = out * jax.random.bernoulli(rng, keep, out.shape) / keep
+        out = out * jax.random.bernoulli(r_out, keep, out.shape) / keep
     return out

@@ -116,11 +116,14 @@ def make_sp_audio_tower(mesh: Mesh, cfg: Config, use_batch_axis: bool = True):
         # featurization precedes the model's compute-dtype cast
         feats = frontend_for(aud_mask.shape[1])(batch["waveform"].astype(jnp.float32))
         feats = feats * aud_mask[:, :, None]
-        enc = sp_lstm(
-            params["aud_lstm"],
-            feats.astype(compute_dtype),
-            aud_mask.astype(compute_dtype),
-        )
+        # Stacked aud_lstm (ModelConfig.num_rnn_layers > 1): each layer runs
+        # the SP wavefront pipeline on the still-sharded frame axis; the
+        # model's encoders carry no inter-layer dropout (ops/lstm.py).
+        aud_p = params["aud_lstm"]
+        enc = feats.astype(compute_dtype)
+        m_c = aud_mask.astype(compute_dtype)
+        for lp in (aud_p["layers"] if "layers" in aud_p else [aud_p]):
+            enc = sp_lstm(lp, enc, m_c)
         sent_mask = batch["sent_mask"]
         if rng is not None and drop > 0.0:
             # Same rng split + full-shape bernoulli as the local

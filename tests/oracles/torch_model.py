@@ -59,7 +59,8 @@ class Embedding(nn.Module):
 
 
 class RNNEncoder(nn.Module):
-    """1-layer BiLSTM with pack_padded_sequence (true ragged semantics)."""
+    """BiLSTM with pack_padded_sequence (true ragged semantics); num_layers
+    stacks torch-style with inter-layer dropout."""
 
     def __init__(self, input_size, hidden_size, num_layers=1, drop_prob=0.0):
         super().__init__()
@@ -85,9 +86,9 @@ class RNNEncoder(nn.Module):
         )
         _, unsort_idx = sort_idx.sort(0)
         x = x[unsort_idx]
-        # h_n: [2, B, h] (fwd, bwd) → [B, 2h]
-        h_n = torch.cat([h_n[0], h_n[1]], dim=-1)[unsort_idx]
-        c_n = torch.cat([c_n[0], c_n[1]], dim=-1)[unsort_idx]
+        # h_n: [num_layers*2, B, h]; the last layer's (fwd, bwd) → [B, 2h]
+        h_n = torch.cat([h_n[-2], h_n[-1]], dim=-1)[unsort_idx]
+        c_n = torch.cat([c_n[-2], c_n[-1]], dim=-1)[unsort_idx]
         x = F.dropout(x, self.drop_prob, self.training)
         return x, (h_n, c_n)
 
@@ -180,23 +181,25 @@ class MMBiDAF(nn.Module):
     """Full trimodal model mirroring mmbidaf_tpu.models.mmbidaf semantics."""
 
     def __init__(self, word_vectors, hidden_size, img_feat_dim=None, audio_feat_dim=None,
-                 drop_prob=0.0, num_decode_steps=4, mask_selected=True):
+                 drop_prob=0.0, num_decode_steps=4, mask_selected=True,
+                 num_rnn_layers=1):
         super().__init__()
         h = hidden_size
+        L = num_rnn_layers
         self.num_decode_steps = num_decode_steps
         self.mask_selected = mask_selected
         self.emb = Embedding(word_vectors, h, drop_prob)
-        self.word_enc = RNNEncoder(h, h)
-        self.sent_enc = RNNEncoder(2 * h, h)
+        self.word_enc = RNNEncoder(h, h, L)
+        self.sent_enc = RNNEncoder(2 * h, h, L)
         num_g = 0
         if img_feat_dim is not None:
-            self.img_enc = RNNEncoder(img_feat_dim, h)
+            self.img_enc = RNNEncoder(img_feat_dim, h, L)
             self.att_img = BiDAFAttention(2 * h, drop_prob)
             num_g += 1
         else:
             self.img_enc = None
         if audio_feat_dim is not None:
-            self.aud_enc = RNNEncoder(audio_feat_dim, h)
+            self.aud_enc = RNNEncoder(audio_feat_dim, h, L)
             self.att_aud = BiDAFAttention(2 * h, drop_prob)
             num_g += 1
         else:
@@ -205,7 +208,7 @@ class MMBiDAF(nn.Module):
             self.att_self = BiDAFAttention(2 * h, drop_prob)
             num_g = 1
         self.fuse = nn.Linear(num_g * 8 * h, 2 * h)
-        self.model_enc = RNNEncoder(2 * h, h)
+        self.model_enc = RNNEncoder(2 * h, h, L)
         self.decoder = SentencePointerDecoder(2 * h, 2 * h)
 
     def fused_reps(self, text_ids, word_mask, sent_mask, images=None, img_mask=None,

@@ -35,6 +35,9 @@ def parse_args():
     ap = argparse.ArgumentParser(description="Train MMBiDAF-TPU")
     # model
     ap.add_argument("--hidden_size", type=int, default=128)
+    ap.add_argument("--num_rnn_layers", type=int, default=1,
+                    help="stacked BiLSTM depth for the encoder towers "
+                         "(the reference RNNEncoder's num_layers)")
     ap.add_argument("--drop_prob", type=float, default=0.2)
     ap.add_argument("--max_decode_steps", type=int, default=4)
     ap.add_argument("--no_images", action="store_true")
@@ -134,7 +137,7 @@ def parse_args():
     return a, defaults
 
 
-_MODEL_KEYS = ("hidden_size", "drop_prob", "max_decode_steps")
+_MODEL_KEYS = ("hidden_size", "num_rnn_layers", "drop_prob", "max_decode_steps")
 _DATA_KEYS = ("max_sentences", "max_words")
 _MESH_KEYS = ("num_seq", "sp_audio", "num_model", "tp_vgg")
 _TRAIN_KEYS = (
@@ -174,6 +177,7 @@ def build_config(a, defaults):
         model=dataclasses.replace(
             cfg.model,
             hidden_size=a.hidden_size,
+            num_rnn_layers=a.num_rnn_layers,
             drop_prob=a.drop_prob,
             max_decode_steps=a.max_decode_steps,
             use_images=not a.no_images,
