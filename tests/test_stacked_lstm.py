@@ -184,6 +184,35 @@ def test_stacked_pallas_path_matches_plain():
     np.testing.assert_allclose(np.asarray(lp_plain), np.asarray(lp_pl), atol=1e-5)
 
 
+def test_stacked_aot_export_roundtrip(tmp_path):
+    """AOT artifact export (mmbidaf_tpu/export.py) composes with stacked
+    params: the flat-leaf program freezes the nested {"layers": [...]}
+    pytree and the reloaded artifact reproduces the live decode exactly."""
+    from mmbidaf_tpu.export import ExportedDecoder, export_summarizer
+    from mmbidaf_tpu.ops.vgg import TINY_SPEC
+    from mmbidaf_tpu.serving import Summarizer
+    from tests.test_export import make_cfg, random_raw
+
+    cfg = make_cfg()
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, num_rnn_layers=2)
+    )
+    summ = Summarizer.init_random(cfg, seed=5, vgg_spec=TINY_SPEC)
+    assert "layers" in summ.params["word_lstm"]
+    out = str(tmp_path / "stacked_artifact")
+    export_summarizer(summ, out, batch_size=2, frame_hw=(12, 16))
+
+    dec = ExportedDecoder(out)
+    rng = np.random.default_rng(43)
+    raw = random_raw(cfg, rng, batch=2, frame_hw=(12, 16))
+    log_p, picks = dec.decode_raw(raw)
+    live_lp, live_picks = summ._decode(
+        summ.params, summ.fe_params, {k: jnp.asarray(v) for k, v in raw.items()}
+    )
+    np.testing.assert_array_equal(picks, np.asarray(live_picks))
+    np.testing.assert_allclose(log_p, np.asarray(live_lp), rtol=0, atol=0)
+
+
 def test_stacked_grads_flow_through_all_layers():
     """Every stacked layer's weights get a nonzero gradient (no dead layers)."""
     cfg = _stacked_cfg(2, use_images=False, use_audio=False)
