@@ -232,3 +232,38 @@ def test_stacked_grads_flow_through_all_layers():
         for i, lp in enumerate(grads[name]["layers"]):
             norm = float(jnp.linalg.norm(lp["fwd"]["w_x"]))
             assert norm > 0, f"{name} layer {i} got zero gradient"
+
+
+def test_stacked_sp_audio_tower_matches_local(eight_device_mesh):
+    """MeshConfig.sp_audio × num_rnn_layers=2: the SP tower runs every
+    stacked aud_lstm layer on the still-sharded frame axis
+    (parallel/sp_tower.py) and the flag-driven decode matches the local
+    program exactly — the stacked-encoder composition of
+    tests/test_sp_product.py's flag-on == flag-off contract."""
+    del eight_device_mesh
+    from mmbidaf_tpu.data.frontend import make_end_to_end_decode
+    from mmbidaf_tpu.ops.vgg import TINY_SPEC
+    from mmbidaf_tpu.parallel import make_mesh, make_sp_audio_tower
+    from tests.test_sp_product import _raw_batch, _sp_config
+
+    rng = np.random.default_rng(77)
+    cfg = _sp_config(num_rnn_layers=2)
+    mesh = make_mesh(cfg.mesh)
+    wv = random_word_vectors(rng, cfg.data.vocab_size, cfg.model.emb_dim)
+    params = mmbidaf_init(jax.random.key(11), cfg, jnp.asarray(wv))
+    assert len(params["aud_lstm"]["layers"]) == 2
+
+    from mmbidaf_tpu.data.frontend import frontend_init
+
+    fe = frontend_init(jax.random.key(12), cfg, vgg_spec=TINY_SPEC)
+    raw = _raw_batch(rng, cfg)
+
+    tower = make_sp_audio_tower(mesh, cfg)
+    lp_sp, picks_sp = make_end_to_end_decode(
+        cfg, vgg_spec=TINY_SPEC, audio_g_fn=tower
+    )(params, fe, raw)
+    lp_l, picks_l = make_end_to_end_decode(cfg, vgg_spec=TINY_SPEC)(params, fe, raw)
+    np.testing.assert_array_equal(np.asarray(picks_sp), np.asarray(picks_l))
+    np.testing.assert_allclose(
+        np.asarray(lp_sp), np.asarray(lp_l), rtol=2e-4, atol=2e-5
+    )
