@@ -101,6 +101,110 @@ def num_audio_samples(cfg: Config) -> int:
     return d.max_audio_frames * d.hop_length + d.win_length
 
 
+def serving_bucket_ladders(cfg: Config, buckets=True) -> dict[str, tuple[int, ...]]:
+    """Resolve ``Summarizer(serve_buckets=…)`` into per-axis bucket ladders.
+
+    ``buckets=True`` → the quarter/half/full default ladders
+    (``data.pipeline.default_axis_buckets``) on all four ragged axes;
+    a dict gives explicit ladders per axis (the ``data.pipeline.
+    suggest_buckets`` output plugs in directly — derive ladders from the
+    training corpus, serve with them). The config cap is ALWAYS appended
+    to every ladder: a request longer than the top rung pads up to the
+    cap, it is never cut (serving must stay semantics-preserving, unlike
+    a training ladder where capping is a data decision).
+
+    Under ``MeshConfig.sp_audio`` audio rungs round UP to ``num_seq``
+    multiples — the SP chain shards the frame axis ``num_seq``-ways
+    (same rule as ``bucketed_iterator(seq_align=…)``).
+    """
+    from mmbidaf_tpu.data.pipeline import default_axis_buckets
+
+    d = cfg.data
+    caps = {
+        "sentences": d.max_sentences,
+        "words": d.max_words,
+        "keyframes": d.max_keyframes,
+        "audio_frames": d.max_audio_frames,
+    }
+    given = dict(buckets) if isinstance(buckets, dict) else {}
+    unknown = sorted(set(given) - set(caps))
+    if unknown:
+        raise ValueError(
+            f"unknown serve_buckets axes {unknown}: expected a subset of "
+            f"{sorted(caps)}"
+        )
+    out = {}
+    for key, cap in caps.items():
+        ladder = given.get(key)
+        ladder = default_axis_buckets(cap) if ladder is None else ladder
+        rungs = {int(b) for b in ladder}
+        if any(b < 1 for b in rungs):
+            raise ValueError(f"serve_buckets[{key!r}] has rungs < 1: {sorted(rungs)}")
+        out[key] = tuple(sorted({min(b, cap) for b in rungs} | {cap}))
+    if cfg.mesh.sp_audio and cfg.mesh.num_seq > 1:
+        ns, cap = cfg.mesh.num_seq, caps["audio_frames"]
+        if cap % ns:
+            raise ValueError(
+                f"max_audio_frames {cap} must be a multiple of "
+                f"MeshConfig.num_seq {ns} to bucket the audio axis under "
+                "sp_audio"
+            )
+        out["audio_frames"] = tuple(
+            sorted({min(-(-b // ns) * ns, cap) for b in out["audio_frames"]})
+        )
+    return out
+
+
+def trim_raw_batch(
+    raw: dict[str, np.ndarray], cfg: Config, ladders: dict[str, tuple[int, ...]]
+) -> dict[str, np.ndarray]:
+    """Trim a stacked serving batch to the smallest ladder rungs covering
+    its TRUE lengths — the serving-side counterpart of
+    ``bucketed_iterator``'s per-batch trim (SURVEY §8 risk R3).
+
+    True lengths come from the prefix masks, so trimming never cuts real
+    content and the model never attended over what is cut (masks carry the
+    same lengths before and after) — outputs are unchanged; only padding
+    compute and H2D bytes shrink. Handles raw batches (``waveform`` +
+    ``frames``) and featurized ones (``audio``/``images`` — the
+    ``summarize_long`` window path); axes whose keys are absent (disabled
+    towers) pass through.
+    """
+    from mmbidaf_tpu.data.pipeline import bucket_for
+
+    d = cfg.data
+    out = dict(raw)
+    if "sent_mask" in raw:
+        n_s = int(raw["sent_mask"].sum(axis=1).max())
+        n_w = int(raw["word_mask"].sum(axis=2).max())
+        bs = bucket_for(max(n_s, 1), ladders["sentences"])
+        bw = bucket_for(max(n_w, 1), ladders["words"])
+        out["text_ids"] = raw["text_ids"][:, :bs, :bw]
+        out["word_mask"] = raw["word_mask"][:, :bs, :bw]
+        out["sent_mask"] = raw["sent_mask"][:, :bs]
+    if "img_mask" in raw:
+        bi = bucket_for(
+            max(int(raw["img_mask"].sum(axis=1).max()), 1), ladders["keyframes"]
+        )
+        for k in ("frames", "images"):
+            if k in raw:
+                out[k] = raw[k][:, :bi]
+        out["img_mask"] = raw["img_mask"][:, :bi]
+    if "aud_mask" in raw:
+        ba = bucket_for(
+            max(int(raw["aud_mask"].sum(axis=1).max()), 1), ladders["audio_frames"]
+        )
+        if "waveform" in raw:
+            # ba frames need exactly this many samples — the same static
+            # samples = frames*hop + win relation the frontend assumes
+            # (frame count follows aud_mask's axis, data/frontend.py)
+            out["waveform"] = raw["waveform"][:, : ba * d.hop_length + d.win_length]
+        if "audio" in raw:
+            out["audio"] = raw["audio"][:, :ba]
+        out["aud_mask"] = raw["aud_mask"][:, :ba]
+    return out
+
+
 def host_raw_row(
     video_dir: str, word2idx: dict[str, int], cfg: Config
 ) -> tuple[dict, list[str]]:
@@ -154,6 +258,7 @@ class Summarizer:
         seed: int = 0,
         serve_batch_size: int | None = None,
         data_parallel: bool = False,
+        serve_buckets=None,
     ):
         self.params = params
         from mmbidaf_tpu.data.frontend import cast_vgg_weights
@@ -168,6 +273,21 @@ class Summarizer:
         # Static serving batch: requests are padded up (and chunked) to this
         # size so XLA compiles ONE program instead of one per request size.
         self.serve_batch_size = serve_batch_size
+        # serve_buckets (None = off): per-batch feature-axis bucketing —
+        # requests are trimmed to the smallest ladder rung covering their
+        # true lengths instead of always padding to the config caps, so a
+        # short video skips most of the padded VGG/MFCC compute AND most
+        # of the H2D bytes. Outputs are unchanged (masks carry true
+        # lengths). Cost: one compile per distinct rung tuple actually
+        # seen (bounded by the small ladder; the persistent compilation
+        # cache absorbs them across restarts). True (default ladders) or
+        # a dict of explicit ladders — `suggest_buckets` output plugs in.
+        self._ladders = (
+            serving_bucket_ladders(cfg, serve_buckets) if serve_buckets else None
+        )
+        # rung-tuple → device-batch count; observability for /healthz
+        self.bucket_stats: dict[tuple, int] = {}
+        self._stats_lock = threading.Lock()
         self._rng = jax.random.key(seed)
         # topk's rng split is the one piece of mutable state; callers may
         # share one Summarizer across threads
@@ -435,6 +555,12 @@ class Summarizer:
 
         ``include_long=True`` additionally compiles the ``summarize_long``
         programs (batch-1 featurize + the feature-shaped window decode).
+
+        With ``serve_buckets`` on, this warms the FULL-shape rung (the
+        synthetic masks are all-ones, which trims to the config caps);
+        smaller rung tuples compile on their first real request — bounded
+        by the ladder, absorbed across restarts by the persistent
+        compilation cache.
         """
         d = self.cfg.data
         b = batch_size or self.serve_batch_size or 1
@@ -477,14 +603,33 @@ class Summarizer:
         """
         return host_raw_row(video_dir, self.word2idx, self.cfg)
 
+    def _stack_rows(self, rows: Sequence[dict]) -> dict:
+        """Stack per-video rows into one device batch; under
+        ``serve_buckets`` trim the feature axes to their ladder rungs
+        host-side BEFORE upload (cuts padded compute and H2D bytes —
+        the relay link is ~1 MB/s, CLAUDE.md)."""
+        raw = {k: np.stack([r[k] for r in rows]) for k in rows[0]}
+        if self._ladders is not None:
+            raw = trim_raw_batch(raw, self.cfg, self._ladders)
+            key = tuple(
+                raw[k].shape[a]
+                for k, a in (
+                    ("sent_mask", 1), ("word_mask", 2),
+                    ("img_mask", 1), ("aud_mask", 1),
+                )
+                if k in raw
+            )
+            with self._stats_lock:
+                self.bucket_stats[key] = self.bucket_stats.get(key, 0) + 1
+        return {k: jnp.asarray(v) for k, v in raw.items()}
+
     def _raw_batch(self, video_dirs: Sequence[str]) -> tuple[dict, list[list[str]]]:
         rows, sentences = [], []
         for vd in video_dirs:
             row, sents = self._raw_row(vd)
             rows.append(row)
             sentences.append(sents)
-        batch = {k: jnp.asarray(np.stack([r[k] for r in rows])) for k in rows[0]}
-        return batch, sentences
+        return self._stack_rows(rows), sentences
 
     def _decode_batch(self, raw, with_scores: bool = False, rng=None):
         if self._dp:
@@ -583,8 +728,7 @@ class Summarizer:
         if len(sentences) <= d.max_sentences:
             # short transcript: one "window" over the already-loaded assets
             # (no second asset decode)
-            raw = {k: jnp.asarray(np.stack([v]))
-                   for k, v in window_row(sentences, media).items()}
+            raw = self._stack_rows([window_row(sentences, media)])
             picks = self._decode_batch(raw)
             return summary_from_picks(picks[0], sentences)
 
@@ -593,9 +737,13 @@ class Summarizer:
         # features per window instead of raw frames cuts the per-chunk H2D
         # bytes ~30x (the relay link is slow — CLAUDE.md). apply_frontend
         # passes feature batches through untouched.
+        media_b = {k: np.stack([v]) for k, v in media.items()}
+        if self._ladders is not None:
+            # trim the media BEFORE the batch-1 featurize — that is where
+            # the padded VGG/MFCC cost lives on this path
+            media_b = trim_raw_batch(media_b, self.cfg, self._ladders)
         feat = self._get_featurize()(
-            self.fe_params,
-            {k: jnp.asarray(np.stack([v])) for k, v in media.items()},
+            self.fe_params, {k: jnp.asarray(v) for k, v in media_b.items()}
         )
         media = {k: np.asarray(v)[0] for k, v in feat.items()}
 
@@ -610,8 +758,7 @@ class Summarizer:
             chunk = rows[i:i + sb]
             n_real = len(chunk)
             chunk = chunk + [chunk[-1]] * (sb - n_real)
-            raw = {k: jnp.asarray(np.stack([r[k] for r in chunk]))
-                   for k in chunk[0]}
+            raw = self._stack_rows(chunk)
             p, s = self._decode_batch(raw, with_scores=True)
             picks_l.append(p[:n_real])
             scores_l.append(s[:n_real])
@@ -798,9 +945,9 @@ class DynamicBatcher:
         try:
             rows = [row for row, _, _ in items]
             rows = rows + [rows[-1]] * (self.max_batch_size - n_real)
-            raw = {
-                k: jnp.asarray(np.stack([r[k] for r in rows])) for k in rows[0]
-            }
+            # _stack_rows applies the summarizer's serve_buckets trim, so
+            # a batch of short videos skips the padded feature compute
+            raw = self.summarizer._stack_rows(rows)
             picks = self.summarizer._decode_batch(raw)
             summaries = [
                 summary_from_picks(picks[i], items[i][1]) for i in range(n_real)

@@ -141,6 +141,13 @@ def make_handler(summarizer, use_long: bool, batcher=None):
                     payload["parallelism"] = parallelism
                 if batcher is not None:
                     payload["batcher"] = dict(batcher.stats)
+                if getattr(summarizer, "_ladders", None) is not None:
+                    # rung tuple (T_s, W, T_img, T_aud) → device-batch count
+                    with summarizer._stats_lock:
+                        payload["buckets"] = {
+                            "x".join(map(str, k)): v
+                            for k, v in summarizer.bucket_stats.items()
+                        }
                 self._reply(200, payload)
             else:
                 self._reply(404, {"error": f"unknown path {self.path}"})
@@ -240,6 +247,12 @@ def main():
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--mode", default="greedy", choices=["greedy", "topk", "beam"])
     ap.add_argument("--topk", type=int, default=4)
+    ap.add_argument("--bucket_serving", action="store_true",
+                    help="trim each device batch's feature axes to "
+                         "quarter/half/full bucket rungs covering its true "
+                         "lengths — short videos skip the padded VGG/MFCC "
+                         "compute; outputs unchanged (one compile per rung "
+                         "tuple seen)")
     ap.add_argument("--serve_batch_size", type=int, default=None,
                     help="pin ONE compiled batch shape (recommended)")
     ap.add_argument("--long", action="store_true",
@@ -287,6 +300,7 @@ def main():
         for flag, name in ((a.mode != "greedy", "--mode"),
                            (a.data_parallel, "--data_parallel"),
                            (a.serve_batch_size, "--serve_batch_size"),
+                           (a.bucket_serving, "--bucket_serving"),
                            (a.tp_vgg is not None, "--tp_vgg"),
                            (a.num_model is not None, "--num_model")):
             if flag:
@@ -345,6 +359,7 @@ def main():
                 a.run_dir, mode=a.mode, topk=a.topk,
                 serve_batch_size=a.serve_batch_size,
                 data_parallel=a.data_parallel,
+                serve_buckets=a.bucket_serving or None,
                 mesh_overrides=mesh_over or None,
             )
         # batcher BEFORE warmup: its constructor validates max_batch_size
