@@ -77,22 +77,55 @@ def _file_sha256(path: str) -> str:
     return h.hexdigest()
 
 
-def _raw_specs(cfg, batch_size: int, frame_hw: tuple[int, int]) -> dict:
+def _raw_specs(
+    cfg,
+    batch_size: int,
+    frame_hw: tuple[int, int],
+    rungs: Mapping[str, int] | None = None,
+) -> dict:
     """ShapeDtypeStructs for the raw batch ``host_raw_row`` rows stack into
-    (same shapes ``Summarizer.warmup`` pins)."""
-    from mmbidaf_tpu.serving import num_audio_samples
-
+    (same shapes ``Summarizer.warmup`` pins). ``rungs`` overrides the
+    config-cap feature-axis sizes (bucketed artifact programs)."""
     d = cfg.data
     b, (h, w) = batch_size, frame_hw
+    r = rungs or {}
+    t_s = r.get("sentences", d.max_sentences)
+    t_w = r.get("words", d.max_words)
+    t_i = r.get("keyframes", d.max_keyframes)
+    t_a = r.get("audio_frames", d.max_audio_frames)
+    n_samples = t_a * d.hop_length + d.win_length
     return {
-        "text_ids": jax.ShapeDtypeStruct((b, d.max_sentences, d.max_words), jnp.int32),
-        "word_mask": jax.ShapeDtypeStruct((b, d.max_sentences, d.max_words), jnp.float32),
-        "sent_mask": jax.ShapeDtypeStruct((b, d.max_sentences), jnp.float32),
-        "frames": jax.ShapeDtypeStruct((b, d.max_keyframes, h, w, 3), jnp.uint8),
-        "img_mask": jax.ShapeDtypeStruct((b, d.max_keyframes), jnp.float32),
-        "waveform": jax.ShapeDtypeStruct((b, num_audio_samples(cfg)), jnp.float32),
-        "aud_mask": jax.ShapeDtypeStruct((b, d.max_audio_frames), jnp.float32),
+        "text_ids": jax.ShapeDtypeStruct((b, t_s, t_w), jnp.int32),
+        "word_mask": jax.ShapeDtypeStruct((b, t_s, t_w), jnp.float32),
+        "sent_mask": jax.ShapeDtypeStruct((b, t_s), jnp.float32),
+        "frames": jax.ShapeDtypeStruct((b, t_i, h, w, 3), jnp.uint8),
+        "img_mask": jax.ShapeDtypeStruct((b, t_i), jnp.float32),
+        "waveform": jax.ShapeDtypeStruct((b, n_samples), jnp.float32),
+        "aud_mask": jax.ShapeDtypeStruct((b, t_a), jnp.float32),
     }
+
+
+def _bucket_levels(cfg, buckets) -> list[dict[str, int]]:
+    """Diagonal bucket levels for a frozen artifact: rung tuples formed by
+    zipping each axis's ladder at the same level index (shorter ladders
+    clamp to their top). A frozen artifact ships one PROGRAM per level, so
+    the per-axis-independent rung choice live serving makes (3⁴ combos)
+    collapses to ≤ len(ladder) predictable programs. The full-cap level is
+    the main ``decode.jaxexport`` and is excluded here."""
+    from mmbidaf_tpu.serving import serving_bucket_ladders
+
+    ladders = serving_bucket_ladders(cfg, buckets)
+    n_levels = max(len(v) for v in ladders.values())
+    caps = {k: v[-1] for k, v in ladders.items()}
+    levels, seen = [], set()
+    for i in range(n_levels):
+        rung = {k: v[min(i, len(v) - 1)] for k, v in ladders.items()}
+        key = tuple(sorted(rung.items()))
+        if rung == caps or key in seen:
+            continue
+        seen.add(key)
+        levels.append(rung)
+    return levels
 
 
 def export_summarizer(
@@ -101,6 +134,7 @@ def export_summarizer(
     batch_size: int = 1,
     frame_hw: tuple[int, int] = (240, 320),
     platforms: Sequence[str] | None = None,
+    buckets=None,
 ) -> None:
     """Export ``summ``'s end-to-end decode (greedy or beam) as an artifact.
 
@@ -110,6 +144,13 @@ def export_summarizer(
     way ``serve_batch_size`` serving does). ``platforms`` defaults to the
     exporting process's backend; pass ``("tpu",)`` to cross-compile for TPU
     from a CPU process.
+
+    ``buckets`` (the live path's ``serve_buckets``: ``True`` for default
+    quarter/half/full ladders, or an explicit ladder dict) additionally
+    freezes one program per DIAGONAL bucket level (``_bucket_levels``) —
+    the frozen counterpart of bucket-ladder serving. At serve time
+    ``ExportedSummarizer`` trims each batch to the smallest level covering
+    its true lengths, so short videos skip the padded VGG/MFCC compute.
     """
     from mmbidaf_tpu.serving import Summarizer
     from mmbidaf_tpu.train.checkpoint import save_config
@@ -200,23 +241,56 @@ def export_summarizer(
             )
             for x, ps in zip(p_leaves + fe_leaves, weight_pspecs)
         ]
-        raw_arg_specs = [
-            jax.ShapeDtypeStruct(specs[k].shape, specs[k].dtype, sharding=bsh)
-            for k in _RAW_KEYS
-        ]
+
+        def raw_arg_specs_for(sp):
+            return [
+                jax.ShapeDtypeStruct(sp[k].shape, sp[k].dtype, sharding=bsh)
+                for k in _RAW_KEYS
+            ]
     else:
         weight_specs = [
             jax.ShapeDtypeStruct(x.shape, x.dtype)
             for x in p_leaves + fe_leaves
         ]
-        raw_arg_specs = [specs[k] for k in _RAW_KEYS]
-    arg_specs = weight_specs + raw_arg_specs
+
+        def raw_arg_specs_for(sp):
+            return [sp[k] for k in _RAW_KEYS]
+
     kw = {} if platforms is None else {"platforms": tuple(platforms)}
-    exported = jax.export.export(jax.jit(flat_fn), **kw)(*arg_specs)
+
+    def export_program(sp):
+        return jax.export.export(jax.jit(flat_fn), **kw)(
+            *(weight_specs + raw_arg_specs_for(sp))
+        )
+
+    exported = export_program(specs)
 
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, _PROGRAM), "wb") as f:
         f.write(exported.serialize())
+
+    # bucketed artifact: one extra frozen program per diagonal bucket level
+    bucket_manifest = None
+    if buckets:
+        bucket_manifest = []
+        for i, rungs in enumerate(_bucket_levels(summ.cfg, buckets)):
+            sp_i = _raw_specs(summ.cfg, batch_size, frame_hw, rungs=rungs)
+            fname = f"decode.b{i}.jaxexport"
+            with open(os.path.join(out_dir, fname), "wb") as f:
+                f.write(export_program(sp_i).serialize())
+            bucket_manifest.append({
+                "file": fname,
+                "rungs": rungs,
+                "program_sha256": _file_sha256(os.path.join(out_dir, fname)),
+                "raw_inputs": [
+                    {
+                        "name": k,
+                        "shape": list(sp_i[k].shape),
+                        "dtype": str(np.dtype(sp_i[k].dtype)),
+                    }
+                    for k in _RAW_KEYS
+                ],
+            })
     # npz can't hold ml_dtypes (bfloat16) leaves — store widened to float32
     # (exact) and record the true dtype per leaf for the loader to cast back.
     weight_leaves = p_leaves + fe_leaves
@@ -268,6 +342,10 @@ def export_summarizer(
             [list(e) if isinstance(e, (tuple, list)) else e for e in ps]
             for ps in weight_pspecs
         ],
+        # bucket-ladder artifact: extra frozen programs at diagonal rung
+        # levels (null/absent = single-shape artifact, pre-bucket loaders
+        # ignore the extra files)
+        "bucket_programs": bucket_manifest,
     }
     with open(os.path.join(out_dir, _MANIFEST), "w") as f:
         json.dump(manifest, f, indent=1)
@@ -293,20 +371,38 @@ class ExportedDecoder:
                 f"artifact format {self.manifest['format_version']} not in"
                 f" supported {_SUPPORTED_VERSIONS}"
             )
-        for fname, key in ((_WEIGHTS, "weights_sha256"),
-                           (_PROGRAM, "program_sha256")):
-            want = self.manifest.get(key)
+        bucket_entries = self.manifest.get("bucket_programs") or []
+        checks = [(_WEIGHTS, self.manifest.get("weights_sha256")),
+                  (_PROGRAM, self.manifest.get("program_sha256"))]
+        checks += [(e["file"], e["program_sha256"]) for e in bucket_entries]
+        for fname, want in checks:
             if want is None:
                 continue  # pre-checksum artifact
             got = _file_sha256(os.path.join(artifact_dir, fname))
             if got != want:
                 raise ValueError(
-                    f"{fname} does not match the manifest's {key} — the"
+                    f"{fname} does not match the manifest's sha256 — the"
                     " artifact is corrupted or its files were mixed from"
                     " different exports; re-export or re-copy it"
                 )
         with open(os.path.join(artifact_dir, _PROGRAM), "rb") as f:
             self._exported = jax.export.deserialize(f.read())
+        # dispatch table: (full-cap program first, then each bucket level —
+        # decode_raw picks by exact input-shape match)
+        self._programs = [
+            {"exported": self._exported,
+             "raw_inputs": self.manifest["raw_inputs"], "rungs": None},
+        ]
+        for e in bucket_entries:
+            with open(os.path.join(artifact_dir, e["file"]), "rb") as f:
+                self._programs.append({
+                    "exported": jax.export.deserialize(f.read()),
+                    "raw_inputs": e["raw_inputs"],
+                    "rungs": e["rungs"],
+                })
+        # smallest-first by total feature volume so ExportedSummarizer's
+        # level choice and warmup order are deterministic
+        self.bucket_levels = [e["rungs"] for e in bucket_entries]
         # Sharded artifacts (DP and/or tp_vgg) record the exporting mesh;
         # rebuild an identically-shaped mesh from local devices and place
         # weights per the manifest's per-leaf PartitionSpecs (tp_vgg shards
@@ -370,23 +466,42 @@ class ExportedDecoder:
         # pre-beam artifacts have no decode_mode key; they froze greedy
         self.decode_mode = self.manifest.get("decode_mode", "greedy")
 
+    def _select_program(self, raw: Mapping[str, np.ndarray]) -> dict:
+        """The frozen program whose input shapes exactly match ``raw``
+        (single-shape artifacts have one; bucketed ones add a program per
+        rung level)."""
+        for prog in self._programs:
+            if all(
+                s["name"] in raw
+                and tuple(raw[s["name"]].shape) == tuple(s["shape"])
+                for s in prog["raw_inputs"]
+            ):
+                return prog
+        missing = [s["name"] for s in self.manifest["raw_inputs"]
+                   if s["name"] not in raw]
+        if missing:
+            raise KeyError(f"raw batch is missing {missing[0]!r}")
+        got = {s["name"]: tuple(raw[s["name"]].shape)
+               for s in self.manifest["raw_inputs"]}
+        options = [
+            {s["name"]: tuple(s["shape"]) for s in prog["raw_inputs"]}
+            for prog in self._programs
+        ]
+        raise ValueError(
+            f"raw batch shapes {got} match none of the artifact's frozen"
+            f" programs: {options} (batch_size/frame_hw/bucket rungs are"
+            " compile-time constants — re-export for other shapes)"
+        )
+
     def decode_raw(self, raw: Mapping[str, np.ndarray]):
-        """Run the exported program on one raw batch (manifest shapes)."""
+        """Run the exported program matching the batch's shapes."""
+        prog = self._select_program(raw)
         args = list(self._weights)
-        for spec in self.manifest["raw_inputs"]:
-            name, want = spec["name"], tuple(spec["shape"])
-            if name not in raw:
-                raise KeyError(f"raw batch is missing {name!r}")
-            arr = raw[name]
+        for spec in prog["raw_inputs"]:
+            arr = raw[spec["name"]]
             if not isinstance(arr, jax.Array):
                 # host input: validate + cast on host, one upload
                 arr = np.asarray(arr)
-            if tuple(arr.shape) != want:
-                raise ValueError(
-                    f"{name}: got shape {tuple(arr.shape)}, exported program"
-                    f" wants {want} (batch_size/frame_hw are compile-time"
-                    " constants of the artifact — re-export for other shapes)"
-                )
             # already-on-device arrays (e.g. DynamicBatcher's stacked batch)
             # stay on device: np.asarray here would add a D2H+H2D round trip
             # of the whole batch through the host
@@ -396,21 +511,22 @@ class ExportedDecoder:
             if self._bsh is not None:
                 val = jax.device_put(val, self._bsh)
             args.append(val)
-        log_p, picks = self._exported.call(*args)
+        log_p, picks = prog["exported"].call(*args)
         return np.asarray(log_p), np.asarray(picks)
 
     def warmup(self) -> None:
-        """Compile the artifact's program for this backend up front.
+        """Compile the artifact's program(s) for this backend up front.
 
         ``jax.export`` freezes tracing, not backend compilation: the first
         ``call`` still pays XLA compile for the local device. One zero batch
-        at the manifest shapes flushes that (pair with a persistent
-        compilation cache for warm restarts)."""
-        raw = {
-            s["name"]: np.zeros(s["shape"], s["dtype"])
-            for s in self.manifest["raw_inputs"]
-        }
-        self.decode_raw(raw)
+        per frozen program (full-cap + every bucket level) flushes that
+        (pair with a persistent compilation cache for warm restarts)."""
+        for prog in self._programs:
+            raw = {
+                s["name"]: np.zeros(s["shape"], s["dtype"])
+                for s in prog["raw_inputs"]
+            }
+            self.decode_raw(raw)
 
 
 class ExportedSummarizer:
@@ -456,6 +572,21 @@ class ExportedSummarizer:
         _, picks = self.decoder.decode_raw(raw)
         return picks
 
+    def _stack_rows(self, rows: Sequence[dict]) -> dict:
+        """Stack per-video rows into one batch; on a bucketed artifact trim
+        to the smallest frozen rung LEVEL covering the batch's true lengths
+        (the frozen counterpart of ``Summarizer._stack_rows`` — levels are
+        whole programs, so the trim picks a level, not per-axis rungs)."""
+        from mmbidaf_tpu.serving import batch_true_lengths, trim_raw_to_rungs
+
+        raw = {k: np.stack([r[k] for r in rows]) for k in rows[0]}
+        if self.decoder.bucket_levels:
+            true = batch_true_lengths(raw)
+            for rungs in self.decoder.bucket_levels:
+                if all(rungs[k] >= v for k, v in true.items()):
+                    return trim_raw_to_rungs(raw, self.cfg, rungs)
+        return raw
+
     def _raw_chunk(self, chunk: list[str]) -> tuple[dict, list[list[str]]]:
         """Host-decode one chunk; PAD rows by reusing the last decoded row
         (container decode is the expensive part — never repeat it)."""
@@ -465,8 +596,7 @@ class ExportedSummarizer:
             rows.append(row)
             sentences.append(sents)
         rows += [rows[-1]] * (self.decoder.batch_size - len(rows))
-        raw = {k: np.stack([r[k] for r in rows]) for k in rows[0]}
-        return raw, sentences
+        return self._stack_rows(rows), sentences
 
     def summarize_batch(self, video_dirs: Sequence[str]) -> list[str]:
         from concurrent.futures import ThreadPoolExecutor
@@ -553,8 +683,7 @@ class ExportedSummarizer:
             """Pad to the artifact's static batch and decode one chunk."""
             n_real = len(rows)
             rows = rows + [rows[-1]] * (sb - n_real)
-            raw = {k: np.stack([r[k] for r in rows]) for k in rows[0]}
-            log_p, picks = self.decoder.decode_raw(raw)
+            log_p, picks = self.decoder.decode_raw(self._stack_rows(rows))
             return picks[:n_real], picks_scores(log_p, picks)[:n_real]
 
         if len(sentences) <= d.max_sentences:

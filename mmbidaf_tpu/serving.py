@@ -19,7 +19,7 @@ import queue as _queue_mod
 import threading
 import time
 from concurrent.futures import Future
-from typing import Sequence
+from typing import Mapping, Sequence
 
 import numpy as np
 
@@ -155,45 +155,47 @@ def serving_bucket_ladders(cfg: Config, buckets=True) -> dict[str, tuple[int, ..
     return out
 
 
-def trim_raw_batch(
-    raw: dict[str, np.ndarray], cfg: Config, ladders: dict[str, tuple[int, ...]]
+def batch_true_lengths(raw: Mapping[str, np.ndarray]) -> dict[str, int]:
+    """A stacked batch's true per-axis lengths, from its prefix masks
+    (minimum 1 per present axis — an empty transcript still needs a slot)."""
+    out = {}
+    if "sent_mask" in raw:
+        out["sentences"] = max(int(raw["sent_mask"].sum(axis=1).max()), 1)
+        out["words"] = max(int(raw["word_mask"].sum(axis=2).max()), 1)
+    if "img_mask" in raw:
+        out["keyframes"] = max(int(raw["img_mask"].sum(axis=1).max()), 1)
+    if "aud_mask" in raw:
+        out["audio_frames"] = max(int(raw["aud_mask"].sum(axis=1).max()), 1)
+    return out
+
+
+def trim_raw_to_rungs(
+    raw: dict[str, np.ndarray], cfg: Config, rungs: Mapping[str, int]
 ) -> dict[str, np.ndarray]:
-    """Trim a stacked serving batch to the smallest ladder rungs covering
-    its TRUE lengths — the serving-side counterpart of
-    ``bucketed_iterator``'s per-batch trim (SURVEY §8 risk R3).
+    """Slice a stacked batch's feature axes to explicit rung sizes.
 
-    True lengths come from the prefix masks, so trimming never cuts real
-    content and the model never attended over what is cut (masks carry the
-    same lengths before and after) — outputs are unchanged; only padding
-    compute and H2D bytes shrink. Handles raw batches (``waveform`` +
-    ``frames``) and featurized ones (``audio``/``images`` — the
-    ``summarize_long`` window path); axes whose keys are absent (disabled
-    towers) pass through.
+    The caller guarantees every rung covers the batch's true lengths
+    (``batch_true_lengths``); trimming is then semantics-preserving — masks
+    carry true lengths, so the model never attended over what is cut.
+    Handles raw batches (``waveform`` + ``frames``) and featurized ones
+    (``audio``/``images`` — the ``summarize_long`` window path); axes whose
+    keys are absent (disabled towers) pass through.
     """
-    from mmbidaf_tpu.data.pipeline import bucket_for
-
     d = cfg.data
     out = dict(raw)
     if "sent_mask" in raw:
-        n_s = int(raw["sent_mask"].sum(axis=1).max())
-        n_w = int(raw["word_mask"].sum(axis=2).max())
-        bs = bucket_for(max(n_s, 1), ladders["sentences"])
-        bw = bucket_for(max(n_w, 1), ladders["words"])
+        bs, bw = rungs["sentences"], rungs["words"]
         out["text_ids"] = raw["text_ids"][:, :bs, :bw]
         out["word_mask"] = raw["word_mask"][:, :bs, :bw]
         out["sent_mask"] = raw["sent_mask"][:, :bs]
     if "img_mask" in raw:
-        bi = bucket_for(
-            max(int(raw["img_mask"].sum(axis=1).max()), 1), ladders["keyframes"]
-        )
+        bi = rungs["keyframes"]
         for k in ("frames", "images"):
             if k in raw:
                 out[k] = raw[k][:, :bi]
         out["img_mask"] = raw["img_mask"][:, :bi]
     if "aud_mask" in raw:
-        ba = bucket_for(
-            max(int(raw["aud_mask"].sum(axis=1).max()), 1), ladders["audio_frames"]
-        )
+        ba = rungs["audio_frames"]
         if "waveform" in raw:
             # ba frames need exactly this many samples — the same static
             # samples = frames*hop + win relation the frontend assumes
@@ -203,6 +205,26 @@ def trim_raw_batch(
             out["audio"] = raw["audio"][:, :ba]
         out["aud_mask"] = raw["aud_mask"][:, :ba]
     return out
+
+
+def trim_raw_batch(
+    raw: dict[str, np.ndarray], cfg: Config, ladders: dict[str, tuple[int, ...]]
+) -> dict[str, np.ndarray]:
+    """Trim a stacked serving batch to the smallest ladder rungs covering
+    its TRUE lengths — the serving-side counterpart of
+    ``bucketed_iterator``'s per-batch trim (SURVEY §8 risk R3). Each axis
+    picks its rung independently; see ``trim_raw_to_rungs`` for the
+    semantics argument.
+    """
+    from mmbidaf_tpu.data.pipeline import bucket_for
+
+    true = batch_true_lengths(raw)
+    rungs = {k: bucket_for(v, ladders[k]) for k, v in true.items()}
+    # absent axes (disabled towers) need placeholder rungs for the shared
+    # slicer; trim_raw_to_rungs skips them by key anyway
+    for k in ("sentences", "words", "keyframes", "audio_frames"):
+        rungs.setdefault(k, 0)
+    return trim_raw_to_rungs(raw, cfg, rungs)
 
 
 def host_raw_row(

@@ -284,6 +284,66 @@ def test_empty_transcript_bucketed(bucket_setup, tmp_path):
     assert bucketed.summarize(vd) == plain.summarize(vd)
 
 
+# -- bucketed AOT artifacts ----------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def bucket_artifact(bucket_setup, tmp_path_factory):
+    from mmbidaf_tpu.export import ExportedSummarizer, export_summarizer
+
+    plain, _, _, _ = bucket_setup
+    out = str(tmp_path_factory.mktemp("bucket_artifact"))
+    export_summarizer(plain, out, batch_size=3, frame_hw=(12, 16), buckets=True)
+    return ExportedSummarizer(out), out
+
+
+def test_bucketed_artifact_parity_and_levels(bucket_setup, bucket_artifact):
+    """A bucketed artifact reproduces live summaries, ships extra rung
+    programs, and trims short batches onto one of them."""
+    plain, _, short, _ = bucket_setup
+    es, out = bucket_artifact
+    assert es.decoder.bucket_levels, "manifest must list bucket programs"
+    import json
+    import os
+
+    with open(os.path.join(out, "manifest.json")) as f:
+        manifest = json.load(f)
+    for entry in manifest["bucket_programs"]:
+        assert os.path.exists(os.path.join(out, entry["file"]))
+    assert es.summarize_batch(short) == plain.summarize_batch(short)
+    # the stacked short batch lands on a rung level, not the caps
+    rows = [es._raw_row(vd)[0] for vd in short]
+    stacked = es._stack_rows(rows)
+    d = plain.cfg.data
+    assert stacked["img_mask"].shape[1] < d.max_keyframes
+    assert stacked["aud_mask"].shape[1] < d.max_audio_frames
+
+
+def test_bucketed_artifact_dynamic_batcher(bucket_setup, bucket_artifact):
+    plain, _, short, _ = bucket_setup
+    es, _ = bucket_artifact
+    want = plain.summarize_batch(short)
+    with DynamicBatcher(es, max_batch_size=3, max_wait_ms=200.0) as b:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=3) as ex:
+            got = list(ex.map(b.submit, short))
+    assert got == want
+
+
+def test_bucketed_artifact_warmup_and_shape_error(bucket_artifact):
+    es, _ = bucket_artifact
+    es.warmup()  # compiles full-cap + every rung program
+    d = es.cfg.data
+    bad = {
+        s["name"]: np.zeros([dim + 1 for dim in s["shape"]], s["dtype"])
+        for s in es.decoder.manifest["raw_inputs"]
+    }
+    del d
+    with pytest.raises(ValueError, match="match none of the artifact's"):
+        es.decoder.decode_raw(bad)
+
+
 def test_explicit_ladder_dict_accepted(bucket_setup):
     plain, _, short, _ = bucket_setup
     s = Summarizer(

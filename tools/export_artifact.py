@@ -58,6 +58,11 @@ def main() -> None:
     ap.add_argument("--vgg", choices=["vgg16", "vgg19", "tiny"], default=None,
                     help="frontend variant for --random (run_dir uses the"
                          " run's saved config)")
+    ap.add_argument("--buckets", action="store_true",
+                    help="bucket-ladder artifact: additionally freeze one "
+                         "program per quarter/half/full rung level; the "
+                         "loader trims short batches to the smallest "
+                         "covering level (serving.serve_buckets, frozen)")
     ap.add_argument("--verify", action="store_true",
                     help="reload the artifact and compare picks vs the live"
                          " Summarizer on a zero batch")
@@ -113,7 +118,7 @@ def main() -> None:
         summ = Summarizer.init_random(cfg, seed=0, vgg_spec=spec, **dp_kw)
 
     export_summarizer(summ, a.out, batch_size=a.batch, frame_hw=(h, w),
-                      platforms=platforms)
+                      platforms=platforms, buckets=a.buckets or None)
     total = sum(
         os.path.getsize(os.path.join(a.out, f)) for f in os.listdir(a.out)
     )
