@@ -540,12 +540,18 @@ class ExportedSummarizer:
     """
 
     def __init__(self, artifact_dir: str):
+        import threading
+
         from mmbidaf_tpu.config import config_from_json
 
         self.decoder = ExportedDecoder(artifact_dir)
         self.cfg = config_from_json(os.path.join(artifact_dir, _CONFIG))
         with open(os.path.join(artifact_dir, _VOCAB)) as f:
             self.word2idx = json.load(f)
+        # rung-tuple → device-batch count (same observability contract as
+        # the live Summarizer.bucket_stats; empty on single-shape artifacts)
+        self.bucket_stats: dict[tuple, int] = {}
+        self._stats_lock = threading.Lock()
 
     # Duck-typed private surface shared with ``Summarizer`` so
     # ``DynamicBatcher`` can coalesce requests over an artifact too.
@@ -584,7 +590,15 @@ class ExportedSummarizer:
             true = batch_true_lengths(raw)
             for rungs in self.decoder.bucket_levels:
                 if all(rungs[k] >= v for k, v in true.items()):
-                    return trim_raw_to_rungs(raw, self.cfg, rungs)
+                    raw = trim_raw_to_rungs(raw, self.cfg, rungs)
+                    break
+            key = tuple(
+                raw[k].shape[a]
+                for k, a in (("sent_mask", 1), ("word_mask", 2),
+                             ("img_mask", 1), ("aud_mask", 1))
+            )
+            with self._stats_lock:
+                self.bucket_stats[key] = self.bucket_stats.get(key, 0) + 1
         return raw
 
     def _raw_chunk(self, chunk: list[str]) -> tuple[dict, list[list[str]]]:

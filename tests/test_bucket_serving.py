@@ -284,6 +284,48 @@ def test_empty_transcript_bucketed(bucket_setup, tmp_path):
     assert bucketed.summarize(vd) == plain.summarize(vd)
 
 
+# -- composition with the parallel serving paths -------------------------------
+
+
+def test_dp_serving_with_buckets(bucket_setup):
+    """serve_buckets × data_parallel: feature-axis trims are orthogonal to
+    the batch-axis sharding — summaries match the plain path."""
+    plain, _, short, _ = bucket_setup
+    cfg_dp = dataclasses.replace(plain.cfg, mesh=MeshConfig(num_data=8))
+    s_dp = Summarizer(
+        plain.params, plain.fe_params, plain.word2idx, cfg_dp, TINY_SPEC,
+        serve_batch_size=8, data_parallel=True, serve_buckets=True,
+    )
+    assert s_dp.summarize_batch(short) == plain.summarize_batch(short)
+    assert s_dp.bucket_stats
+
+
+def test_sp_serving_with_buckets(tmp_path_factory, eight_device_mesh):
+    """serve_buckets × sp_audio: audio rungs align to num_seq, so the SP
+    frontend's frames%num_seq check holds on every trimmed batch — flag-on
+    summaries match flag-off on the same SP summarizer."""
+    del eight_device_mesh
+    from tests.test_sp_product import _sp_config
+
+    rng = np.random.default_rng(31)
+    cfg = _sp_config()  # 2×4 ('data','seq') mesh, max_audio_frames=16
+    vd = tmp_path_factory.mktemp("sp_bucket_vid") / "vid"
+    video = _write_video(
+        vd, rng, cfg,
+        [f"W{2 * j} w{2 * j + 1}." for j in range(3)],
+        n_frames=2, audio_frac=0.3,
+    )
+    sp_plain = Summarizer.init_random(cfg, seed=9, vgg_spec=TINY_SPEC)
+    sp_bucketed = Summarizer(
+        sp_plain.params, sp_plain.fe_params, sp_plain.word2idx, cfg,
+        TINY_SPEC, serve_buckets=True,
+    )
+    assert sp_bucketed.summarize(video) == sp_plain.summarize(video)
+    (rung,) = sp_bucketed.bucket_stats
+    assert rung[3] % cfg.mesh.num_seq == 0
+    assert rung[3] < cfg.data.max_audio_frames
+
+
 # -- bucketed AOT artifacts ----------------------------------------------------
 
 
@@ -311,12 +353,14 @@ def test_bucketed_artifact_parity_and_levels(bucket_setup, bucket_artifact):
     for entry in manifest["bucket_programs"]:
         assert os.path.exists(os.path.join(out, entry["file"]))
     assert es.summarize_batch(short) == plain.summarize_batch(short)
-    # the stacked short batch lands on a rung level, not the caps
+    # the stacked short batch lands on a rung level, not the caps — and the
+    # artifact records rung stats like the live Summarizer (→ /healthz)
     rows = [es._raw_row(vd)[0] for vd in short]
     stacked = es._stack_rows(rows)
     d = plain.cfg.data
     assert stacked["img_mask"].shape[1] < d.max_keyframes
     assert stacked["aud_mask"].shape[1] < d.max_audio_frames
+    assert es.bucket_stats and all(len(k) == 4 for k in es.bucket_stats)
 
 
 def test_bucketed_artifact_dynamic_batcher(bucket_setup, bucket_artifact):

@@ -141,7 +141,12 @@ def make_handler(summarizer, use_long: bool, batcher=None):
                     payload["parallelism"] = parallelism
                 if batcher is not None:
                     payload["batcher"] = dict(batcher.stats)
-                if getattr(summarizer, "_ladders", None) is not None:
+                bucketed = (
+                    getattr(summarizer, "_ladders", None) is not None
+                    or bool(getattr(getattr(summarizer, "decoder", None),
+                                    "bucket_levels", None))
+                )
+                if bucketed:
                     # rung tuple (T_s, W, T_img, T_aud) → device-batch count
                     with summarizer._stats_lock:
                         payload["buckets"] = {
