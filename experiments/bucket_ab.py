@@ -152,11 +152,13 @@ def main():
         return max(per_batch, 1e-6)
 
     arms = {}
+    per_batch_raw = {}  # unrounded — the speedup ratio must not divide 0.0000
     for name, inputs in (("full", raw), ("bucketed", trimmed)):
         t0 = time.perf_counter()
         jax.device_get(step_fn(params, fe, inputs, acc0))
         compile_s = time.perf_counter() - t0
         per_batch = slope(inputs, args.iters)
+        per_batch_raw[name] = per_batch
         arms[name] = {
             "videos_per_sec_per_chip": round(args.batch / per_batch, 1),
             "p50_batch_latency_s": round(per_batch, 4),
@@ -178,9 +180,7 @@ def main():
         "claim_s": round(claim_s, 1),
         **{f"{k}_{m}": v for m, a in arms.items() for k, v in a.items()},
         "bucketed_speedup": round(
-            arms["full"]["p50_batch_latency_s"]
-            / arms["bucketed"]["p50_batch_latency_s"],
-            2,
+            per_batch_raw["full"] / per_batch_raw["bucketed"], 2
         ),
         "picks_mismatched": int((p_full != p_trim).sum()),
     }
@@ -188,6 +188,9 @@ def main():
 
 
 if __name__ == "__main__":
+    from bench import _install_sigterm  # SIGTERM unwinds cleanly; see bench.py
+
+    _install_sigterm()
     try:
         main()
     except KeyboardInterrupt:

@@ -393,6 +393,14 @@ class ExportedDecoder:
             {"exported": self._exported,
              "raw_inputs": self.manifest["raw_inputs"], "rungs": None},
         ]
+        # smallest-first by total feature volume: _stack_rows takes the
+        # FIRST covering level, and manifest entry order must not decide
+        # that (a reordered/hand-merged manifest passes every sha check but
+        # would silently trim short batches onto an oversized level)
+        bucket_entries = sorted(
+            bucket_entries,
+            key=lambda e: int(np.prod(list(e["rungs"].values()))),
+        )
         for e in bucket_entries:
             with open(os.path.join(artifact_dir, e["file"]), "rb") as f:
                 self._programs.append({
@@ -400,8 +408,6 @@ class ExportedDecoder:
                     "raw_inputs": e["raw_inputs"],
                     "rungs": e["rungs"],
                 })
-        # smallest-first by total feature volume so ExportedSummarizer's
-        # level choice and warmup order are deterministic
         self.bucket_levels = [e["rungs"] for e in bucket_entries]
         # Sharded artifacts (DP and/or tp_vgg) record the exporting mesh;
         # rebuild an identically-shaped mesh from local devices and place
@@ -582,23 +588,27 @@ class ExportedSummarizer:
         """Stack per-video rows into one batch; on a bucketed artifact trim
         to the smallest frozen rung LEVEL covering the batch's true lengths
         (the frozen counterpart of ``Summarizer._stack_rows`` — levels are
-        whole programs, so the trim picks a level, not per-axis rungs)."""
-        from mmbidaf_tpu.serving import batch_true_lengths, trim_raw_to_rungs
+        whole programs, so the trim picks a level, not per-axis rungs).
+        Rows trim BEFORE stacking so only the trimmed batch is allocated."""
+        from mmbidaf_tpu.serving import (
+            batch_true_lengths, record_bucket_stat, trim_raw_to_rungs,
+        )
 
+        if self.decoder.bucket_levels:
+            needs: dict[str, int] = {}
+            for r in rows:
+                for k, v in batch_true_lengths(r).items():
+                    needs[k] = max(needs.get(k, 0), v)
+            for rungs in self.decoder.bucket_levels:  # smallest level first
+                if all(rungs[k] >= v for k, v in needs.items()):
+                    rows = [
+                        trim_raw_to_rungs(r, self.cfg, rungs, batched=False)
+                        for r in rows
+                    ]
+                    break
         raw = {k: np.stack([r[k] for r in rows]) for k in rows[0]}
         if self.decoder.bucket_levels:
-            true = batch_true_lengths(raw)
-            for rungs in self.decoder.bucket_levels:
-                if all(rungs[k] >= v for k, v in true.items()):
-                    raw = trim_raw_to_rungs(raw, self.cfg, rungs)
-                    break
-            key = tuple(
-                raw[k].shape[a]
-                for k, a in (("sent_mask", 1), ("word_mask", 2),
-                             ("img_mask", 1), ("aud_mask", 1))
-            )
-            with self._stats_lock:
-                self.bucket_stats[key] = self.bucket_stats.get(key, 0) + 1
+            record_bucket_stat(self.bucket_stats, self._stats_lock, raw)
         return raw
 
     def _raw_chunk(self, chunk: list[str]) -> tuple[dict, list[list[str]]]:

@@ -126,7 +126,19 @@ def serving_bucket_ladders(cfg: Config, buckets=True) -> dict[str, tuple[int, ..
         "keyframes": d.max_keyframes,
         "audio_frames": d.max_audio_frames,
     }
-    given = dict(buckets) if isinstance(buckets, dict) else {}
+    if buckets is True:
+        given = {}
+    elif isinstance(buckets, dict) and buckets:
+        given = dict(buckets)
+    else:
+        # a tuple/list probably meant a ladder, an empty dict probably meant
+        # suggest_buckets returned nothing — both must fail loudly, not
+        # silently serve default ladders (or silently disable bucketing)
+        raise ValueError(
+            f"serve_buckets must be True (default ladders) or a non-empty"
+            f" dict of per-axis ladders (suggest_buckets output); got"
+            f" {buckets!r}"
+        )
     unknown = sorted(set(given) - set(caps))
     if unknown:
         raise ValueError(
@@ -156,54 +168,76 @@ def serving_bucket_ladders(cfg: Config, buckets=True) -> dict[str, tuple[int, ..
 
 
 def batch_true_lengths(raw: Mapping[str, np.ndarray]) -> dict[str, int]:
-    """A stacked batch's true per-axis lengths, from its prefix masks
-    (minimum 1 per present axis — an empty transcript still needs a slot)."""
+    """True per-axis lengths of a stacked batch OR one unstacked row, from
+    its prefix masks (each mask's LAST axis is the counted one; minimum 1
+    per present axis — an empty transcript still needs a slot)."""
     out = {}
     if "sent_mask" in raw:
-        out["sentences"] = max(int(raw["sent_mask"].sum(axis=1).max()), 1)
-        out["words"] = max(int(raw["word_mask"].sum(axis=2).max()), 1)
+        out["sentences"] = max(int(raw["sent_mask"].sum(axis=-1).max()), 1)
+        out["words"] = max(int(raw["word_mask"].sum(axis=-1).max()), 1)
     if "img_mask" in raw:
-        out["keyframes"] = max(int(raw["img_mask"].sum(axis=1).max()), 1)
+        out["keyframes"] = max(int(raw["img_mask"].sum(axis=-1).max()), 1)
     if "aud_mask" in raw:
-        out["audio_frames"] = max(int(raw["aud_mask"].sum(axis=1).max()), 1)
+        out["audio_frames"] = max(int(raw["aud_mask"].sum(axis=-1).max()), 1)
     return out
 
 
+def record_bucket_stat(stats: dict, lock, raw: Mapping[str, np.ndarray]) -> None:
+    """Record one device batch's rung tuple (T_s, W, T_img, T_aud) — the
+    shared observability contract behind ``bucket_stats``/``/healthz`` for
+    live AND artifact serving (every counted axis is its mask's last)."""
+    key = tuple(
+        raw[k].shape[-1]
+        for k in ("sent_mask", "word_mask", "img_mask", "aud_mask")
+        if k in raw
+    )
+    with lock:
+        stats[key] = stats.get(key, 0) + 1
+
+
 def trim_raw_to_rungs(
-    raw: dict[str, np.ndarray], cfg: Config, rungs: Mapping[str, int]
+    raw: dict[str, np.ndarray],
+    cfg: Config,
+    rungs: Mapping[str, int],
+    batched: bool = True,
 ) -> dict[str, np.ndarray]:
-    """Slice a stacked batch's feature axes to explicit rung sizes.
+    """Slice a batch's (or, with ``batched=False``, one row's) feature axes
+    to explicit rung sizes.
 
     The caller guarantees every rung covers the batch's true lengths
     (``batch_true_lengths``); trimming is then semantics-preserving — masks
     carry true lengths, so the model never attended over what is cut.
     Handles raw batches (``waveform`` + ``frames``) and featurized ones
     (``audio``/``images`` — the ``summarize_long`` window path); axes whose
-    keys are absent (disabled towers) pass through.
+    keys are absent (disabled towers) pass through. Row-level trimming lets
+    ``_stack_rows`` allocate only the trimmed batch instead of a cap-padded
+    stack it immediately slices away.
     """
     d = cfg.data
+    pre = (slice(None),) if batched else ()
     out = dict(raw)
     if "sent_mask" in raw:
         bs, bw = rungs["sentences"], rungs["words"]
-        out["text_ids"] = raw["text_ids"][:, :bs, :bw]
-        out["word_mask"] = raw["word_mask"][:, :bs, :bw]
-        out["sent_mask"] = raw["sent_mask"][:, :bs]
+        out["text_ids"] = raw["text_ids"][pre + (slice(bs), slice(bw))]
+        out["word_mask"] = raw["word_mask"][pre + (slice(bs), slice(bw))]
+        out["sent_mask"] = raw["sent_mask"][pre + (slice(bs),)]
     if "img_mask" in raw:
         bi = rungs["keyframes"]
         for k in ("frames", "images"):
             if k in raw:
-                out[k] = raw[k][:, :bi]
-        out["img_mask"] = raw["img_mask"][:, :bi]
+                out[k] = raw[k][pre + (slice(bi),)]
+        out["img_mask"] = raw["img_mask"][pre + (slice(bi),)]
     if "aud_mask" in raw:
         ba = rungs["audio_frames"]
         if "waveform" in raw:
             # ba frames need exactly this many samples — the same static
             # samples = frames*hop + win relation the frontend assumes
             # (frame count follows aud_mask's axis, data/frontend.py)
-            out["waveform"] = raw["waveform"][:, : ba * d.hop_length + d.win_length]
+            n = ba * d.hop_length + d.win_length
+            out["waveform"] = raw["waveform"][pre + (slice(n),)]
         if "audio" in raw:
-            out["audio"] = raw["audio"][:, :ba]
-        out["aud_mask"] = raw["aud_mask"][:, :ba]
+            out["audio"] = raw["audio"][pre + (slice(ba),)]
+        out["aud_mask"] = raw["aud_mask"][pre + (slice(ba),)]
     return out
 
 
@@ -305,7 +339,9 @@ class Summarizer:
         # cache absorbs them across restarts). True (default ladders) or
         # a dict of explicit ladders — `suggest_buckets` output plugs in.
         self._ladders = (
-            serving_bucket_ladders(cfg, serve_buckets) if serve_buckets else None
+            None
+            if serve_buckets is None or serve_buckets is False
+            else serving_bucket_ladders(cfg, serve_buckets)
         )
         # rung-tuple → device-batch count; observability for /healthz
         self.bucket_stats: dict[tuple, int] = {}
@@ -629,20 +665,26 @@ class Summarizer:
         """Stack per-video rows into one device batch; under
         ``serve_buckets`` trim the feature axes to their ladder rungs
         host-side BEFORE upload (cuts padded compute and H2D bytes —
-        the relay link is ~1 MB/s, CLAUDE.md)."""
+        the relay link is ~1 MB/s, CLAUDE.md). Rows are trimmed BEFORE
+        stacking so only the trimmed batch is ever allocated (a cap-padded
+        frames stack is ~4× the bytes at quarter rungs)."""
+        if self._ladders is not None:
+            from mmbidaf_tpu.data.pipeline import bucket_for
+
+            needs: dict[str, int] = {}
+            for r in rows:
+                for k, v in batch_true_lengths(r).items():
+                    needs[k] = max(needs.get(k, 0), v)
+            rungs = {k: bucket_for(v, self._ladders[k]) for k, v in needs.items()}
+            for k in ("sentences", "words", "keyframes", "audio_frames"):
+                rungs.setdefault(k, 0)  # absent axes are skipped by key
+            rows = [
+                trim_raw_to_rungs(r, self.cfg, rungs, batched=False)
+                for r in rows
+            ]
         raw = {k: np.stack([r[k] for r in rows]) for k in rows[0]}
         if self._ladders is not None:
-            raw = trim_raw_batch(raw, self.cfg, self._ladders)
-            key = tuple(
-                raw[k].shape[a]
-                for k, a in (
-                    ("sent_mask", 1), ("word_mask", 2),
-                    ("img_mask", 1), ("aud_mask", 1),
-                )
-                if k in raw
-            )
-            with self._stats_lock:
-                self.bucket_stats[key] = self.bucket_stats.get(key, 0) + 1
+            record_bucket_stat(self.bucket_stats, self._stats_lock, raw)
         return {k: jnp.asarray(v) for k, v in raw.items()}
 
     def _raw_batch(self, video_dirs: Sequence[str]) -> tuple[dict, list[list[str]]]:

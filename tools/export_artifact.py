@@ -131,23 +131,34 @@ def main() -> None:
 
         from mmbidaf_tpu.export import _raw_specs
 
-        dec = ExportedDecoder(a.out)
-        raw = {
-            k: np.zeros(s.shape, s.dtype)
-            for k, s in _raw_specs(summ.cfg, a.batch, (h, w)).items()
-        }
-        # masks must be non-empty for a meaningful decode
-        for k in ("word_mask", "sent_mask", "img_mask", "aud_mask"):
-            raw[k] = np.ones_like(raw[k])
-        _, picks = dec.decode_raw(raw)
         import jax.numpy as jnp
 
-        _, live = summ._decode(
-            summ.params, summ.fe_params, {k: jnp.asarray(v) for k, v in raw.items()}
-        )
-        if not np.array_equal(picks, np.asarray(live)):
-            raise SystemExit("verify FAILED: exported picks != live picks")
-        print("verify ok: exported picks == live picks")
+        dec = ExportedDecoder(a.out)
+        # every frozen program verifies against the live decode at ITS
+        # shapes — a bucketed artifact's rung programs must not ship
+        # unverified (they'd only fail on the first real short batch)
+        for rungs in [None] + list(dec.bucket_levels):
+            raw = {
+                k: np.zeros(s.shape, s.dtype)
+                for k, s in _raw_specs(
+                    summ.cfg, a.batch, (h, w), rungs=rungs
+                ).items()
+            }
+            # masks must be non-empty for a meaningful decode
+            for k in ("word_mask", "sent_mask", "img_mask", "aud_mask"):
+                raw[k] = np.ones_like(raw[k])
+            _, picks = dec.decode_raw(raw)
+            _, live = summ._decode(
+                summ.params, summ.fe_params,
+                {k: jnp.asarray(v) for k, v in raw.items()},
+            )
+            level = "full-cap" if rungs is None else f"rungs {rungs}"
+            if not np.array_equal(picks, np.asarray(live)):
+                raise SystemExit(
+                    f"verify FAILED at {level}: exported picks != live picks"
+                )
+        n = 1 + len(dec.bucket_levels)
+        print(f"verify ok: exported picks == live picks ({n} program(s))")
 
 
 if __name__ == "__main__":
