@@ -118,6 +118,11 @@ def main():
     ap.add_argument("--num_model", type=int, default=None,
                     help="devices on the 'model' mesh axis (override the "
                          "run config)")
+    ap.add_argument("--bucket_eval", action="store_true",
+                    help="trim each eval batch's feature axes to the "
+                         "quarter/half/full rung covering its true lengths "
+                         "(serving.trim_raw_batch) — short videos skip the "
+                         "padded VGG/MFCC compute; picks/ROUGE unchanged")
     ap.add_argument("--jax_cache", default=None, metavar="DIR",
                     help="persistent compilation cache dir (default: repo "
                          ".jax_cache on TPU, off on CPU; '' = off)")
@@ -127,6 +132,12 @@ def main():
                          "each batch's picks fetch is deferred under the "
                          "next batch's device compute (0 = serial loop)")
     a = ap.parse_args()
+    if a.bucket_eval and not a.data_dir:
+        raise SystemExit("--bucket_eval trims real-corpus eval batches: "
+                         "pass --data_dir")
+    if a.bucket_eval and a.artifact:
+        raise SystemExit("--bucket_eval is a live-eval knob; artifact "
+                         "shapes are fixed at export (--buckets there)")
 
     from mmbidaf_tpu.utils.cache import enable_cli_cache
 
@@ -309,6 +320,7 @@ def main():
         s = Summarizer(
             state.ema_params, fe_params, w2i, cfg, vgg_spec,
             mode=a.mode, topk=a.topk, serve_batch_size=a.batch_size,
+            serve_buckets=a.bucket_eval or None,
         )
         _summarizer_corpus_eval(s, corpus, use_long=True,
                                 print_summaries=a.print_summaries)
@@ -338,8 +350,20 @@ def main():
                 n_real = min(a.batch_size, len(corpus) - start)  # tail wraps for static shape
                 yield idxs, n_real, collate([corpus[i] for i in idxs])
 
+        ladders = None
+        if a.bucket_eval:
+            # the serving-side bucket trim (semantics-preserving: masks
+            # carry true lengths); eval programs compile once per rung
+            # tuple actually seen
+            from mmbidaf_tpu.serving import serving_bucket_ladders, trim_raw_batch
+
+            ladders = serving_bucket_ladders(cfg, True)
+
         def upload(item):
-            return {k: jnp.asarray(v) for k, v in item[2].items()}
+            b = item[2]
+            if ladders is not None:
+                b = trim_raw_batch(b, cfg, ladders)
+            return {k: jnp.asarray(v) for k, v in b.items()}
 
         prefetcher = None
         if a.prefetch > 0:

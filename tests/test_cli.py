@@ -148,6 +148,36 @@ def test_train_cli_sp_audio_misuse_errors(synthetic_corpus, tmp_path):
 
 
 @pytest.mark.slow
+def test_infer_cli_bucket_eval_matches_plain(synthetic_corpus):
+    """infer.py --bucket_eval trims eval batches to true-length rungs;
+    summaries and ROUGE are byte-identical to the full-cap run."""
+    def run(extra):
+        return subprocess.run(
+            [
+                sys.executable, "infer.py",
+                "--data_dir", synthetic_corpus, "--vgg", "tiny",
+                "--config_json", "examples/tiny_config.json",
+                "--batch_size", "2", "--print_summaries", "--prefetch", "0",
+                *extra,
+            ],
+            cwd=REPO, env=_cpu_env(), capture_output=True, text=True,
+            timeout=900,
+        )
+
+    plain = run([])
+    assert plain.returncode == 0, plain.stderr[-2000:]
+    bucketed = run(["--bucket_eval"])
+    assert bucketed.returncode == 0, bucketed.stderr[-2000:]
+    assert bucketed.stdout == plain.stdout
+    # flag misuse fails fast with an actionable message
+    bad = subprocess.run(
+        [sys.executable, "infer.py", "--bucket_eval"],
+        cwd=REPO, env=_cpu_env(), capture_output=True, text=True, timeout=120,
+    )
+    assert bad.returncode != 0 and "--data_dir" in (bad.stderr + bad.stdout)
+
+
+@pytest.mark.slow
 def test_infer_cli_real_corpus(synthetic_corpus):
     """infer.py --data_dir decodes every video, assembles summaries from the
     real transcript text, and scores ROUGE against summary.txt; the pipelined
