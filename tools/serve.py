@@ -258,6 +258,12 @@ def main():
                          "lengths — short videos skip the padded VGG/MFCC "
                          "compute; outputs unchanged (one compile per rung "
                          "tuple seen)")
+    ap.add_argument("--bucket_ladders", default=None, metavar="FILE.json",
+                    help="explicit per-axis ladders for --bucket_serving "
+                         "(JSON dict: sentences/words/keyframes/"
+                         "audio_frames → rung list; the format "
+                         "data.pipeline.suggest_buckets emits — derive from "
+                         "the training corpus, serve with it)")
     ap.add_argument("--serve_batch_size", type=int, default=None,
                     help="pin ONE compiled batch shape (recommended)")
     ap.add_argument("--long", action="store_true",
@@ -297,6 +303,16 @@ def main():
     if a.dynamic_batch and a.long:
         ap.error("--dynamic_batch batches whole-video requests; --long's "
                  "windowed decode already batches internally — pick one")
+    serve_buckets = a.bucket_serving or None
+    if a.bucket_ladders:
+        if not a.bucket_serving:
+            ap.error("--bucket_ladders configures --bucket_serving — pass "
+                     "both")
+        with open(a.bucket_ladders) as f:
+            serve_buckets = json.load(f)
+        if not isinstance(serve_buckets, dict) or not serve_buckets:
+            ap.error(f"--bucket_ladders {a.bucket_ladders}: expected a "
+                     "non-empty JSON dict of per-axis rung lists")
     if a.artifact:
         # the artifact IS the program: mode/batch/sharding were fixed at
         # export time (--dynamic_batch works, pinned to the artifact batch;
@@ -364,7 +380,7 @@ def main():
                 a.run_dir, mode=a.mode, topk=a.topk,
                 serve_batch_size=a.serve_batch_size,
                 data_parallel=a.data_parallel,
-                serve_buckets=a.bucket_serving or None,
+                serve_buckets=serve_buckets,
                 mesh_overrides=mesh_over or None,
             )
         # batcher BEFORE warmup: its constructor validates max_batch_size
