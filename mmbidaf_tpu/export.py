@@ -106,26 +106,12 @@ def _raw_specs(
 
 
 def _bucket_levels(cfg, buckets) -> list[dict[str, int]]:
-    """Diagonal bucket levels for a frozen artifact: rung tuples formed by
-    zipping each axis's ladder at the same level index (shorter ladders
-    clamp to their top). A frozen artifact ships one PROGRAM per level, so
-    the per-axis-independent rung choice live serving makes (3⁴ combos)
-    collapses to ≤ len(ladder) predictable programs. The full-cap level is
-    the main ``decode.jaxexport`` and is excluded here."""
-    from mmbidaf_tpu.serving import serving_bucket_ladders
+    """Diagonal bucket levels for a frozen artifact (one PROGRAM per
+    level; the full-cap level is the main ``decode.jaxexport`` and is
+    excluded — see ``serving.bucket_ladder_levels``)."""
+    from mmbidaf_tpu.serving import bucket_ladder_levels, serving_bucket_ladders
 
-    ladders = serving_bucket_ladders(cfg, buckets)
-    n_levels = max(len(v) for v in ladders.values())
-    caps = {k: v[-1] for k, v in ladders.items()}
-    levels, seen = [], set()
-    for i in range(n_levels):
-        rung = {k: v[min(i, len(v) - 1)] for k, v in ladders.items()}
-        key = tuple(sorted(rung.items()))
-        if rung == caps or key in seen:
-            continue
-        seen.add(key)
-        levels.append(rung)
-    return levels
+    return bucket_ladder_levels(serving_bucket_ladders(cfg, buckets))
 
 
 def export_summarizer(

@@ -167,6 +167,25 @@ def serving_bucket_ladders(cfg: Config, buckets=True) -> dict[str, tuple[int, ..
     return out
 
 
+def bucket_ladder_levels(ladders: Mapping[str, tuple]) -> list[dict[str, int]]:
+    """Diagonal rung levels of a ladder set: per-axis rungs zipped at the
+    same level index (shorter ladders clamp to their top), full-cap level
+    excluded. Used for bounded pre-warming (``Summarizer.warmup``) and for
+    the per-level programs of bucketed AOT artifacts — the 3⁴ per-axis rung
+    combinations collapse to ≤ len(ladder) predictable shapes."""
+    n_levels = max(len(v) for v in ladders.values())
+    caps = {k: v[-1] for k, v in ladders.items()}
+    levels, seen = [], set()
+    for i in range(n_levels):
+        rung = {k: v[min(i, len(v) - 1)] for k, v in ladders.items()}
+        key = tuple(sorted(rung.items()))
+        if rung == caps or key in seen:
+            continue
+        seen.add(key)
+        levels.append(rung)
+    return levels
+
+
 def batch_true_lengths(raw: Mapping[str, np.ndarray]) -> dict[str, int]:
     """True per-axis lengths of a stacked batch OR one unstacked row, from
     its prefix masks (each mask's LAST axis is the counted one; minimum 1
@@ -614,25 +633,39 @@ class Summarizer:
         ``include_long=True`` additionally compiles the ``summarize_long``
         programs (batch-1 featurize + the feature-shaped window decode).
 
-        With ``serve_buckets`` on, this warms the FULL-shape rung (the
-        synthetic masks are all-ones, which trims to the config caps);
-        smaller rung tuples compile on their first real request — bounded
-        by the ladder, absorbed across restarts by the persistent
-        compilation cache.
+        With ``serve_buckets`` on, this warms the FULL-shape program plus
+        every DIAGONAL rung level (``bucket_ladder_levels``) — per-axis
+        rung choice is independent at serve time, so off-diagonal tuples
+        can still compile on their first real request, but the diagonal
+        covers uniformly-short videos (the common case) and every compile
+        persists in the compilation cache across restarts.
         """
         d = self.cfg.data
         b = batch_size or self.serve_batch_size or 1
         h, w = frame_hw
-        raw = {
-            "text_ids": jnp.zeros((b, d.max_sentences, d.max_words), jnp.int32),
-            "word_mask": jnp.ones((b, d.max_sentences, d.max_words), jnp.float32),
-            "sent_mask": jnp.ones((b, d.max_sentences), jnp.float32),
-            "frames": jnp.zeros((b, d.max_keyframes, h, w, 3), jnp.uint8),
-            "img_mask": jnp.ones((b, d.max_keyframes), jnp.float32),
-            "waveform": jnp.zeros((b, self._num_audio_samples), jnp.float32),
-            "aud_mask": jnp.ones((b, d.max_audio_frames), jnp.float32),
-        }
+
+        def zero_raw(rungs: Mapping[str, int] | None = None):
+            r = rungs or {}
+            t_s = r.get("sentences", d.max_sentences)
+            t_w = r.get("words", d.max_words)
+            t_i = r.get("keyframes", d.max_keyframes)
+            t_a = r.get("audio_frames", d.max_audio_frames)
+            n_samples = t_a * d.hop_length + d.win_length
+            return {
+                "text_ids": jnp.zeros((b, t_s, t_w), jnp.int32),
+                "word_mask": jnp.ones((b, t_s, t_w), jnp.float32),
+                "sent_mask": jnp.ones((b, t_s), jnp.float32),
+                "frames": jnp.zeros((b, t_i, h, w, 3), jnp.uint8),
+                "img_mask": jnp.ones((b, t_i), jnp.float32),
+                "waveform": jnp.zeros((b, n_samples), jnp.float32),
+                "aud_mask": jnp.ones((b, t_a), jnp.float32),
+            }
+
+        raw = zero_raw()
         self._decode_batch(raw, rng=jax.random.key(0))
+        if self._ladders is not None:
+            for rungs in bucket_ladder_levels(self._ladders):
+                self._decode_batch(zero_raw(rungs), rng=jax.random.key(0))
         if include_long:
             if b != 1 and not self._dp:
                 # summarize_long's short-transcript branch decodes raw

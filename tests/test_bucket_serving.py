@@ -284,6 +284,19 @@ def test_empty_transcript_bucketed(bucket_setup, tmp_path):
     assert bucketed.summarize(vd) == plain.summarize(vd)
 
 
+def test_warmup_covers_diagonal_levels(bucket_setup):
+    """warmup on a bucketed Summarizer compiles the diagonal rung levels
+    (smoke: runs through the real decode path) and changes no outputs."""
+    plain, _, short, _ = bucket_setup
+    s = Summarizer(
+        plain.params, plain.fe_params, plain.word2idx, plain.cfg, TINY_SPEC,
+        serve_buckets=True,
+    )
+    before = plain.summarize(short[0])
+    s.warmup(frame_hw=(12, 16))
+    assert s.summarize(short[0]) == before
+
+
 # -- composition with the parallel serving paths -------------------------------
 
 
