@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import json
 import os
 
 import numpy as np
@@ -122,7 +123,14 @@ def main():
                     help="trim each eval batch's feature axes to the "
                          "quarter/half/full rung covering its true lengths "
                          "(serving.trim_raw_batch) — short videos skip the "
-                         "padded VGG/MFCC compute; picks/ROUGE unchanged")
+                         "padded VGG/MFCC compute; picks/ROUGE unchanged. "
+                         "One compile per rung tuple actually seen (incl. "
+                         "the --long featurize/window programs) — budget "
+                         "cold TPU compiles accordingly")
+    ap.add_argument("--bucket_ladders", default=None, metavar="FILE.json",
+                    help="explicit per-axis ladders for --bucket_eval "
+                         "(suggest_buckets JSON) — acceptance-test the "
+                         "exact rung set serve.py --bucket_ladders serves")
     ap.add_argument("--jax_cache", default=None, metavar="DIR",
                     help="persistent compilation cache dir (default: repo "
                          ".jax_cache on TPU, off on CPU; '' = off)")
@@ -138,6 +146,19 @@ def main():
     if a.bucket_eval and a.artifact:
         raise SystemExit("--bucket_eval is a live-eval knob; artifact "
                          "shapes are fixed at export (--buckets there)")
+    bucket_spec = True
+    if a.bucket_ladders:
+        if not a.bucket_eval:
+            raise SystemExit("--bucket_ladders configures --bucket_eval — "
+                             "pass both")
+        try:
+            with open(a.bucket_ladders) as f:
+                bucket_spec = json.load(f)
+        except (OSError, ValueError) as e:
+            raise SystemExit(f"--bucket_ladders {a.bucket_ladders}: {e}")
+        if not isinstance(bucket_spec, dict) or not bucket_spec:
+            raise SystemExit(f"--bucket_ladders {a.bucket_ladders}: expected "
+                             "a non-empty JSON dict of per-axis rung lists")
 
     from mmbidaf_tpu.utils.cache import enable_cli_cache
 
@@ -320,7 +341,7 @@ def main():
         s = Summarizer(
             state.ema_params, fe_params, w2i, cfg, vgg_spec,
             mode=a.mode, topk=a.topk, serve_batch_size=a.batch_size,
-            serve_buckets=a.bucket_eval or None,
+            serve_buckets=bucket_spec if a.bucket_eval else None,
         )
         _summarizer_corpus_eval(s, corpus, use_long=True,
                                 print_summaries=a.print_summaries)
@@ -332,8 +353,13 @@ def main():
         from mmbidaf_tpu.data.frontend import apply_frontend
         from mmbidaf_tpu.data.pipeline import collate
 
-        featurize = jax.jit(lambda r: apply_frontend(
-            fe_params, r, cfg, vgg_spec, sp_audio=audio_g_fn is not None
+        # fe_params is a jit ARGUMENT, not a closure constant: closure
+        # constants are baked per compiled program, and --bucket_eval
+        # compiles one program per rung tuple — a closed-over VGG frontend
+        # (~0.5 GB) would be duplicated in HBM and re-shipped over the
+        # relay per rung (CLAUDE.md: don't bake large jit constants)
+        featurize = jax.jit(lambda fe, r: apply_frontend(
+            fe, r, cfg, vgg_spec, sp_audio=audio_g_fn is not None
         ))
         agg = {"ROUGE-1": 0.0, "ROUGE-2": 0.0, "ROUGE-L": 0.0}
         n_scored = 0
@@ -357,7 +383,7 @@ def main():
             # tuple actually seen
             from mmbidaf_tpu.serving import serving_bucket_ladders, trim_raw_batch
 
-            ladders = serving_bucket_ladders(cfg, True)
+            ladders = serving_bucket_ladders(cfg, bucket_spec)
 
         def upload(item):
             b = item[2]
@@ -396,7 +422,7 @@ def main():
         pending = deque()
         try:
             for (idxs, n_real, _nb), raw in items:
-                feat = featurize(raw)
+                feat = featurize(fe_params, raw)
                 # eval_step's teacher-forced loss needs targets; corpora without
                 # summary.txt golds still decode (zero targets, unused picks path)
                 K = cfg.model.max_decode_steps

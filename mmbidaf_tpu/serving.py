@@ -675,6 +675,16 @@ class Summarizer:
                 # callers use summarize/summarize_batch.)
                 self._decode_batch({k: v[:1] for k, v in raw.items()},
                                    rng=jax.random.key(0))
+                if self._ladders is not None:
+                    # the short-transcript branch routes through
+                    # _stack_rows, so short videos decode at B=1 RUNG
+                    # shapes — warm those too (the long feature-window
+                    # rung programs still lazy-compile on first use)
+                    for rungs in bucket_ladder_levels(self._ladders):
+                        self._decode_batch(
+                            {k: v[:1] for k, v in zero_raw(rungs).items()},
+                            rng=jax.random.key(0),
+                        )
             media = {k: raw[k][:1] for k in
                      ("frames", "img_mask", "waveform", "aud_mask")}
             feat = self._get_featurize()(self.fe_params, media)

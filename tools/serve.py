@@ -308,11 +308,25 @@ def main():
         if not a.bucket_serving:
             ap.error("--bucket_ladders configures --bucket_serving — pass "
                      "both")
-        with open(a.bucket_ladders) as f:
-            serve_buckets = json.load(f)
+        try:
+            with open(a.bucket_ladders) as f:
+                serve_buckets = json.load(f)
+        except (OSError, ValueError) as e:
+            ap.error(f"--bucket_ladders {a.bucket_ladders}: {e}")
         if not isinstance(serve_buckets, dict) or not serve_buckets:
             ap.error(f"--bucket_ladders {a.bucket_ladders}: expected a "
                      "non-empty JSON dict of per-axis rung lists")
+    if serve_buckets is not None and a.run_dir:
+        # validate ladder CONTENT (axis names, rung values, sp alignment)
+        # against the run's config BEFORE the multi-minute checkpoint load —
+        # same fail-fast convention as the batcher check below
+        from mmbidaf_tpu.serving import serving_bucket_ladders
+        from mmbidaf_tpu.train.checkpoint import load_config
+
+        try:
+            serving_bucket_ladders(load_config(a.run_dir), serve_buckets)
+        except (OSError, ValueError) as e:
+            ap.error(f"--bucket_serving/--bucket_ladders: {e}")
     if a.artifact:
         # the artifact IS the program: mode/batch/sharding were fixed at
         # export time (--dynamic_batch works, pinned to the artifact batch;
