@@ -554,6 +554,12 @@ class ExportedSummarizer:
         """The artifact's compile-time batch — batchers must match it."""
         return self.decoder.batch_size
 
+    @property
+    def bucket_levels(self) -> list:
+        """Frozen rung levels (smallest first) — same batcher-grouping
+        contract as ``Summarizer.bucket_levels``."""
+        return self.decoder.bucket_levels
+
     def _raw_row(self, video_dir: str) -> tuple[dict, list[str]]:
         from mmbidaf_tpu.serving import host_raw_row
 

@@ -186,6 +186,15 @@ def bucket_ladder_levels(ladders: Mapping[str, tuple]) -> list[dict[str, int]]:
     return levels
 
 
+def covering_level(levels: Sequence[Mapping[str, int]], needs: Mapping[str, int]) -> int:
+    """Index of the smallest diagonal rung level covering ``needs``
+    (``levels`` sorted smallest-first), or -1 for the full-cap shapes."""
+    for i, rungs in enumerate(levels):
+        if all(rungs[k] >= v for k, v in needs.items()):
+            return i
+    return -1
+
+
 def batch_true_lengths(raw: Mapping[str, np.ndarray]) -> dict[str, int]:
     """True per-axis lengths of a stacked batch OR one unstacked row, from
     its prefix masks (each mask's LAST axis is the counted one; minimum 1
@@ -361,6 +370,13 @@ class Summarizer:
             None
             if serve_buckets is None or serve_buckets is False
             else serving_bucket_ladders(cfg, serve_buckets)
+        )
+        # diagonal rung levels (smallest first) — DynamicBatcher groups
+        # mixed-length request batches by covering level so one long video
+        # doesn't drag every coalesced short request to full-cap shapes
+        self.bucket_levels = (
+            bucket_ladder_levels(self._ladders)
+            if self._ladders is not None else []
         )
         # rung-tuple → device-batch count; observability for /healthz
         self.bucket_stats: dict[tuple, int] = {}
@@ -942,7 +958,7 @@ class DynamicBatcher:
         self.max_wait_s = float(max_wait_ms) / 1e3
         self.max_queue = max_queue
         self.stats = {"requests": 0, "batches": 0, "padded_rows": 0,
-                      "rejected": 0}
+                      "rejected": 0, "bucket_splits": 0}
         # all other stats fields are batcher-thread-only; 'rejected' is
         # bumped from concurrent submitter threads and needs the lock
         self._reject_lock = threading.Lock()
@@ -1044,6 +1060,31 @@ class DynamicBatcher:
                 item[2].set_exception(RuntimeError("DynamicBatcher closed"))
 
     def _run_batch(self, items: list) -> None:
+        # Bucket-aware grouping: under serve_buckets (or a bucketed
+        # artifact), a mixed coalesced set is partitioned by each request's
+        # smallest covering rung level BEFORE batching — otherwise one
+        # long video drags every short request in the batch to full-cap
+        # shapes, forfeiting the bucket win exactly when traffic mixes.
+        # Outputs are unchanged (greedy/beam are batch-composition
+        # independent); cost is one device call per distinct level in the
+        # set, each still padded to the one static batch size.
+        levels = getattr(self.summarizer, "bucket_levels", None) or []
+        if levels and len(items) > 1:
+            groups: dict[int, list] = {}
+            for it in items:
+                needs = batch_true_lengths(it[0])
+                groups.setdefault(covering_level(levels, needs), []).append(it)
+            if len(groups) > 1:
+                self.stats["bucket_splits"] += 1
+                # smallest level first: short requests resolve soonest
+                for _, group in sorted(
+                    groups.items(), key=lambda kv: kv[0] if kv[0] >= 0 else 1 << 30
+                ):
+                    self._run_group(group)
+                return
+        self._run_group(items)
+
+    def _run_group(self, items: list) -> None:
         n_real = len(items)
         # EVERYTHING batch-scoped stays inside the try: a stacking error
         # (e.g. two videos decoded at different frame resolutions) must

@@ -271,6 +271,37 @@ def test_dynamic_batcher_applies_buckets(bucket_setup):
     assert sum(bucketed.bucket_stats.values()) > n0
 
 
+def test_dynamic_batcher_groups_mixed_lengths(bucket_setup):
+    """A mixed coalesced set splits by covering rung level: the long video
+    must not drag the short ones to full-cap shapes. Results match the
+    sequential plain path exactly; stats record the split."""
+    from concurrent.futures import Future
+
+    plain, bucketed, short, long_vid = bucket_setup
+    vids = short + [long_vid]
+    want = plain.summarize_batch(vids)
+    b = DynamicBatcher(bucketed, max_batch_size=4, max_wait_ms=1.0)
+    try:
+        items = []
+        for vd in vids:
+            row, sents = bucketed._raw_row(vd)
+            items.append((row, sents, Future()))
+        # drive the batcher's own grouping path deterministically (thread
+        # timing must not decide whether the requests coalesced)
+        b._run_batch(items)
+        got = [it[2].result(timeout=60) for it in items]
+    finally:
+        b.close()
+    assert got == want
+    assert b.stats["bucket_splits"] == 1
+    assert b.stats["batches"] == 2  # one rung-level group + one full-cap
+    # the short group decoded at rung shapes, the long one at the caps
+    d = plain.cfg.data
+    rungs = set(bucketed.bucket_stats)
+    assert any(r[0] < d.max_sentences for r in rungs)
+    assert any(r[0] == d.max_sentences for r in rungs)
+
+
 def test_summarize_long_parity(bucket_setup):
     plain, bucketed, _, long_vid = bucket_setup
     assert bucketed.summarize_long(long_vid) == plain.summarize_long(long_vid)

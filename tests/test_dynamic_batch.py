@@ -93,7 +93,7 @@ def test_single_request_pads_to_static_shape(serving_setup):
         out = batcher.submit(dirs[0])
     assert out == s.summarize(dirs[0])
     assert batcher.stats == {"requests": 1, "batches": 1, "padded_rows": 3,
-                             "rejected": 0}
+                             "rejected": 0, "bucket_splits": 0}
 
 
 def test_bad_asset_fails_only_its_request(serving_setup):
