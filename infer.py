@@ -159,6 +159,21 @@ def main():
         if not isinstance(bucket_spec, dict) or not bucket_spec:
             raise SystemExit(f"--bucket_ladders {a.bucket_ladders}: expected "
                              "a non-empty JSON dict of per-axis rung lists")
+        # fail on bad axis names / rungs NOW, not after the multi-minute
+        # checkpoint load (serve.py applies the same pre-load check; the
+        # config-dependent parts — caps, sp alignment — still check later)
+        axes = ("sentences", "words", "keyframes", "audio_frames")
+        unknown = sorted(set(bucket_spec) - set(axes))
+        if unknown:
+            raise SystemExit(f"--bucket_ladders {a.bucket_ladders}: unknown "
+                             f"axes {unknown}; expected a subset of "
+                             f"{sorted(axes)}")
+        for key, ladder in bucket_spec.items():
+            rungs = ladder if isinstance(ladder, list) else [ladder]
+            if not rungs or any(not isinstance(r, int) or r < 1 for r in rungs):
+                raise SystemExit(f"--bucket_ladders {a.bucket_ladders}: "
+                                 f"{key!r} needs a list of integers >= 1, "
+                                 f"got {ladder!r}")
 
     from mmbidaf_tpu.utils.cache import enable_cli_cache
 

@@ -188,9 +188,12 @@ def bucket_ladder_levels(ladders: Mapping[str, tuple]) -> list[dict[str, int]]:
 
 def covering_level(levels: Sequence[Mapping[str, int]], needs: Mapping[str, int]) -> int:
     """Index of the smallest diagonal rung level covering ``needs``
-    (``levels`` sorted smallest-first), or -1 for the full-cap shapes."""
+    (``levels`` sorted smallest-first), or -1 for the full-cap shapes.
+    A level missing one of the needed axes (e.g. a hand-edited artifact
+    manifest) never covers — the request falls to the full-cap program
+    instead of raising."""
     for i, rungs in enumerate(levels):
-        if all(rungs[k] >= v for k, v in needs.items()):
+        if all(rungs.get(k, 0) >= v for k, v in needs.items()):
             return i
     return -1
 
@@ -660,7 +663,7 @@ class Summarizer:
         b = batch_size or self.serve_batch_size or 1
         h, w = frame_hw
 
-        def zero_raw(rungs: Mapping[str, int] | None = None):
+        def zero_raw(rungs: Mapping[str, int] | None = None, nb: int = b):
             r = rungs or {}
             t_s = r.get("sentences", d.max_sentences)
             t_w = r.get("words", d.max_words)
@@ -668,20 +671,19 @@ class Summarizer:
             t_a = r.get("audio_frames", d.max_audio_frames)
             n_samples = t_a * d.hop_length + d.win_length
             return {
-                "text_ids": jnp.zeros((b, t_s, t_w), jnp.int32),
-                "word_mask": jnp.ones((b, t_s, t_w), jnp.float32),
-                "sent_mask": jnp.ones((b, t_s), jnp.float32),
-                "frames": jnp.zeros((b, t_i, h, w, 3), jnp.uint8),
-                "img_mask": jnp.ones((b, t_i), jnp.float32),
-                "waveform": jnp.zeros((b, n_samples), jnp.float32),
-                "aud_mask": jnp.ones((b, t_a), jnp.float32),
+                "text_ids": jnp.zeros((nb, t_s, t_w), jnp.int32),
+                "word_mask": jnp.ones((nb, t_s, t_w), jnp.float32),
+                "sent_mask": jnp.ones((nb, t_s), jnp.float32),
+                "frames": jnp.zeros((nb, t_i, h, w, 3), jnp.uint8),
+                "img_mask": jnp.ones((nb, t_i), jnp.float32),
+                "waveform": jnp.zeros((nb, n_samples), jnp.float32),
+                "aud_mask": jnp.ones((nb, t_a), jnp.float32),
             }
 
         raw = zero_raw()
         self._decode_batch(raw, rng=jax.random.key(0))
-        if self._ladders is not None:
-            for rungs in bucket_ladder_levels(self._ladders):
-                self._decode_batch(zero_raw(rungs), rng=jax.random.key(0))
+        for rungs in self.bucket_levels:
+            self._decode_batch(zero_raw(rungs), rng=jax.random.key(0))
         if include_long:
             if b != 1 and not self._dp:
                 # summarize_long's short-transcript branch decodes raw
@@ -691,16 +693,13 @@ class Summarizer:
                 # callers use summarize/summarize_batch.)
                 self._decode_batch({k: v[:1] for k, v in raw.items()},
                                    rng=jax.random.key(0))
-                if self._ladders is not None:
-                    # the short-transcript branch routes through
-                    # _stack_rows, so short videos decode at B=1 RUNG
-                    # shapes — warm those too (the long feature-window
-                    # rung programs still lazy-compile on first use)
-                    for rungs in bucket_ladder_levels(self._ladders):
-                        self._decode_batch(
-                            {k: v[:1] for k, v in zero_raw(rungs).items()},
-                            rng=jax.random.key(0),
-                        )
+                # the short-transcript branch routes through _stack_rows,
+                # so short videos decode at B=1 RUNG shapes — warm those
+                # too (the long feature-window rung programs still
+                # lazy-compile on first use)
+                for rungs in self.bucket_levels:
+                    self._decode_batch(zero_raw(rungs, nb=1),
+                                       rng=jax.random.key(0))
             media = {k: raw[k][:1] for k in
                      ("frames", "img_mask", "waveform", "aud_mask")}
             feat = self._get_featurize()(self.fe_params, media)
@@ -932,7 +931,15 @@ class DynamicBatcher:
         max_batch_size: int = 8,
         max_wait_ms: float = 5.0,
         max_queue: int | None = None,
+        group_buckets: bool = True,
     ):
+        # group_buckets: on a bucketed summarizer, partition mixed
+        # coalesced sets by covering rung level (one device call per
+        # level). This is a LATENCY-for-SHORTS trade: each group still
+        # pads to max_batch_size, so a window holding L distinct levels
+        # costs L device calls instead of one full-cap call — under
+        # sustained saturated mixed traffic that can LOWER total
+        # throughput; pass False to always run one full-cap batch.
         if max_batch_size < 1:
             raise ValueError(f"max_batch_size must be >= 1, got {max_batch_size}")
         if max_queue is not None and max_queue < 1:
@@ -957,6 +964,7 @@ class DynamicBatcher:
         self.max_batch_size = int(max_batch_size)
         self.max_wait_s = float(max_wait_ms) / 1e3
         self.max_queue = max_queue
+        self.group_buckets = bool(group_buckets)
         self.stats = {"requests": 0, "batches": 0, "padded_rows": 0,
                       "rejected": 0, "bucket_splits": 0}
         # all other stats fields are batcher-thread-only; 'rejected' is
@@ -1068,20 +1076,32 @@ class DynamicBatcher:
         # Outputs are unchanged (greedy/beam are batch-composition
         # independent); cost is one device call per distinct level in the
         # set, each still padded to the one static batch size.
-        levels = getattr(self.summarizer, "bucket_levels", None) or []
-        if levels and len(items) > 1:
-            groups: dict[int, list] = {}
-            for it in items:
-                needs = batch_true_lengths(it[0])
-                groups.setdefault(covering_level(levels, needs), []).append(it)
-            if len(groups) > 1:
-                self.stats["bucket_splits"] += 1
-                # smallest level first: short requests resolve soonest
-                for _, group in sorted(
-                    groups.items(), key=lambda kv: kv[0] if kv[0] >= 0 else 1 << 30
-                ):
-                    self._run_group(group)
-                return
+        # grouping failures must fail THESE futures, never escape — an
+        # exception out of _run_batch kills the batcher thread and hangs
+        # every pending and future submit() (same contract as _run_group)
+        try:
+            groups = None
+            if self.group_buckets and len(items) > 1:
+                levels = getattr(self.summarizer, "bucket_levels", None) or []
+                if levels:
+                    groups = {}
+                    for it in items:
+                        needs = batch_true_lengths(it[0])
+                        groups.setdefault(
+                            covering_level(levels, needs), []
+                        ).append(it)
+        except Exception as e:
+            for _, _, fut in items:
+                fut.set_exception(e)
+            return
+        if groups and len(groups) > 1:
+            self.stats["bucket_splits"] += 1
+            # smallest level first: short requests resolve soonest
+            for _, group in sorted(
+                groups.items(), key=lambda kv: kv[0] if kv[0] >= 0 else 1 << 30
+            ):
+                self._run_group(group)
+            return
         self._run_group(items)
 
     def _run_group(self, items: list) -> None:

@@ -324,9 +324,16 @@ def main():
         from mmbidaf_tpu.train.checkpoint import load_config
 
         try:
-            serving_bucket_ladders(load_config(a.run_dir), serve_buckets)
-        except (OSError, ValueError) as e:
-            ap.error(f"--bucket_serving/--bucket_ladders: {e}")
+            run_cfg = load_config(a.run_dir)
+        except Exception:
+            # a broken run_dir/config.json is NOT a ladder problem — let
+            # Summarizer.from_run surface it with its own diagnostics
+            run_cfg = None
+        if run_cfg is not None:
+            try:
+                serving_bucket_ladders(run_cfg, serve_buckets)
+            except ValueError as e:
+                ap.error(f"--bucket_serving/--bucket_ladders: {e}")
     if a.artifact:
         # the artifact IS the program: mode/batch/sharding were fixed at
         # export time (--dynamic_batch works, pinned to the artifact batch;

@@ -27,7 +27,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
-    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap = argparse.ArgumentParser(
+        description="Emit corpus-derived bucket ladders as JSON for "
+                    "serve.py/infer.py --bucket_ladders"
+    )
     ap.add_argument("--data_dir", required=True,
                     help="corpus root (video dirs with transcripts/media)")
     src = ap.add_mutually_exclusive_group()
