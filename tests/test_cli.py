@@ -147,6 +147,37 @@ def test_train_cli_sp_audio_misuse_errors(synthetic_corpus, tmp_path):
     assert "--data_dir" in res.stderr
 
 
+def test_suggest_buckets_cli(synthetic_corpus, tmp_path):
+    """tools/suggest_buckets.py emits the --bucket_ladders JSON format:
+    all four axes, rungs within the config caps, consumable by
+    serving_bucket_ladders."""
+    out = tmp_path / "ladders.json"
+    res = subprocess.run(
+        [
+            sys.executable, "tools/suggest_buckets.py",
+            "--data_dir", synthetic_corpus,
+            "--config_json", "examples/tiny_config.json",
+            "--out", str(out),
+        ],
+        cwd=REPO, env=_cpu_env(), capture_output=True, text=True, timeout=300,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    with open(out) as f:
+        ladders = json.load(f)
+    assert set(ladders) == {"sentences", "words", "keyframes", "audio_frames"}
+    from mmbidaf_tpu.config import config_from_json
+    from mmbidaf_tpu.serving import serving_bucket_ladders
+
+    cfg = config_from_json(os.path.join(REPO, "examples", "tiny_config.json"))
+    resolved = serving_bucket_ladders(cfg, ladders)  # must validate clean
+    d = cfg.data
+    for key, cap in (("sentences", d.max_sentences), ("words", d.max_words),
+                     ("keyframes", d.max_keyframes),
+                     ("audio_frames", d.max_audio_frames)):
+        assert all(1 <= r <= cap for r in ladders[key]), (key, ladders[key])
+        assert resolved[key][-1] == cap
+
+
 @pytest.mark.slow
 def test_infer_cli_bucket_eval_matches_plain(synthetic_corpus):
     """infer.py --bucket_eval trims eval batches to true-length rungs;
