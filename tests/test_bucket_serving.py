@@ -59,6 +59,28 @@ def test_ladder_validation_errors():
         serving_bucket_ladders(cfg, {"keyframes": (0, 2)})
 
 
+def test_non_dict_and_empty_serve_buckets_rejected():
+    """A tuple/list probably meant a ladder and an empty dict probably
+    meant a filtered suggest_buckets result — both fail loudly instead of
+    silently serving default ladders / silently disabling."""
+    cfg = tiny_test_config()
+    for bad in ((4, 8), [4, 8], {}, "auto"):
+        with pytest.raises(ValueError, match="serve_buckets must be"):
+            serving_bucket_ladders(cfg, bad)
+    s = Summarizer.init_random(cfg, seed=1, vgg_spec=TINY_SPEC,
+                               serve_buckets=False)
+    assert s._ladders is None and not s.bucket_levels  # False = off
+
+
+def test_covering_level_missing_axis_never_covers():
+    from mmbidaf_tpu.serving import covering_level
+
+    levels = [{"sentences": 4, "words": 4}]  # hand-edited manifest shape
+    needs = {"sentences": 2, "keyframes": 3}
+    assert covering_level(levels, needs) == -1  # falls to full-cap, no raise
+    assert covering_level(levels, {"sentences": 2, "words": 4}) == 0
+
+
 def test_sp_audio_ladders_align_to_num_seq():
     cfg = tiny_test_config()
     cfg = dataclasses.replace(
@@ -300,6 +322,29 @@ def test_dynamic_batcher_groups_mixed_lengths(bucket_setup):
     rungs = set(bucketed.bucket_stats)
     assert any(r[0] < d.max_sentences for r in rungs)
     assert any(r[0] == d.max_sentences for r in rungs)
+
+
+def test_dynamic_batcher_group_buckets_off(bucket_setup):
+    """group_buckets=False keeps one full-cap device call for a mixed set
+    (the saturated-throughput mode the constructor docs describe)."""
+    from concurrent.futures import Future
+
+    plain, bucketed, short, long_vid = bucket_setup
+    vids = short + [long_vid]
+    want = plain.summarize_batch(vids)
+    b = DynamicBatcher(bucketed, max_batch_size=4, max_wait_ms=1.0,
+                       group_buckets=False)
+    try:
+        items = []
+        for vd in vids:
+            row, sents = bucketed._raw_row(vd)
+            items.append((row, sents, Future()))
+        b._run_batch(items)
+        got = [it[2].result(timeout=60) for it in items]
+    finally:
+        b.close()
+    assert got == want
+    assert b.stats["bucket_splits"] == 0 and b.stats["batches"] == 1
 
 
 def test_summarize_long_parity(bucket_setup):
