@@ -583,7 +583,8 @@ class ExportedSummarizer:
         whole programs, so the trim picks a level, not per-axis rungs).
         Rows trim BEFORE stacking so only the trimmed batch is allocated."""
         from mmbidaf_tpu.serving import (
-            batch_true_lengths, record_bucket_stat, trim_raw_to_rungs,
+            batch_true_lengths, covering_level, record_bucket_stat,
+            trim_raw_to_rungs,
         )
 
         if self.decoder.bucket_levels:
@@ -591,13 +592,16 @@ class ExportedSummarizer:
             for r in rows:
                 for k, v in batch_true_lengths(r).items():
                     needs[k] = max(needs.get(k, 0), v)
-            for rungs in self.decoder.bucket_levels:  # smallest level first
-                if all(rungs[k] >= v for k, v in needs.items()):
-                    rows = [
-                        trim_raw_to_rungs(r, self.cfg, rungs, batched=False)
-                        for r in rows
-                    ]
-                    break
+            # covering_level tolerates a level missing an axis (hand-edited
+            # manifest): that level never covers and the batch falls through
+            # to the full-cap program instead of raising KeyError here.
+            lvl = covering_level(self.decoder.bucket_levels, needs)
+            if lvl >= 0:
+                rungs = self.decoder.bucket_levels[lvl]
+                rows = [
+                    trim_raw_to_rungs(r, self.cfg, rungs, batched=False)
+                    for r in rows
+                ]
         raw = {k: np.stack([r[k] for r in rows]) for k in rows[0]}
         if self.decoder.bucket_levels:
             record_bucket_stat(self.bucket_stats, self._stats_lock, raw)
@@ -665,7 +669,7 @@ class ExportedSummarizer:
         d, m = self.cfg.data, self.cfg.model
         assets = load_video_assets(
             video_dir, d.max_keyframes, num_audio_samples(self.cfg),
-            keyframe_policy=d.keyframe_policy,
+            keyframe_policy=d.keyframe_policy, sample_rate=d.sample_rate,
         )
         hw = assets["frames"].shape[1:3]
         if tuple(hw) != self.decoder.frame_hw:

@@ -211,7 +211,13 @@ def rnn_encoder_apply(
     output ``F.dropout``)."""
     r_stack = r_out = None
     if rng is not None:
-        r_stack, r_out = jax.random.split(rng)
+        if "layers" in params:
+            r_stack, r_out = jax.random.split(rng)
+        else:
+            # Single-layer params use the incoming rng for output dropout
+            # unsplit, preserving bit-exact dropout streams of seeded runs
+            # from before stacked-encoder support (ADVICE r3).
+            r_out = rng
     out, _ = stacked_bilstm_apply(params, x, mask, drop_prob=drop_prob, rng=r_stack)
     if drop_prob > 0.0 and rng is not None:
         keep = 1.0 - drop_prob

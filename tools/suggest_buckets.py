@@ -65,8 +65,15 @@ def main():
     if not all(0.0 < q <= 1.0 for q in quantiles):
         ap.error(f"--quantiles must lie in (0, 1], got {quantiles}")
 
+    # Split corpus roots (train/dev/test subdirs — the layout train.py and
+    # precompute_features.py special-case) derive ladders from the TRAINING
+    # split; a flat root is swept directly.
+    data_dir = a.data_dir
+    if os.path.isdir(os.path.join(data_dir, "train")):
+        data_dir = os.path.join(data_dir, "train")
+
     # the length sweep never tokenizes, so no vocab is needed
-    corpus = VideoCorpus(a.data_dir, cfg, {}, use_precomputed=True)
+    corpus = VideoCorpus(data_dir, cfg, {}, use_precomputed=True)
     sug = suggest_buckets(
         corpus,
         num_seq=a.num_seq if a.num_seq is not None else cfg.mesh.num_seq,
