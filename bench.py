@@ -199,8 +199,19 @@ def bench_jax(cfg, batch_size: int, iters: int, vgg_spec) -> dict:
     per_batch = max(per_batch, 1e-6)
 
     n_chips = jax.device_count()
+    # Analytic-FLOP MFU: hardware-relative perf, independent of the noisy
+    # torch-CPU baseline denominator (utils/flops.py; VERDICT r3 item 3).
+    from mmbidaf_tpu.utils.flops import e2e_decode_flops_per_video, peak_bf16_tflops
+
+    flops_per_video = e2e_decode_flops_per_video(cfg, vgg_spec)
+    achieved_tflops = flops_per_video * batch_size / per_batch / 1e12 / n_chips
+    peak = peak_bf16_tflops(jax.devices()[0].device_kind)
     return {
         "videos_per_sec_per_chip": batch_size / per_batch / n_chips,
+        "achieved_tflops": achieved_tflops,
+        "mfu": achieved_tflops / peak if peak else None,
+        "peak_bf16_tflops": peak,
+        "flops_per_video": flops_per_video,
         # One batch = one program: all `batch_size` videos finish together
         # after `per_batch` seconds, so batch latency IS each video's p50
         # completion latency; amortized time-per-video is a separate number.
@@ -338,6 +349,12 @@ def main():
         ),
         "p50_batch_latency_s": round(jax_res["p50_batch_latency_s"], 4),
         "amortized_s_per_video": round(jax_res["amortized_s_per_video"], 5),
+        # achieved dense TFLOP/s per chip (analytic convs+GEMMs count,
+        # utils/flops.py) and the fraction of the chip's bf16 MXU peak.
+        "achieved_tflops": round(jax_res["achieved_tflops"], 1),
+        "mfu": round(jax_res["mfu"], 3) if jax_res["mfu"] is not None else None,
+        "peak_bf16_tflops": jax_res["peak_bf16_tflops"],
+        "analytic_gflops_per_video": round(jax_res["flops_per_video"] / 1e9, 1),
         "baseline_videos_per_sec_cpu": round(baseline_vps, 3) if baseline_vps else None,
         "baseline_videos": None if args.skip_baseline else base_res["n_videos"],
         "batch_size": batch,

@@ -74,3 +74,59 @@ def test_trace_summary(tmp_path):
     # CPU traces may label ops differently; just require the schema
     for r in rows:
         assert {"name", "total_ms", "pct", "hlo"} <= set(r)
+
+
+# ---------------------------------------------------------------------------
+# Analytic FLOP counts (utils/flops.py) — the bench's MFU denominator
+
+
+def test_vgg16_conv_flops_match_literature():
+    """VGG-16 convs at 224^2 are a textbook ~15.3 GMACs (30.7 GFLOPs);
+    the analytic counter must reproduce that within rounding."""
+    from mmbidaf_tpu.ops.vgg import VGG16_SPEC
+    from mmbidaf_tpu.utils.flops import conv_stack_flops
+
+    f = conv_stack_flops(VGG16_SPEC, 224, fc_dim=4096)
+    conv_only = f - 2 * (512 * 7 * 7 * 4096) - 2 * (4096 * 4096)
+    assert 30.0e9 < conv_only < 31.5e9
+
+
+def test_peak_tflops_lookup():
+    from mmbidaf_tpu.utils.flops import peak_bf16_tflops
+
+    assert peak_bf16_tflops("TPU v5 lite") == 197.0
+    assert peak_bf16_tflops("TPU v5e") == 197.0
+    assert peak_bf16_tflops("cpu") is None
+
+
+def test_flops_vs_xla_cost_analysis():
+    """The analytic e2e count must agree with XLA's HloCostAnalysis of the
+    actual bench program (GEMM/conv-only count => a modest under-estimate;
+    band is loose because tiny shapes inflate the elementwise share)."""
+    import bench as bench_mod
+    from mmbidaf_tpu.data.frontend import apply_frontend, frontend_init
+    from mmbidaf_tpu.data.synthetic import random_word_vectors
+    from mmbidaf_tpu.models.mmbidaf import mmbidaf_decode, mmbidaf_init
+    from mmbidaf_tpu.ops.vgg import TINY_SPEC
+    from mmbidaf_tpu.utils.flops import e2e_decode_flops_per_video
+
+    cfg = bench_mod.build_bench_config(quick=True)
+    B = 2
+    rng = np.random.default_rng(0)
+    wv = random_word_vectors(rng, cfg.data.vocab_size, cfg.model.emb_dim)
+    params = mmbidaf_init(jax.random.key(0), cfg, jnp.asarray(wv))
+    fe = frontend_init(jax.random.key(1), cfg, vgg_spec=TINY_SPEC)
+    raw = bench_mod.make_raw_batch(rng, cfg, B)
+    raw = {k: jnp.asarray(v) for k, v in raw.items()}
+
+    def step(params, fe, raw):
+        batch = apply_frontend(fe, raw, cfg, TINY_SPEC)
+        _, picks = mmbidaf_decode(params, batch, cfg)
+        return picks
+
+    compiled = jax.jit(step).lower(params, fe, raw).compile()
+    xla_flops = compiled.cost_analysis()["flops"]
+    analytic = e2e_decode_flops_per_video(cfg, TINY_SPEC) * B
+    assert 0.5 * xla_flops < analytic < 1.1 * xla_flops, (
+        f"analytic {analytic:.3g} vs XLA {xla_flops:.3g}"
+    )
