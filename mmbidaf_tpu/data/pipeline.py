@@ -91,6 +91,7 @@ class VideoCorpus:
             self.num_audio_samples,
             media=not precomputed,
             keyframe_policy=d.keyframe_policy,
+            sample_rate=d.sample_rate,
         )
         enc = encode_transcript(
             assets["transcript"], self.word2idx, d.max_sentences, d.max_words
@@ -165,6 +166,7 @@ class VideoCorpus:
             from mmbidaf_tpu.data.video import IMAGE_EXTS
 
             fdir = os.path.join(vdir, "frames")
+            container_samples = container_sr = 0
             if os.path.exists(os.path.join(vdir, "frames.npy")):
                 n_raw = np.load(os.path.join(vdir, "frames.npy"), mmap_mode="r").shape[0]
             elif os.path.isdir(fdir):
@@ -173,6 +175,14 @@ class VideoCorpus:
                 )
             else:
                 n_raw = 0
+                from mmbidaf_tpu.data import containers
+
+                cpath = containers.find_container(vdir)
+                if cpath is not None and cpath.lower().endswith((".y4m", ".avi")):
+                    # header-only length read — never decodes pixels/PCM
+                    n_raw, container_samples, container_sr = (
+                        containers.container_lengths(cpath)
+                    )
             n_img = max(min(n_raw, d.max_keyframes), 1)
             if os.path.exists(os.path.join(vdir, "audio.npy")):
                 n_samples = np.load(
@@ -181,6 +191,10 @@ class VideoCorpus:
             elif os.path.exists(os.path.join(vdir, "audio.wav")):
                 with wave_mod.open(os.path.join(vdir, "audio.wav"), "rb") as w:
                     n_samples = w.getnframes()
+            elif container_samples and container_sr:
+                # container PCM resamples to d.sample_rate at load time
+                n_samples = int(round(container_samples * d.sample_rate
+                                      / container_sr))
             else:
                 n_samples = self.num_audio_samples  # silent track, full bucket
             n_aud = audio_frames_valid(

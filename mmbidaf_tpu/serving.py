@@ -308,7 +308,7 @@ def host_raw_row(
     d = cfg.data
     assets = load_video_assets(
         video_dir, d.max_keyframes, num_audio_samples(cfg),
-        keyframe_policy=d.keyframe_policy,
+        keyframe_policy=d.keyframe_policy, sample_rate=d.sample_rate,
     )
     enc = encode_transcript(
         assets["transcript"], word2idx, d.max_sentences, d.max_words
@@ -825,7 +825,7 @@ class Summarizer:
         d, m = self.cfg.data, self.cfg.model
         assets = load_video_assets(
             video_dir, d.max_keyframes, self._num_audio_samples,
-            keyframe_policy=d.keyframe_policy,
+            keyframe_policy=d.keyframe_policy, sample_rate=d.sample_rate,
         )
         sentences = sent_tokenize(assets["transcript"])
         n_aud = audio_frames_valid(

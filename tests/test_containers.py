@@ -1,0 +1,279 @@
+"""Real-bytes container decode (data/containers.py): y4m + MJPEG-AVI
+round-trips, header-only length reads, the load_video_assets container
+route, and a container→summary e2e — the VERDICT-r3 "raw-container leg"
+(SURVEY.md §1's I/O contract starts at raw video + transcript).
+
+Checked-in fixtures (tests/fixtures/sample.{y4m,avi}) pin the on-disk
+byte formats; everything else fabricates containers fresh per test."""
+
+import os
+
+import numpy as np
+import pytest
+
+from mmbidaf_tpu.data import containers
+
+FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+def smooth_frames(T=6, H=48, W=64, seed=0):
+    """Low-frequency RGB content (kind to 4:2:0 subsampling + JPEG)."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(T)[:, None, None]
+    y = np.arange(H)[None, :, None]
+    x = np.arange(W)[None, None, :]
+    chans = []
+    for c in range(3):
+        ph = rng.uniform(0, np.pi, 3)
+        img = (np.sin(x / 11.0 + ph[0] + t / 3.0) + np.cos(y / 9.0 + ph[1])
+               + np.sin((x + 2 * y) / 23.0 + ph[2]))
+        chans.append((img - img.min()) / (img.max() - img.min()) * 255)
+    return np.stack(chans, axis=-1).round().astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# y4m
+
+
+def test_y4m_roundtrip(tmp_path):
+    frames = smooth_frames()
+    p = str(tmp_path / "v.y4m")
+    containers.write_y4m(p, frames)
+    out = containers.decode_y4m(p)
+    assert out.shape == frames.shape and out.dtype == np.uint8
+    # 4:2:0 chroma + limited-range quantization: smooth content stays close
+    err = np.abs(out.astype(np.int32) - frames.astype(np.int32))
+    assert err.mean() < 3.0 and err.max() <= 40
+
+
+def test_y4m_stride_and_cap(tmp_path):
+    frames = smooth_frames(T=10)
+    p = str(tmp_path / "v.y4m")
+    containers.write_y4m(p, frames)
+    assert containers.decode_y4m(p, every_n=3).shape[0] == 4  # 0,3,6,9
+    assert containers.decode_y4m(p, max_frames=2).shape[0] == 2
+
+
+def test_y4m_c444_and_mono(tmp_path):
+    """Hand-built C444 and Cmono streams (other ffmpeg pixel formats)."""
+    H, W = 24, 32
+    y, u, v = containers._rgb_to_yuv(smooth_frames(T=1, H=H, W=W)[0])
+    p = str(tmp_path / "c444.y4m")
+    with open(p, "wb") as f:
+        f.write(f"YUV4MPEG2 W{W} H{H} F25:1 C444\n".encode())
+        f.write(b"FRAME\n" + y.tobytes() + u.tobytes() + v.tobytes())
+    out = containers.decode_y4m(p)
+    assert out.shape == (1, H, W, 3)
+
+    p2 = str(tmp_path / "mono.y4m")
+    with open(p2, "wb") as f:
+        f.write(f"YUV4MPEG2 W{W} H{H} F25:1 Cmono\n".encode())
+        f.write(b"FRAME\n" + y.tobytes())
+    out2 = containers.decode_y4m(p2)
+    assert out2.shape == (1, H, W, 3)
+    # mono: all three channels equal (neutral chroma)
+    assert np.all(out2[..., 0] == out2[..., 1])
+
+
+def test_y4m_rejects_garbage(tmp_path):
+    p = str(tmp_path / "bad.y4m")
+    with open(p, "wb") as f:
+        f.write(b"NOTY4M blah\njunk")
+    with pytest.raises(ValueError):
+        containers.decode_y4m(p)
+
+
+# ---------------------------------------------------------------------------
+# MJPEG-AVI
+
+
+def test_avi_roundtrip_video_and_audio(tmp_path):
+    frames = smooth_frames()
+    sr = 8000
+    wave = (0.4 * np.sin(2 * np.pi * 440 * np.arange(sr) / sr)).astype(np.float32)
+    p = str(tmp_path / "v.avi")
+    containers.write_mjpeg_avi(p, frames, waveform=wave, sample_rate=sr)
+    out, got_wave, got_sr = containers.decode_avi(p)
+    assert out.shape == frames.shape
+    err = np.abs(out.astype(np.int32) - frames.astype(np.int32))
+    assert err.mean() < 4.0  # JPEG q92 on smooth content
+    assert got_sr == sr
+    assert got_wave is not None and abs(len(got_wave) - len(wave)) <= 8
+    n = min(len(got_wave), len(wave))
+    assert np.max(np.abs(got_wave[:n] - wave[:n])) < 2e-4  # PCM16 quantization
+
+
+def test_avi_no_audio_and_stride(tmp_path):
+    frames = smooth_frames(T=9)
+    p = str(tmp_path / "v.avi")
+    containers.write_mjpeg_avi(p, frames)
+    out, wave, sr = containers.decode_avi(p, every_n=2, max_frames=3)
+    assert out.shape[0] == 3 and wave is None and sr == 0
+
+
+def test_avi_rejects_non_avi(tmp_path):
+    p = str(tmp_path / "x.avi")
+    with open(p, "wb") as f:
+        f.write(b"RIFF\x04\x00\x00\x00WAVE")
+    with pytest.raises(ValueError):
+        containers.decode_avi(p)
+
+
+def test_container_lengths(tmp_path):
+    frames = smooth_frames(T=7)
+    sr = 8000
+    wave = np.zeros(3 * sr, np.float32)
+    pa = str(tmp_path / "v.avi")
+    containers.write_mjpeg_avi(pa, frames, waveform=wave, sample_rate=sr)
+    nf, ns, got_sr = containers.container_lengths(pa)
+    assert nf == 7 and got_sr == sr and abs(ns - len(wave)) <= 8
+
+    py = str(tmp_path / "v.y4m")
+    containers.write_y4m(py, frames)
+    nf2, ns2, sr2 = containers.container_lengths(py)
+    assert nf2 == 7 and ns2 == 0 and sr2 == 0
+
+
+# ---------------------------------------------------------------------------
+# Checked-in fixture bytes (pin the format, prove real-bytes decode here)
+
+
+def test_fixture_avi_decodes():
+    p = os.path.join(FIXTURES, "sample.avi")
+    frames, wave, sr = containers.decode_avi(p)
+    assert frames.shape == (6, 48, 64, 3)
+    assert sr == 8000 and wave is not None and len(wave) >= 7900
+    assert 60 < frames.mean() < 200  # real picture content, not zeros
+
+
+def test_fixture_y4m_decodes():
+    p = os.path.join(FIXTURES, "sample.y4m")
+    frames = containers.decode_y4m(p)
+    assert frames.shape == (6, 48, 64, 3)
+    assert 60 < frames.mean() < 200
+
+
+@pytest.mark.skipif(
+    not __import__("mmbidaf_tpu.data.video", fromlist=["x"]).ffmpeg_available(),
+    reason="ffmpeg not installed",
+)
+def test_fixture_avi_matches_ffmpeg():
+    """Wherever ffmpeg exists, the vendored parser must agree with it on
+    the same container bytes (replaces the monkeypatch-only coverage)."""
+    from mmbidaf_tpu.data.video import decode_video_ffmpeg
+
+    p = os.path.join(FIXTURES, "sample.avi")
+    ours, _, _ = containers.decode_avi(p)
+    theirs = decode_video_ffmpeg(p, every_n=1)
+    assert theirs.shape[0] == ours.shape[0]
+    # ffmpeg decodes at source resolution only with scale=w:h matching
+    err = np.abs(ours.astype(np.int32) - theirs.astype(np.int32))
+    assert err.mean() < 8.0
+
+
+# ---------------------------------------------------------------------------
+# load_video_assets route + corpus e2e
+
+
+def _write_container_video_dir(vdir, with_audio=True, ext="avi"):
+    os.makedirs(vdir, exist_ok=True)
+    frames = smooth_frames(T=8)
+    if ext == "avi":
+        sr = 16000
+        wave = (0.3 * np.sin(2 * np.pi * 220 * np.arange(sr // 2) / sr)
+                ).astype(np.float32)
+        containers.write_mjpeg_avi(
+            os.path.join(vdir, "video.avi"), frames,
+            waveform=wave if with_audio else None, sample_rate=sr,
+        )
+    else:
+        containers.write_y4m(os.path.join(vdir, "video.y4m"), frames)
+    with open(os.path.join(vdir, "transcript.txt"), "w") as f:
+        f.write("The cat sat on the mat. Dogs bark loudly at night. "
+                "Numbers are useful tools. The sun rises in the east.")
+    with open(os.path.join(vdir, "summary.txt"), "w") as f:
+        f.write("The cat sat on the mat.")
+    return frames
+
+
+def test_load_video_assets_from_avi(tmp_path):
+    from mmbidaf_tpu.data.video import load_video_assets
+
+    vdir = str(tmp_path / "vid0")
+    _write_container_video_dir(vdir)
+    assets = load_video_assets(vdir, max_keyframes=4, num_audio_samples=16000,
+                               sample_rate=16000)
+    assert assets["frames"].shape == (4, 48, 64, 3)
+    assert assets["img_mask"].sum() == 4
+    assert np.abs(assets["waveform"]).max() > 0.1  # container PCM made it
+    assert assets["valid_samples"] > 4000
+
+
+def test_load_video_assets_from_y4m_silent(tmp_path):
+    from mmbidaf_tpu.data.video import load_video_assets
+
+    vdir = str(tmp_path / "vid1")
+    _write_container_video_dir(vdir, ext="y4m")
+    assets = load_video_assets(vdir, max_keyframes=16, num_audio_samples=8000,
+                               sample_rate=16000)
+    assert assets["frames"].shape[0] == 16
+    assert assets["img_mask"].sum() == 8  # 8 real frames, rest padded
+    assert np.abs(assets["waveform"]).max() == 0.0  # y4m carries no audio
+
+
+def test_corpus_lengths_and_example_from_containers(tmp_path):
+    """VideoCorpus over container-only video dirs: the header-only length
+    sweep and full example assembly both work without ffmpeg."""
+    from mmbidaf_tpu.config import Config, DataConfig, ModelConfig
+    from mmbidaf_tpu.data.pipeline import VideoCorpus
+    from mmbidaf_tpu.data.vocab import vocab_from_corpus_dir
+
+    root = str(tmp_path / "corpus")
+    for i in range(2):
+        _write_container_video_dir(os.path.join(root, f"v{i}"),
+                                   with_audio=(i == 0))
+    cfg = Config(
+        data=DataConfig(max_sentences=8, max_words=8, max_keyframes=4,
+                        max_audio_frames=32, vocab_size=200),
+        model=ModelConfig(hidden_size=16, img_feat_dim=32, audio_feat_dim=40),
+    )
+    w2i = vocab_from_corpus_dir(root)
+    corpus = VideoCorpus(root, cfg, w2i)
+    lengths = corpus.example_lengths(0)
+    assert lengths["keyframes"] == 4  # 8 raw frames capped at the bucket
+    assert lengths["audio_frames"] >= 1
+    ex = corpus[0]
+    assert ex["frames"].shape == (4, 48, 64, 3)
+    assert ex["sent_mask"].sum() >= 3
+
+
+def test_container_summary_e2e(tmp_path):
+    """Raw AVI container → host decode → device frontend → summary text:
+    the full SURVEY §1 I/O contract on real container bytes."""
+    from mmbidaf_tpu.config import Config, DataConfig, ModelConfig
+    from mmbidaf_tpu.data.vocab import vocab_from_corpus_dir
+    from mmbidaf_tpu.serving import Summarizer
+
+    root = str(tmp_path / "corpus")
+    vdir = os.path.join(root, "v0")
+    _write_container_video_dir(vdir)
+    cfg = Config(
+        data=DataConfig(max_sentences=8, max_words=8, max_keyframes=4,
+                        max_audio_frames=32, vocab_size=200, image_size=32,
+                        n_fft=128, win_length=128, hop_length=64),
+        model=ModelConfig(hidden_size=16, img_feat_dim=32, audio_feat_dim=40,
+                          max_decode_steps=2, vgg_variant="tiny"),
+    )
+    from mmbidaf_tpu.ops.vgg import TINY_SPEC
+
+    s = Summarizer.init_random(cfg, seed=0, vgg_spec=TINY_SPEC)
+    s.word2idx = vocab_from_corpus_dir(root)  # real corpus vocab (ids < 200)
+    summary = s.summarize(vdir)
+    assert isinstance(summary, str) and len(summary) > 0
+    # picks must be verbatim transcript sentences
+    with open(os.path.join(vdir, "transcript.txt")) as f:
+        transcript = f.read()
+    import re
+
+    for sent in re.split(r"(?<=\.)\s+", summary.strip()):
+        assert sent and sent in transcript
