@@ -1,0 +1,181 @@
+"""On-chip Pallas kernel parity harness (VERDICT r3 item 6; SURVEY.md §5
+item 2: kernel tests "interpret mode on CPU, THEN compiled on TPU").
+
+The default test suite proves every fused kernel against its jnp reference
+in interpret mode (tests/test_pallas_kernels.py); this CLI runs the same
+comparisons COMPILED on the real backend at serving shapes — Mosaic
+compilation, VMEM tiling, and bf16 MXU behavior are only exercised here.
+
+    python tools/kernel_parity.py --out docs/KERNEL_PARITY_r4.json
+    PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python tools/kernel_parity.py   # CPU dry run
+
+Prints one row per kernel (max|Δ| vs reference, tolerance, PASS/FAIL) and
+exits non-zero on any failure. One process = one TPU claim (CLAUDE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+RESULTS: list[dict] = []
+
+
+def check(name: str, got, ref, atol: float, rtol: float = 0.0) -> None:
+    got = np.asarray(got, np.float32)
+    ref = np.asarray(ref, np.float32)
+    err = np.max(np.abs(got - ref) / (np.abs(ref) * rtol + atol)) if got.size else 0.0
+    ok = bool(err <= 1.0) and got.shape == ref.shape
+    RESULTS.append({
+        "kernel": name, "ok": ok,
+        "max_abs_err": float(np.max(np.abs(got - ref))) if got.size else 0.0,
+        "atol": atol, "rtol": rtol, "shape": list(got.shape),
+    })
+    print(f"{'PASS' if ok else 'FAIL'}  {name:42s} "
+          f"max|Δ|={RESULTS[-1]['max_abs_err']:.3e} (atol={atol:g}, rtol={rtol:g})")
+
+
+def ragged_mask(rng, B, T):
+    lengths = rng.integers(1, T + 1, size=B)
+    lengths[0] = T
+    return (np.arange(T)[None, :] < lengths[:, None]).astype(np.float32)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=None, help="JSON report path")
+    ap.add_argument("--batch", type=int, default=32)
+    a = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from mmbidaf_tpu.ops import audio
+    from mmbidaf_tpu.ops.bidaf import bidaf_apply, bidaf_init
+    from mmbidaf_tpu.ops.lstm import bilstm_apply, bilstm_init
+    from mmbidaf_tpu.ops.pallas.bidaf_kernel import (
+        bidaf_attention_fused, bidaf_attention_fused_trainable,
+    )
+    from mmbidaf_tpu.ops.pallas.bidaf_tiled_kernel import bidaf_attention_tiled
+    from mmbidaf_tpu.ops.pallas.lstm_kernel import bilstm_pallas, bilstm_pallas_trainable
+    from mmbidaf_tpu.ops.pallas.melspec_kernel import log_mel_fused, mfcc_fused
+    from mmbidaf_tpu.ops.pallas.preprocess_kernel import preprocess_frames_fused
+    from mmbidaf_tpu.ops.vgg import preprocess_frames
+
+    backend = jax.default_backend()
+    device_kind = jax.devices()[0].device_kind
+    print(f"backend={backend} device={device_kind}")
+    t0 = time.perf_counter()
+    jax.device_get(jnp.zeros(()) + 1.0)  # flush the relay claim
+    print(f"claim: {time.perf_counter() - t0:.1f}s")
+
+    rng = np.random.default_rng(0)
+    B = a.batch
+
+    # ---- fused BiDAF at serving shapes (text anchor vs audio tower) ----
+    T_c, T_q, D = 32, 512, 256
+    params = bidaf_init(jax.random.key(0), D)
+    c = jnp.asarray(rng.standard_normal((B, T_c, D)), jnp.float32)
+    q = jnp.asarray(rng.standard_normal((B, T_q, D)), jnp.float32)
+    cm = jnp.asarray(ragged_mask(rng, B, T_c))
+    qm = jnp.asarray(ragged_mask(rng, B, T_q))
+    ref = jax.jit(bidaf_apply)(params, c, q, cm, qm)
+    got = jax.jit(bidaf_attention_fused)(params, c, q, cm, qm)
+    check("bidaf_attention_fused (f32, 32x512)", got, ref, atol=3e-4, rtol=1e-4)
+
+    # bf16 operands (the serving compute dtype) — bf16-level tolerance
+    to_bf = lambda t: jax.tree.map(lambda x: x.astype(jnp.bfloat16)
+                                   if x.dtype == jnp.float32 else x, t)
+    ref16 = jax.jit(bidaf_apply)(to_bf(params), to_bf(c), to_bf(q), cm, qm)
+    got16 = jax.jit(bidaf_attention_fused)(to_bf(params), to_bf(c), to_bf(q), cm, qm)
+    check("bidaf_attention_fused (bf16)", got16.astype(jnp.float32),
+          ref16.astype(jnp.float32), atol=0.15, rtol=0.05)
+
+    # ---- trainable BiDAF: gradients through the fused backward ----
+    def loss_ref(p, cc, qq):
+        return (bidaf_apply(p, cc, qq, cm, qm) ** 2).sum() / B
+
+    def loss_fused(p, cc, qq):
+        return (bidaf_attention_fused_trainable(p, cc, qq, cm, qm) ** 2).sum() / B
+
+    g_ref = jax.jit(jax.grad(loss_ref, argnums=(0, 1, 2)))(params, c, q)
+    g_got = jax.jit(jax.grad(loss_fused, argnums=(0, 1, 2)))(params, c, q)
+    for (name, gr, gg) in [("params", g_ref[0], g_got[0]),
+                           ("c", g_ref[1], g_got[1]), ("q", g_ref[2], g_got[2])]:
+        gr_flat = np.concatenate([np.ravel(x) for x in jax.tree.leaves(gr)])
+        gg_flat = np.concatenate([np.ravel(x) for x in jax.tree.leaves(gg)])
+        check(f"bidaf_fused_trainable grad[{name}]", gg_flat, gr_flat,
+              atol=5e-3, rtol=1e-3)
+
+    # ---- tiled BiDAF (ring-ready blockwise variant) ----
+    got_t = jax.jit(lambda *xs: bidaf_attention_tiled(*xs))(params, c, q, cm, qm)
+    check("bidaf_attention_tiled (f32)", got_t, ref, atol=3e-4, rtol=1e-4)
+
+    # ---- Pallas BiLSTM fwd at word-level serving shapes ----
+    rows, T, Din, H = B * 32, 16, 128, 128
+    lp = bilstm_init(jax.random.key(1), Din, H)
+    x = jnp.asarray(rng.standard_normal((rows, T, Din)), jnp.float32) * 0.3
+    m = jnp.asarray(ragged_mask(rng, rows, T))
+    out_ref, (h_ref, c_ref) = jax.jit(bilstm_apply)(lp, x, m)
+    out_got, (h_got, c_got) = jax.jit(bilstm_pallas)(lp, x, m)
+    check("bilstm_pallas out (1024 rows)", out_got, out_ref, atol=2e-4, rtol=1e-4)
+    check("bilstm_pallas h_n", h_got, h_ref, atol=2e-4, rtol=1e-4)
+    check("bilstm_pallas c_n", c_got, c_ref, atol=5e-4, rtol=1e-4)
+
+    # ---- Pallas BiLSTM BPTT backward ----
+    def l_ref(p, xx):
+        o, (h, cc) = bilstm_apply(p, xx, m)
+        return (o ** 2).sum() / rows + (h * cc).sum() / rows
+
+    def l_got(p, xx):
+        o, (h, cc) = bilstm_pallas_trainable(p, xx, m)
+        return (o ** 2).sum() / rows + (h * cc).sum() / rows
+
+    gr = jax.jit(jax.grad(l_ref, argnums=(0, 1)))(lp, x)
+    gg = jax.jit(jax.grad(l_got, argnums=(0, 1)))(lp, x)
+    gr_flat = np.concatenate([np.ravel(t) for t in jax.tree.leaves(gr)])
+    gg_flat = np.concatenate([np.ravel(t) for t in jax.tree.leaves(gg)])
+    check("bilstm_pallas_trainable grads", gg_flat, gr_flat, atol=1e-3, rtol=1e-3)
+
+    # ---- fused melspec / MFCC at the serving audio shape ----
+    n_fft, win, n_mels, n_mfcc = 512, 400, 64, 40
+    consts = {k: jnp.asarray(v) for k, v in audio.make_audio_frontend_consts(
+        16000, n_fft, win, n_mels, n_mfcc).items()}
+    frames = jnp.asarray(rng.standard_normal((B, 512, win)), jnp.float32) * 0.1
+    ref_lm = jax.jit(audio.log_mel)(frames, consts)
+    got_lm = jax.jit(lambda f, c: log_mel_fused(f, c))(frames, consts)
+    check("log_mel_fused (512 frames)", got_lm, ref_lm, atol=2e-3, rtol=1e-3)
+    ref_mf = jax.jit(audio.mfcc)(frames, consts)
+    got_mf = jax.jit(lambda f, c: mfcc_fused(f, c))(frames, consts)
+    check("mfcc_fused (one-pass whole example)", got_mf, ref_mf, atol=5e-3, rtol=1e-3)
+
+    # ---- one-pass preprocess kernel (kept as negative-result evidence) ----
+    fr = jnp.asarray(rng.integers(0, 256, (64, 240, 320, 3)), jnp.uint8)
+    ref_pp = jax.jit(lambda f: preprocess_frames(f, 224))(fr)
+    got_pp = jax.jit(lambda f: preprocess_frames_fused(f, 224))(fr)
+    check("preprocess_frames_fused (240x320->224)", got_pp, ref_pp,
+          atol=2e-3, rtol=1e-3)
+
+    n_fail = sum(0 if r["ok"] else 1 for r in RESULTS)
+    report = {
+        "backend": backend, "device_kind": device_kind,
+        "batch": B, "n_kernels": len(RESULTS), "n_fail": n_fail,
+        "results": RESULTS,
+    }
+    if a.out:
+        with open(a.out, "w") as f:
+            json.dump(report, f, indent=1)
+        print(f"wrote {a.out}")
+    print(f"{len(RESULTS) - n_fail}/{len(RESULTS)} parity checks passed")
+    raise SystemExit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
