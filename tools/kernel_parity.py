@@ -28,6 +28,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 RESULTS: list[dict] = []
 
 
+def _install_sigterm():
+    """SIGTERM → KeyboardInterrupt so an interrupted run UNWINDS (releases
+    the PJRT device claim) instead of wedging the relay (CLAUDE.md)."""
+    import signal
+
+    def _h(signum, frame):
+        raise KeyboardInterrupt
+
+    signal.signal(signal.SIGTERM, _h)
+
+
 def check(name: str, got, ref, atol: float, rtol: float = 0.0) -> None:
     got = np.asarray(got, np.float32)
     ref = np.asarray(ref, np.float32)
@@ -178,4 +189,9 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    _install_sigterm()
+    try:
+        main()
+    except KeyboardInterrupt:
+        print("kernel_parity interrupted; exiting cleanly", file=sys.stderr)
+        raise SystemExit(130)
