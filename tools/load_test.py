@@ -205,11 +205,25 @@ def run_config(summarizer, dirs_by_tier: dict[str, list[str]], *, name: str,
     thread.start()
     try:
         # warmup: one sequential request per tier pays compiles (per-rung
-        # programs under buckets) outside the measured window
+        # programs under buckets) outside the measured window. A cold
+        # remote compile can exceed any reasonable socket timeout; on a
+        # client-side timeout the SERVER keeps compiling, so retrying just
+        # queues behind the handler lock until the program is ready.
         for tier in dirs_by_tier:
-            code, body = _post(port, dirs_by_tier[tier][0], http_timeout)
+            for attempt in range(4):
+                try:
+                    code, body = _post(port, dirs_by_tier[tier][0],
+                                       max(http_timeout, 900.0))
+                    break
+                except (TimeoutError, ConnectionError, OSError) as e:
+                    print(f"[{name}] warmup {tier} attempt {attempt + 1}: "
+                          f"{type(e).__name__} (compile still running?) — "
+                          "retrying", flush=True)
+            else:
+                raise RuntimeError(f"[{name}] warmup {tier} never completed")
             if code != 200:
                 raise RuntimeError(f"[{name}] warmup {tier} failed: {body}")
+            print(f"[{name}] warmup {tier} ok", flush=True)
         stats = drive(port, dirs_by_tier, clients=clients, requests=requests,
                       timeout=http_timeout, seed=seed)
     finally:
