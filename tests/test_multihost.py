@@ -9,12 +9,14 @@ same steps run in-process — the multi-host path is a config change, not a
 rewrite.
 
 IN THE DEFAULT SUITE since r4 (VERDICT r3 item 5): adds ~20 min on this
-1-core box (the two CLI tests dominate; their XLA programs deserialize
-from .jax_cache_cpu on repeat runs). Opt out for quick iteration with
+1-core box (the two CLI tests dominate). Opt out for quick iteration with
 ``MMB_SKIP_MULTIHOST=1``. De-flake rules baked in below: small per-process
 device counts (1-core box — 8 faked devices across 2 processes starve the
-collective rendezvous), generous staged timeouts, and kill-both-on-timeout
-so one wedged process can't cascade into the next test's port/rendezvous.
+collective rendezvous), generous staged timeouts, kill-both-on-timeout so
+one wedged process can't cascade into the next test's port/rendezvous,
+and NO compilation cache in two-process runs (asymmetric cache hits make
+one process enter the gloo rendezvous while its peer still compiles —
+the 30 s GetKeyValue deadline then kills it; reproduced + fixed r4).
 """
 
 import os
@@ -458,17 +460,24 @@ def test_two_process_train_cli_real_corpus(tmp_path):
     # 2 devices/host (4 total), batch 4 (2 local rows per host): this box
     # has ONE core — 8 faked devices starve the collective rendezvous
     # (observed flaky AwaitAndLogIfStuck aborts); 4 keeps it reliable.
-    def argv(save):
+    def argv(save, cache=False):
+        # --jax_cache ONLY for the single-process reference run (pure
+        # compile-time win, no cross-process collectives). NEVER for the
+        # two-process phase: a cache hit in one process and a miss in the
+        # other makes their startups ASYMMETRIC, and gloo's KV rendezvous
+        # has a hard 30 s GetKeyValue deadline — the cache-hit process
+        # enters the collective and times out while its peer is still
+        # compiling (reproduced r4: JaxRuntimeError DEADLINE_EXCEEDED
+        # cpu:gloo GetKeyValue; plus XLA:CPU AOT reload warns of machine-
+        # feature mismatch on entries written by the in-process suite).
         return [
             sys.executable, "train.py", "--data_dir", str(corpus),
             "--vgg", "tiny", "--buckets", "auto",
             "--hidden_size", "12", "--batch_size", "4",
             "--num_steps", "4", "--eval_steps", "2", "--drop_prob", "0.0",
             "--save_dir", str(save),
-            # repeat suite runs deserialize the XLA programs instead of
-            # recompiling (the dominant cost of this test on a 1-core box)
-            "--jax_cache", os.path.join(REPO, ".jax_cache_cpu"),
-        ]
+        ] + (["--jax_cache", os.path.join(REPO, ".jax_cache_cpu")]
+             if cache else [])
 
     def eval_losses(save):
         logs = [json.loads(ln) for ln in
@@ -479,7 +488,7 @@ def test_two_process_train_cli_real_corpus(tmp_path):
     env = dict(os.environ)
     env.update(JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="",
                XLA_FLAGS="--xla_force_host_platform_device_count=4")
-    res = subprocess.run(argv(tmp_path / "ref"), env=env, cwd=REPO,
+    res = subprocess.run(argv(tmp_path / "ref", cache=True), env=env, cwd=REPO,
                          capture_output=True, text=True, timeout=900)
     assert res.returncode == 0, (res.stdout + res.stderr)[-3000:]
     want = eval_losses(tmp_path / "ref")
@@ -501,7 +510,8 @@ def test_two_process_train_cli(tmp_path):
         "--hidden_size", "12", "--batch_size", "8", "--num_steps", "4",
         "--max_sentences", "6", "--max_words", "5", "--eval_steps", "2",
         "--drop_prob", "0.0", "--save_dir", str(save),
-        "--jax_cache", os.path.join(REPO, ".jax_cache_cpu"),
+        # no --jax_cache in two-process runs: asymmetric cache hits blow
+        # gloo's 30 s rendezvous deadline (see the real-corpus test)
     ]
     outs = _spawn_two({0: argv, 1: argv}, timeout=600)
 
