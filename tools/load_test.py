@@ -32,6 +32,7 @@ import argparse
 import dataclasses
 import http.client
 import json
+import math
 import os
 import queue as queue_mod
 import sys
@@ -99,11 +100,11 @@ def make_mixed_corpus(root: str, cfg, *, per_tier: int = 2,
 # -- client driver ------------------------------------------------------------
 
 def percentile(xs: list[float], q: float) -> float:
-    """Nearest-rank percentile (matches tools/serve.py's _LatencyStats)."""
+    """Nearest-rank percentile ceil(q*n)-1 (matches serve._LatencyStats)."""
     if not xs:
         return float("nan")
     s = sorted(xs)
-    return s[min(len(s) - 1, max(0, int(round(q / 100.0 * len(s))) - 1))]
+    return s[min(len(s) - 1, max(0, math.ceil(q / 100.0 * len(s)) - 1))]
 
 
 def _post(port: int, video_dir: str, timeout: float) -> tuple[int, str]:
