@@ -94,6 +94,17 @@ def main():
     t_hi = min(run(n_hi), run(n_hi))
     per_step = max((t_hi - t_lo) / (n_hi - n_lo), 1e-9)
 
+    # Analytic FLOP anchor (VERDICT r4 item 6): hardware-relative MFU so
+    # steps/s is comparable beyond its own history. Denominator is the bf16
+    # MXU peak — on TPU even the f32 jnp path runs matmuls at XLA default
+    # precision = bf16 MXU inputs (CLAUDE.md numerics note).
+    from mmbidaf_tpu.utils.flops import peak_bf16_tflops, train_step_flops
+
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    step_flops = train_step_flops(cfg, B, n_params)
+    achieved_tflops = step_flops / per_step / 1e12
+    peak = peak_bf16_tflops(jax.devices()[0].device_kind)
+
     print(json.dumps({
         "metric": "train_steps_per_sec",
         "value": round(1.0 / per_step, 3),
@@ -102,6 +113,10 @@ def main():
         "batch_size": B,
         "p50_step_latency_s": round(per_step, 4),
         "compile_s": round(compile_s, 1),
+        "train_step_tflops": round(step_flops / 1e12, 4),
+        "achieved_tflops": round(achieved_tflops, 2),
+        "mfu": round(achieved_tflops / peak, 4) if peak else None,
+        "n_params": n_params,
         "backend": jax.default_backend(),
     }))
 

@@ -137,6 +137,30 @@ def e2e_decode_flops_per_video(
     return d.max_keyframes * per_frame + audio_frontend_flops(cfg) + model_flops(cfg)
 
 
+# Optimizer elementwise FLOPs per parameter per step (rough: EMA updates,
+# squares, rsqrt-ish work). Dwarfed by the GEMM terms — included so the
+# train-step count's stated scope is "everything dense plus param traffic".
+_OPT_FLOPS_PER_PARAM = {"adadelta": 14.0, "adam": 12.0, "sgd": 2.0}
+
+
+def train_step_flops(cfg: Config, batch_size: int, n_params: int) -> float:
+    """Analytic FLOPs of one jitted train step on FEATURE batches (the
+    bench_train.py program: towers + attention + fusion + teacher-forced
+    decoder + NLL, then backprop and the optimizer update).
+
+    backward ≈ 2× forward (each GEMM spawns a dL/dX and a dL/dW GEMM of
+    equal cost), so step ≈ 3× forward GEMM FLOPs, plus per-param optimizer
+    + EMA + global-norm-clip elementwise work. Rematerialized towers
+    (TrainConfig.remat_towers) re-run tower forwards inside backprop;
+    that recompute is NOT counted, keeping the count an under-estimate
+    (same policy as the module docstring)."""
+    fwd = batch_size * model_flops(cfg)
+    opt = _OPT_FLOPS_PER_PARAM.get(cfg.train.optimizer, 0.0) * n_params
+    ema = (3.0 * n_params) if cfg.train.ema_decay else 0.0
+    clip = 3.0 * n_params if cfg.train.max_grad_norm else 0.0
+    return 3.0 * fwd + opt + ema + clip
+
+
 # Published per-chip dense peak (TFLOP/s) at the MXU's native bf16 rate,
 # keyed by substrings of jax device_kind. The bench's accelerated path runs
 # bf16 (build_bench_config), so this is the right denominator for MFU.

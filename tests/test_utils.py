@@ -130,3 +130,32 @@ def test_flops_vs_xla_cost_analysis():
     assert 0.5 * xla_flops < analytic < 1.1 * xla_flops, (
         f"analytic {analytic:.3g} vs XLA {xla_flops:.3g}"
     )
+
+
+def test_train_flops_vs_xla_cost_analysis():
+    """train_step_flops must agree with XLA's HloCostAnalysis of the actual
+    jitted train step (fwd + bwd + adadelta/EMA/clip). GEMM-only + the
+    3x-forward backprop model => a modest under-estimate at tiny shapes."""
+    import bench as bench_mod
+    from mmbidaf_tpu.data.synthetic import random_word_vectors, synthetic_batch
+    from mmbidaf_tpu.models.mmbidaf import mmbidaf_init
+    from mmbidaf_tpu.train.loop import init_train_state, make_train_step
+    from mmbidaf_tpu.utils.flops import train_step_flops
+
+    cfg = bench_mod.build_bench_config(quick=True)
+    B = 2
+    rng = np.random.default_rng(0)
+    wv = random_word_vectors(rng, cfg.data.vocab_size, cfg.model.emb_dim)
+    params = mmbidaf_init(jax.random.key(0), cfg, jnp.asarray(wv))
+    state = init_train_state(jax.random.key(1), params, cfg)
+    batch = {k: jnp.asarray(v)
+             for k, v in synthetic_batch(rng, cfg, batch_size=B).items()}
+    train_step = make_train_step(cfg)
+
+    compiled = jax.jit(train_step).lower(state, batch).compile()
+    xla_flops = compiled.cost_analysis()["flops"]
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    analytic = train_step_flops(cfg, B, n_params)
+    assert 0.4 * xla_flops < analytic < 1.2 * xla_flops, (
+        f"analytic {analytic:.3g} vs XLA {xla_flops:.3g}"
+    )
