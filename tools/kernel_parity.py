@@ -54,10 +54,44 @@ BACKEND = "cpu"  # set in main()
 # precision feeds the systolic array bf16 inputs (~2^-8 relative per
 # contraction), and the jnp production path pays the same rounding in a
 # different summation order. The honest on-chip contract is therefore
-# |kernel - highest-precision reference| <= atol + MXU_REL * max|ref|,
+# |kernel - highest-precision reference| <= atol + rel * max|ref|,
 # with the jnp-at-default-precision drift recorded alongside as context
 # (the kernel must not be WORSE than the path it replaces).
-MXU_REL = 2.5e-2
+MXU_REL = 2.5e-2  # blanket fallback for kernels with no measured envelope
+
+# Per-kernel measured envelopes (VERDICT r4 item 7): the blanket 2.5e-2
+# bound sat ~10x above the errors actually measured on chip, so a kernel
+# regression that tripled its error would still have passed. The r4 on-chip
+# run (docs/KERNEL_PARITY_r4.json, TPU v5 lite, batch 32, seed 0) measured
+# these rel_err = max|Δ|/max|ref| values; the TPU bound is now
+# max(2 x measured, MXU_FLOOR) — 2x covers compiler-version summation-order
+# drift, the floor is the bf16 mantissa step (2^-8 ≈ 3.9e-3) no MXU kernel
+# can beat. A real regression (error x3) now trips the harness.
+MXU_FLOOR = 4e-3
+MEASURED_REL_R4 = {
+    "bidaf_attention_fused (f32, 32x512)": 2.42e-3,
+    "bidaf_attention_fused (bf16)": 1.06e-2,
+    "bidaf_fused_trainable grad[params]": 2.48e-3,
+    "bidaf_fused_trainable grad[c]": 2.84e-3,
+    "bidaf_fused_trainable grad[q]": 5.14e-3,
+    "bidaf_attention_tiled (f32)": 2.35e-3,
+    "bilstm_pallas out (1024 rows)": 3.20e-3,
+    "bilstm_pallas h_n": 2.49e-3,
+    "bilstm_pallas c_n": 2.54e-3,
+    "bilstm_pallas_trainable grads": 1.84e-3,
+    "log_mel_fused (512 frames)": 5.89e-3,
+    "mfcc_fused (one-pass whole example)": 2.01e-3,
+    "preprocess_frames_fused (240x320->224)": 8.17e-3,
+}
+
+
+def tpu_rel_bound(name: str, mxu_rel: float) -> float:
+    """Per-kernel TPU relative bound: measured-envelope when we have one,
+    else the caller's mxu_rel / blanket fallback."""
+    measured = MEASURED_REL_R4.get(name)
+    if measured is None:
+        return mxu_rel
+    return max(2.0 * measured, MXU_FLOOR)
 
 
 def check(name: str, got, ref_hi, atol: float, rtol: float = 0.0,
@@ -67,17 +101,28 @@ def check(name: str, got, ref_hi, atol: float, rtol: float = 0.0,
     DEFAULT matmul precision) is recorded as drift context."""
     got = np.asarray(got, np.float32)
     ref = np.asarray(ref_hi, np.float32)
-    err = float(np.max(np.abs(got - ref))) if got.size else 0.0
+    abs_err = np.abs(got - ref)
+    err = float(np.max(abs_err)) if got.size else 0.0
     scale = float(np.max(np.abs(ref))) if ref.size else 0.0
     if BACKEND == "tpu":
-        bound = atol + mxu_rel * scale
+        rel = tpu_rel_bound(name, mxu_rel)
+        bound = atol + rel * scale
     else:
+        rel = rtol
         bound = atol + rtol * scale
     ok = bool(err <= bound) and got.shape == ref.shape
+    # Per-element diagnostics (ADVICE r4): a single global-scale bound can
+    # hide moderate errors in small-magnitude elements of wide-dynamic-range
+    # outputs (grads). Record the tail and the fraction of elements that
+    # would exceed an elementwise mixed bound atol + rel*|ref_i| — an early
+    # regression signal even where the global bound still passes.
     row = {
         "kernel": name, "ok": ok, "max_abs_err": err,
         "ref_scale": scale, "rel_err": err / scale if scale else 0.0,
-        "bound": bound, "atol": atol, "rtol": rtol,
+        "bound": bound, "atol": atol, "rtol": rtol, "tpu_rel": rel,
+        "p999_abs_err": float(np.quantile(abs_err, 0.999)) if got.size else 0.0,
+        "frac_exceed_elementwise": float(
+            np.mean(abs_err > atol + rel * np.abs(ref))) if got.size else 0.0,
         "shape": list(got.shape),
     }
     if ref_default is not None:
