@@ -232,13 +232,15 @@ def test_max_queue_sheds_load(serving_setup):
 
     s, dirs, bad = serving_setup
     release = threading.Event()
-    orig = s._decode_batch
+    # the batcher thread dispatches via _decode_batch_device — block THAT
+    # so the request queue backs up behind the batcher
+    orig = s._decode_batch_device
 
     def slow_decode(raw, **kw):
         assert release.wait(timeout=60)
         return orig(raw, **kw)
 
-    s._decode_batch = slow_decode
+    s._decode_batch_device = slow_decode
     try:
         with DynamicBatcher(s, max_batch_size=1, max_wait_ms=1.0,
                             max_queue=1) as b:
@@ -261,4 +263,50 @@ def test_max_queue_sheds_load(serving_setup):
             assert b.stats["rejected"] == 1
             assert b.stats["requests"] == 2
     finally:
-        s._decode_batch = orig
+        s._decode_batch_device = orig
+
+
+def test_pipeline_depth_zero_matches_default(serving_setup):
+    """pipeline_depth=0 (synchronous fetch, the r4 behavior) must produce
+    the same outputs and stats as the pipelined default."""
+    s, dirs, _ = serving_setup
+    expected = {vd: s.summarize(vd) for vd in dirs}
+    with DynamicBatcher(s, max_batch_size=2, max_wait_ms=1.0,
+                        pipeline_depth=0) as b:
+        assert b._completer is None
+        for vd in dirs:
+            assert b.submit(vd) == expected[vd]
+        assert b.stats["requests"] == 3 and b.stats["batches"] == 3
+
+    with pytest.raises(ValueError, match="pipeline_depth"):
+        DynamicBatcher(s, max_batch_size=2, pipeline_depth=-1)
+
+
+def test_pipelined_fetch_error_fails_batch_not_completer(serving_setup):
+    """A device error surfaces at FETCH time under async dispatch — it must
+    fail that batch's futures on the completion thread and leave both
+    threads alive for later requests."""
+    s, dirs, _ = serving_setup
+
+    class ExplodingPicks:
+        def __array__(self, *a, **kw):
+            raise RuntimeError("device fault at fetch")
+
+    orig = s._decode_batch_device
+    calls = {"n": 0}
+
+    def faulty(raw, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return None, ExplodingPicks()
+        return orig(raw, **kw)
+
+    s._decode_batch_device = faulty
+    try:
+        with DynamicBatcher(s, max_batch_size=2, max_wait_ms=1.0) as b:
+            with pytest.raises(RuntimeError, match="device fault"):
+                b.submit(dirs[0])
+            # completer survived; clean requests still flow through it
+            assert b.submit(dirs[1]) == s.summarize(dirs[1])
+    finally:
+        s._decode_batch_device = orig

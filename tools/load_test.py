@@ -9,6 +9,7 @@ for exactly this scenario:
 
   * ``seq``             — plain daemon (handler lock serializes the device)
   * ``batch``           — DynamicBatcher coalescing (no buckets)
+  * ``batch_sync``      — same, pipeline_depth=0 (fetch blocks next collate)
   * ``bucket_group``    — bucket-ladder trimming + covering-rung grouping
   * ``bucket_nogroup``  — bucket trimming, one full-cap batch per window
 
@@ -189,6 +190,7 @@ def drive(port: int, dirs_by_tier: dict[str, list[str]], *, clients: int,
 def run_config(summarizer, dirs_by_tier: dict[str, list[str]], *, name: str,
                clients: int, requests: int, dynamic_batch: int = 0,
                group_buckets: bool = True, batch_wait_ms: float = 5.0,
+               pipeline_depth: int = 1,
                http_timeout: float = 600.0, seed: int = 0) -> dict:
     """Serve `summarizer` over HTTP and load it; returns the stats row."""
     from serve import serve  # tools/serve.py — the real daemon stack
@@ -199,6 +201,7 @@ def run_config(summarizer, dirs_by_tier: dict[str, list[str]], *, name: str,
         batcher = DynamicBatcher(
             summarizer, max_batch_size=dynamic_batch,
             max_wait_ms=batch_wait_ms, group_buckets=group_buckets,
+            pipeline_depth=pipeline_depth,
         )
     srv = serve(summarizer, port=0, batcher=batcher)
     port = srv.server_address[1]
@@ -238,7 +241,9 @@ def run_config(summarizer, dirs_by_tier: dict[str, list[str]], *, name: str,
     return stats
 
 
-CONFIGS = ("seq", "batch", "bucket_group", "bucket_nogroup")
+# 'batch_sync' is the pipeline A/B: same batcher with pipeline_depth=0
+# (fetch of batch N blocks collate/upload of batch N+1 — the r4 behavior)
+CONFIGS = ("seq", "batch", "batch_sync", "bucket_group", "bucket_nogroup")
 
 
 def run_sweep(make_summarizer, dirs_by_tier, *, configs=CONFIGS, clients=8,
@@ -257,7 +262,8 @@ def run_sweep(make_summarizer, dirs_by_tier, *, configs=CONFIGS, clients=8,
         else:
             rows.append(run_config(
                 s, dirs_by_tier, name=name, dynamic_batch=dynamic_batch,
-                group_buckets=(name != "bucket_nogroup"), **kw))
+                group_buckets=(name != "bucket_nogroup"),
+                pipeline_depth=0 if name == "batch_sync" else 1, **kw))
         r = rows[-1]
         print(f"{name:16s} ok={r['ok']}/{r['requests']} "
               f"p50={r['latency_ms']['p50']}ms p95={r['latency_ms']['p95']}ms "

@@ -276,6 +276,11 @@ def main():
     ap.add_argument("--max_queue", type=int, default=0, metavar="N",
                     help="with --dynamic_batch: shed load (HTTP 503) once N "
                          "requests are pending (0 = unbounded)")
+    ap.add_argument("--pipeline_depth", type=int, default=1, metavar="N",
+                    help="with --dynamic_batch: device batches dispatched "
+                         "but not yet fetched while the batcher collates/"
+                         "uploads the next one (1 = double-buffer, 0 = "
+                         "synchronous)")
     ap.add_argument("--warmup", default="", metavar="HxW",
                     help="compile the serving programs at startup on a "
                          "synthetic batch with HxW frames (e.g. 240x320) so "
@@ -410,7 +415,8 @@ def main():
         if a.dynamic_batch:
             batcher = DynamicBatcher(s, max_batch_size=a.dynamic_batch,
                                      max_wait_ms=a.batch_wait_ms,
-                                     max_queue=a.max_queue or None)
+                                     max_queue=a.max_queue or None,
+                                     pipeline_depth=a.pipeline_depth)
         if warmup_hw is not None:
             import time
 
