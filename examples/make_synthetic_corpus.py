@@ -15,6 +15,24 @@ pick-accuracy measures real generalization, not memorization
 (docs/QUALITY.md, VERDICT r3 item 1). ``--split N`` additionally writes
 ``train/``/``dev/`` subdirs (the layout train.py/infer.py special-case)
 with N dev videos held out.
+
+``--cue_mode split`` (VERDICT r4 item 1) assigns each key sentence exactly
+ONE cue class — text / image / audio, round-robin — instead of all three:
+an image-cued key reads like a filler and is identifiable ONLY by the
+saliency band on its aligned keyframes; an audio-cued key ONLY by its tone
+burst. A text-only model therefore has a sub-1.0 achievable ceiling by
+construction, and per-cue-class pick recovery measures whether each tower
+EARNS its place (experiments/quality_run.py reads the per-video
+``cues.json`` this writes).
+
+Split mode also grounds every sentence in a distinct topic whose aligned
+keyframe shows a topic-colored patch and whose audio span plays a
+topic-coded tone, so cue retrieval is CONTENT matching (topic word <->
+topic color/tone), the mechanism BiDAF attention exists for — not pure
+positional alignment. NB: audio spans must lie inside the featurized
+window — pass ``--seconds`` == DataConfig's ``max_audio_frames * hop +
+win`` over the sample rate, or the tail sentences' cues are silently
+cropped (``load_video_assets`` truncates).
 """
 
 from __future__ import annotations
@@ -32,7 +50,23 @@ TOPICS = [
     "gradient descent", "attention mechanisms", "tensor processing units",
     "sequence models", "data pipelines", "mel spectrograms",
     "pointer networks", "highway networks",
+    "beam search", "vector quantization", "layer normalization",
+    "positional encodings", "mixture models", "graph partitions",
+    "sparse retrieval", "contrastive objectives",
 ]
+
+
+def _topic_color(t: int) -> tuple[float, float, float]:
+    """Deterministic saturated RGB for topic index ``t`` (hue wheel)."""
+    import colorsys
+
+    return colorsys.hsv_to_rgb((t % len(TOPICS)) / len(TOPICS), 1.0, 1.0)
+
+
+def _topic_freq(t: int) -> float:
+    """Deterministic pure-tone frequency for topic index ``t`` — spaced
+    ~2 mel-ish bins apart, well under Nyquist for 16 kHz audio."""
+    return 400.0 + 130.0 * (t % len(TOPICS))
 
 # --learnable templates: key sentences carry marker words ("crucially",
 # "takeaway", "conclusion"); fillers share the topic vocabulary so ONLY the
@@ -59,11 +93,42 @@ def write_video(
     sample_rate: int,
     n_key: int,
     learnable: bool,
+    cue_mode: str = "all",
+    cue_classes: tuple = ("text", "image", "audio"),
 ) -> None:
+    import json
+
     from PIL import Image
 
     key = np.sort(rng.choice(n_sents, size=min(n_key, n_sents), replace=False))
-    key_set = set(int(k) for k in key)
+    # cue class per key sentence: "all" = every key carries text marker +
+    # image band + audio burst (the r3/r4 corpus); "split" = exactly one
+    # cue each, round-robin over cue_classes from a random offset so no
+    # class correlates with transcript position across the corpus
+    if cue_mode == "split":
+        off = int(rng.integers(len(cue_classes)))
+        cues = {int(k): cue_classes[(i + off) % len(cue_classes)]
+                for i, k in enumerate(key)}
+    elif cue_mode == "all":
+        cues = {int(k): "all" for k in key}
+    else:
+        raise ValueError(f"cue_mode must be 'all' or 'split', got {cue_mode!r}")
+    img_cued = {k for k, c in cues.items() if c in ("image", "all")}
+    audio_cued = {k for k, c in cues.items() if c in ("audio", "all")}
+    text_cued = {k for k, c in cues.items() if c in ("text", "all")}
+
+    # Topic grounding (split mode): every sentence gets a DISTINCT topic;
+    # its 1:1-aligned frame shows the topic's color patch and its audio
+    # span plays the topic's tone. Cross-modal identification of a cued key
+    # is then CONTENT matching (topic word <-> topic color/tone + band/
+    # burst) — the mechanism BiDAF attention is built for — rather than
+    # pure positional alignment, which the probe run showed is not
+    # learnable at corpus scale.
+    if cue_mode == "split" and n_sents <= len(TOPICS):
+        topic_idx = [int(x) for x in rng.permutation(len(TOPICS))[:n_sents]]
+    else:
+        topic_idx = [int(x) for x in rng.integers(0, len(TOPICS), size=n_sents)]
+    topics = [TOPICS[t] for t in topic_idx]
 
     os.makedirs(os.path.join(vd, "frames"), exist_ok=True)
     for i in range(n_frames):
@@ -77,10 +142,14 @@ def write_video(
         noise = rng.random((48, 64, 3)) * 0.2
         arr = (base + noise).clip(0, 1)
         if learnable:
+            sent_at_frame = int(i * n_sents / n_frames)
+            if cue_mode == "split":
+                # topic color patch: bottom third shows the aligned
+                # sentence's topic color (the content key for attention)
+                arr[32:, :, :] = _topic_color(topic_idx[sent_at_frame])
             # saliency cue: frames aligned with a key sentence's relative
             # position get a bright band (visible to any conv featurizer)
-            sent_at_frame = int(i * n_sents / n_frames)
-            if sent_at_frame in key_set:
+            if sent_at_frame in img_cued:
                 arr[8:16, :, :] = 1.0
         Image.fromarray((arr * 255).astype(np.uint8)).save(
             os.path.join(vd, "frames", f"f{i:04d}.png")
@@ -88,16 +157,30 @@ def write_video(
 
     n_samp = int(seconds * sample_rate)
     t = np.arange(n_samp) / sample_rate
-    freqs = 200 + 60 * np.asarray(rng.integers(1, 8, size=3))
-    sig = sum(np.sin(2 * np.pi * f * t) for f in freqs) / 3
-    if learnable:
-        # tone-burst cue over each key sentence's time span
+    if learnable and cue_mode == "split":
+        # per-span topic tone (content key) + 3 kHz burst on audio-cued keys
+        sig = np.zeros(n_samp)
+        for j in range(n_sents):
+            a = int(j * n_samp / n_sents)
+            b = int((j + 1) * n_samp / n_sents)
+            sig[a:b] = np.sin(2 * np.pi * _topic_freq(topic_idx[j]) * t[a:b])
         burst = np.zeros(n_samp)
-        for k in key_set:
+        for k in audio_cued:
             a = int(k * n_samp / n_sents)
             b = int((k + 1) * n_samp / n_sents)
             burst[a:b] = np.sin(2 * np.pi * 3000 * t[a:b])
         sig = 0.6 * sig + 0.4 * burst
+    else:
+        freqs = 200 + 60 * np.asarray(rng.integers(1, 8, size=3))
+        sig = sum(np.sin(2 * np.pi * f * t) for f in freqs) / 3
+        if learnable:
+            # tone-burst cue over each key sentence's time span
+            burst = np.zeros(n_samp)
+            for k in audio_cued:
+                a = int(k * n_samp / n_sents)
+                b = int((k + 1) * n_samp / n_sents)
+                burst[a:b] = np.sin(2 * np.pi * 3000 * t[a:b])
+            sig = 0.6 * sig + 0.4 * burst
     pcm = (sig * 20000).astype(np.int16)
     with wave_mod.open(os.path.join(vd, "audio.wav"), "wb") as w:
         w.setnchannels(1)
@@ -105,12 +188,14 @@ def write_video(
         w.setframerate(sample_rate)
         w.writeframes(pcm.tobytes())
 
-    topics = rng.choice(TOPICS, size=n_sents)
     sents = []
     for j in range(n_sents):
         if learnable:
+            # image/audio-cued keys read like fillers ON PURPOSE: their
+            # transcript text carries zero class signal, so only the
+            # matching tower can identify them (cue_mode="split")
             tpl = (KEY_TEMPLATES[int(rng.integers(len(KEY_TEMPLATES)))]
-                   if j in key_set else
+                   if j in text_cued else
                    FILLER_TEMPLATES[int(rng.integers(len(FILLER_TEMPLATES)))])
             sents.append(tpl.format(j=j, topic=topics[j]))
         else:
@@ -121,6 +206,9 @@ def write_video(
         f.write(" ".join(sents))
     with open(os.path.join(vd, "summary.txt"), "w") as f:
         f.write(" ".join(sents[int(k)] for k in key))
+    with open(os.path.join(vd, "cues.json"), "w") as f:
+        json.dump({"cue_mode": cue_mode,
+                   "cues": {str(k): cues[k] for k in sorted(cues)}}, f)
 
 
 def make_corpus(
@@ -135,6 +223,8 @@ def make_corpus(
     n_key: int = 3,
     learnable: bool = False,
     split: int = 0,
+    cue_mode: str = "all",
+    cue_classes: tuple = ("text", "image", "audio"),
 ) -> None:
     rng = np.random.default_rng(seed)
     for v in range(videos):
@@ -145,7 +235,8 @@ def make_corpus(
             vd = os.path.join(out, f"video{v:03d}")
         n_sents = int(rng.integers(3, sentences + 1)) if ragged else sentences
         write_video(vd, rng, v, n_sents, frames, seconds, sample_rate,
-                    n_key, learnable)
+                    n_key, learnable, cue_mode=cue_mode,
+                    cue_classes=cue_classes)
 
 
 def main():
@@ -167,10 +258,15 @@ def main():
                          "image/audio cues (held-out generalization demos)")
     ap.add_argument("--split", type=int, default=0, metavar="N_DEV",
                     help="write train/ and dev/ subdirs, holding out N videos")
+    ap.add_argument("--cue_mode", choices=("all", "split"), default="all",
+                    help="with --learnable: 'split' gives each key sentence "
+                         "exactly one cue (text|image|audio) for per-tower "
+                         "ablations; 'all' stacks all three (r3/r4 corpus)")
     a = ap.parse_args()
 
     make_corpus(a.out, a.videos, a.sentences, a.ragged, a.frames, a.seconds,
-                a.sample_rate, a.seed, a.keys, a.learnable, a.split)
+                a.sample_rate, a.seed, a.keys, a.learnable, a.split,
+                cue_mode=a.cue_mode)
     print(f"wrote {a.videos} videos under {a.out}"
           + (f" (train/dev split, {a.split} held out)" if a.split else ""))
 

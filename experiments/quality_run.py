@@ -100,6 +100,23 @@ def pick_metrics(picks: np.ndarray, targets: np.ndarray,
     }
 
 
+def per_cue_recovery(picks: np.ndarray, cues_list) -> dict[str, float]:
+    """Per-cue-class pick recovery on a split-cue corpus: of all key
+    sentences whose ONLY cue is class c, what fraction landed in the
+    model's picks? The tower-ablation metric (VERDICT r4 item 1): a
+    text-only model can recover 'text' keys but has no signal for
+    'image'/'audio' keys, so those rates measure whether the image/audio
+    towers move held-out quality."""
+    hit: dict[str, int] = {}
+    tot: dict[str, int] = {}
+    for b, cues in enumerate(cues_list):
+        got = set(int(p) for p in picks[b])
+        for k, c in cues.items():
+            tot[c] = tot.get(c, 0) + 1
+            hit[c] = hit.get(c, 0) + (1 if int(k) in got else 0)
+    return {f"recovered_{c}": round(hit[c] / tot[c], 4) for c in sorted(tot)}
+
+
 def eval_dev(eval_step, params, dev_feats, dev_meta, batch: int):
     """Chunked dev eval → pick metrics + ROUGE-1/2/L of the assembled
     summaries (host-side rouge_score, like the reference)."""
@@ -123,6 +140,8 @@ def eval_dev(eval_step, params, dev_feats, dev_meta, batch: int):
                      np.asarray(dev_feats["target_mask"]))
     scores, n_scored = batch_rouge(picks, dev_meta["sentences"], dev_meta["golds"])
     m.update({k: round(v, 4) for k, v in scores.items()})
+    if dev_meta.get("cues"):
+        m.update(per_cue_recovery(picks, dev_meta["cues"]))
     m["eval_loss"] = float(np.mean(losses))
     return m, picks
 
@@ -141,14 +160,22 @@ def load_split(data_dir: str, cfg):
     w2i = vocab_from_corpus_dir(train_dir, max_size=cfg.data.vocab_size)
     train = VideoCorpus(train_dir, cfg, w2i)
     dev = VideoCorpus(dev_dir, cfg, w2i)
-    sentences, golds = [], []
+    sentences, golds, cues = [], [], []
     for vid in dev.video_ids:
         vd = os.path.join(dev_dir, vid)
         with open(os.path.join(vd, "transcript.txt")) as f:
             sentences.append(sent_tokenize(f.read())[: cfg.data.max_sentences])
         with open(os.path.join(vd, "summary.txt")) as f:
             golds.append(f.read())
-    return train, dev, {"sentences": sentences, "golds": golds}
+        cpath = os.path.join(vd, "cues.json")
+        if os.path.exists(cpath):
+            with open(cpath) as f:
+                cues.append({int(k): v for k, v in json.load(f)["cues"].items()
+                             if int(k) < cfg.data.max_sentences})
+    meta = {"sentences": sentences, "golds": golds}
+    if len(cues) == len(sentences):  # per-cue metrics need every dev video
+        meta["cues"] = cues
+    return train, dev, meta
 
 
 def run_quality(
@@ -203,8 +230,11 @@ def run_quality(
         if sink:
             sink.write(json.dumps(row) + "\n")
             sink.flush()
+        cue = "".join(f" {k[10:]}={v:.2f}" for k, v in sorted(m.items())
+                      if k.startswith("recovered_"))
         log(f"step {step}: train_loss={row['train_loss']} "
-            f"pick_overlap={m['pick_overlap']:.3f} ROUGE-L={m['ROUGE-L']:.3f}")
+            f"pick_overlap={m['pick_overlap']:.3f} ROUGE-L={m['ROUGE-L']:.3f}"
+            + cue)
 
     m0, _ = eval_dev(eval_step, state.params, dev_feats, dev_meta, batch)
     record(0, m0, [])
@@ -225,6 +255,8 @@ def run_quality(
     train_s = time.perf_counter() - t0
 
     final = {
+        "towers": ("text" + ("+image" if cfg.model.use_images else "")
+                   + ("+audio" if cfg.model.use_audio else "")),
         "final": curve[-1],
         "floor": {k: curve[0][k] for k in
                   ("pick_overlap", "pick_exact", "ROUGE-1", "ROUGE-2", "ROUGE-L")},
@@ -259,6 +291,13 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--tiny", action="store_true",
                     help="CPU-sized config (tiny VGG, small dims)")
+    ap.add_argument("--no_images", action="store_true",
+                    help="ablate the image tower (ModelConfig.use_images=False)")
+    ap.add_argument("--no_audio", action="store_true",
+                    help="ablate the audio tower (ModelConfig.use_audio=False)")
+    ap.add_argument("--cue_mode", choices=("all", "split"), default="all",
+                    help="generated-corpus cue assignment (split = one cue "
+                         "per key sentence, for tower ablations)")
     a = ap.parse_args()
 
     from mmbidaf_tpu.config import Config, DataConfig, ModelConfig, TrainConfig
@@ -268,11 +307,11 @@ def main():
     if data_dir is None:
         from examples.make_synthetic_corpus import make_corpus
 
-        data_dir = "/tmp/quality_corpus"
+        data_dir = f"/tmp/quality_corpus_{a.cue_mode}"
         if not os.path.isdir(os.path.join(data_dir, "train")):
             make_corpus(data_dir, videos=a.videos, sentences=a.sentences,
                         frames=a.frames, seed=a.seed, learnable=True,
-                        split=a.dev)
+                        split=a.dev, cue_mode=a.cue_mode)
             print(f"generated learnable corpus under {data_dir}")
 
     if a.tiny:
@@ -292,11 +331,28 @@ def main():
                             compute_dtype="bfloat16",
                             use_pallas_attention=True, use_pallas_lstm=True)
         spec = VGG16_SPEC
+    import dataclasses
+
+    model = dataclasses.replace(model, use_images=not a.no_images,
+                                use_audio=not a.no_audio)
     cfg = Config(model=model, data=data,
                  train=TrainConfig(batch_size=a.batch, lr=a.lr))
 
+    out_path = a.out
+    if out_path is None:
+        # tracked-by-default (VERDICT r4 item 3): every curve a doc cites
+        # must exist in git — docs/runs/ is committed, unlike runs/
+        towers = ("text" + ("" if a.no_images else "+image")
+                  + ("" if a.no_audio else "+audio"))
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        os.makedirs(os.path.join(repo, "docs", "runs"), exist_ok=True)
+        out_path = os.path.join(
+            repo, "docs", "runs",
+            f"quality_{a.cue_mode}_{towers}.jsonl".replace("+", "-"))
+        print(f"writing curve to {out_path}")
+
     final = run_quality(cfg, data_dir, a.steps, a.batch, a.eval_every,
-                        spec, seed=a.seed, out_path=a.out)
+                        spec, seed=a.seed, out_path=out_path)
     print(json.dumps(final))
 
 

@@ -88,6 +88,11 @@ class DataConfig:
     win_length: int = 400
     n_mels: int = 64
     n_mfcc: int = 40
+    # "mfcc" (reference lineage, audio_feat_dim == n_mfcc) or "logmel"
+    # (audio_feat_dim == n_mels; ~50x smaller dynamic range — raw MFCC c0
+    # reaches ~600 and saturates the audio BiLSTM's gates, see
+    # docs/QUALITY.md ablation notes)
+    audio_features: str = "mfcc"
     fmin: float = 0.0
     fmax: float | None = None     # None → sample_rate / 2
     # Image frontend

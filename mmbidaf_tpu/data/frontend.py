@@ -172,7 +172,7 @@ def apply_frontend(
             d.win_length,
             d.hop_length,
             raw["aud_mask"].shape[1],
-            feature="mfcc",
+            feature=cfg.data.audio_features,
             fused=cfg.model.use_pallas_melspec,
         )
         out["audio"] = feats * raw["aud_mask"][:, :, None]

@@ -100,7 +100,8 @@ def make_sp_audio_tower(mesh: Mesh, cfg: Config, use_batch_axis: bool = True):
         if fe is None:
             fe = frontends[num_frames] = make_sp_audio_frontend(
                 mesh, consts, d.win_length, d.hop_length, num_frames,
-                feature="mfcc", axis=axis, gather=False, batch_axis=batch_axis,
+                feature=d.audio_features, axis=axis, gather=False,
+                batch_axis=batch_axis,
             )
         return fe
 
