@@ -11,8 +11,16 @@ MXU (~150 TF/s); the FFT costs ~5*N*n_fft*log2(n_fft) FLOPs but runs on
 the VPU at HBM-ish rates.  Crossover is where the MXU's rate advantage
 (~20-50x) loses to the FLOP ratio (n_fft / (2.5*log2 n_fft)).
 
-Run: timeout 2400 python experiments/fft_ab.py          # TPU
+Run: timeout 2400 python experiments/fft_ab.py          # TPU (r4 shapes)
+     timeout 3600 python experiments/fft_ab.py --frames 8192 --iters 24
      PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python experiments/fft_ab.py
+
+--frames/--iters run the DECISIVE long-audio experiment (VERDICT r4 weak
+3): at N=512 the programs are sub-ms and the 8-iter slope drowns in relay
+noise; 8k-frame batches with longer dispatch chains give the slope real
+signal. Timing batches are generated ON DEVICE (H2D of a 128 MB batch
+through the ~1 MB/s relay would swamp the run); numerics parity vs
+np.fft.rfft stays host-checked at 512 frames.
 """
 
 from __future__ import annotations
@@ -31,56 +39,20 @@ import jax.numpy as jnp
 from mmbidaf_tpu.ops import audio
 
 
-def stockham_stages(n_fft: int):
-    """Per-stage twiddle constants (wr, wi) for the autosort radix-2 FFT."""
-    stages = []
-    n = n_fft
-    while n > 1:
-        m = n // 2
-        ang = -2.0 * np.pi * np.arange(m) / n
-        stages.append((n, m,
-                       np.cos(ang).astype(np.float32)[:, None],
-                       np.sin(ang).astype(np.float32)[:, None]))
-        n = m
-    return stages
-
-
 def make_fft_power(n_fft: int, win_length: int):
-    """frames [N, win] -> power spectrum [N, n_fft//2+1] via Stockham FFT.
-
-    Real input: the imaginary part starts at zero; the window and the
-    win->n_fft zero pad are folded into the first touch, mirroring the
-    folded-window matmul-DFT (ops/audio.py::make_audio_frontend_consts).
-    """
-    stages = stockham_stages(n_fft)
-    window = np.zeros(n_fft, np.float32)
-    window[:win_length] = audio.hann_window(win_length)
-    w_const = jnp.asarray(window)
+    """frames [N, win] -> power spectrum via the PRODUCTION Stockham path
+    (ops/audio.py::stockham_power_spectrum — wired product-side behind
+    DataConfig.audio_fft="stockham"; this harness only times it)."""
     n_bins = n_fft // 2 + 1
+    consts = {"cos": jnp.zeros((win_length, n_bins), jnp.float32)}
 
     def fft_power(frames: jax.Array) -> jax.Array:
-        N = frames.shape[0]
-        re = jnp.pad(frames, ((0, 0), (0, n_fft - frames.shape[1]))) * w_const
-        im = jnp.zeros_like(re)
-        s = 1
-        for (n, m, wr, wi) in stages:
-            ar = re.reshape(N, n, s)[:, :m]
-            ai = im.reshape(N, n, s)[:, :m]
-            br = re.reshape(N, n, s)[:, m:]
-            bi = im.reshape(N, n, s)[:, m:]
-            # butterfly: top = a + b ; bottom = (a - b) * w
-            dr, di = ar - br, ai - bi
-            tr = jnp.stack([ar + br, dr * wr - di * wi], axis=2)
-            ti = jnp.stack([ai + bi, dr * wi + di * wr], axis=2)
-            re = tr.reshape(N, n_fft)
-            im = ti.reshape(N, n_fft)
-            s *= 2
-        return re[:, :n_bins] ** 2 + im[:, :n_bins] ** 2
+        return audio.stockham_power_spectrum(frames, consts)
 
     return fft_power
 
 
-def slope_time(step, x, iters=8):
+def slope_time(step, x, iters: int = 8):
     """Chained-dispatch slope timing (block_until_ready is a no-op on the
     relay backend — bench.py::bench_jax method)."""
     acc0 = jnp.float32(0.0)
@@ -103,16 +75,28 @@ def slope_time(step, x, iters=8):
 
 
 def main():
-    print(f"backend={jax.default_backend()}", flush=True)
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=512,
+                    help="timing batch (parity always checks at <=512)")
+    ap.add_argument("--iters", type=int, default=8,
+                    help="dispatch-chain length for the slope")
+    ap.add_argument("--nffts", default="512,2048,4096")
+    a = ap.parse_args()
+
+    print(f"backend={jax.default_backend()} frames={a.frames} "
+          f"iters={a.iters}", flush=True)
     t0 = time.perf_counter()
     jax.device_get(jnp.zeros(()) + 1.0)
     print(f"claim: {time.perf_counter() - t0:.1f}s", flush=True)
 
-    N = 512  # frames per batch (serving audio bucket)
+    N = a.frames
+    N_par = min(N, 512)
     rng = np.random.default_rng(0)
-    for n_fft in (512, 2048, 4096):
+    for n_fft in (int(x) for x in a.nffts.split(",")):
         win = n_fft if n_fft > 512 else 400  # long-audio: full-size windows
-        frames_np = (rng.standard_normal((N, win)) * 0.1).astype(np.float32)
+        frames_np = (rng.standard_normal((N_par, win)) * 0.1).astype(np.float32)
         frames = jnp.asarray(frames_np)
 
         consts = {k: jnp.asarray(v) for k, v in
@@ -133,14 +117,20 @@ def main():
         err_ff = np.max(np.abs(got_ff - want)) / scale
         assert err_ff < 1e-4, ("stockham wrong", n_fft, err_ff)
 
+        # timing batch generated ON DEVICE (a host batch this size would
+        # pay minutes of relay H2D and pollute the first chain)
+        big = jax.jit(lambda k: jax.random.normal(
+            jax.random.wrap_key_data(k), (N, win)) * 0.1
+        )(jax.random.key_data(jax.random.key(7)))
+
         def step_mm(x, acc):
             return acc + audio.power_spectrum(x + acc * 0, consts).sum()
 
         def step_ff(x, acc):
             return acc + fft_power(x + acc * 0).sum()
 
-        t_mm, c_mm = slope_time(jax.jit(step_mm), frames)
-        t_ff, c_ff = slope_time(jax.jit(step_ff), frames)
+        t_mm, c_mm = slope_time(jax.jit(step_mm), big, iters=a.iters)
+        t_ff, c_ff = slope_time(jax.jit(step_ff), big, iters=a.iters)
         macs = 2 * N * n_fft * (n_fft // 2 + 1)
         flops_fft = 5 * N * n_fft * np.log2(n_fft)
         print(f"n_fft={n_fft:5d} win={win:5d} | "

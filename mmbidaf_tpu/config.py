@@ -93,6 +93,11 @@ class DataConfig:
     # reaches ~600 and saturates the audio BiLSTM's gates, see
     # docs/QUALITY.md ablation notes)
     audio_features: str = "mfcc"
+    # "matmul" (3 GEMMs on the MXU, bf16-input precision ~2-4e-3 on chip)
+    # or "stockham" (radix-2 FFT on the VPU, true f32 ~3e-7 — the
+    # accuracy-first choice; requires power-of-two n_fft). Speed A/B:
+    # experiments/fft_ab.py / docs/KERNELS.md.
+    audio_fft: str = "matmul"
     fmin: float = 0.0
     fmax: float | None = None     # None → sample_rate / 2
     # Image frontend

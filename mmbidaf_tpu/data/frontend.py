@@ -174,6 +174,7 @@ def apply_frontend(
             raw["aud_mask"].shape[1],
             feature=cfg.data.audio_features,
             fused=cfg.model.use_pallas_melspec,
+            fft=cfg.data.audio_fft,
         )
         out["audio"] = feats * raw["aud_mask"][:, :, None]
         out["aud_mask"] = raw["aud_mask"]

@@ -131,15 +131,79 @@ def frame_signal(signal: jax.Array, win_length: int, hop_length: int, num_frames
     return signal[:, idx]
 
 
-def power_spectrum(frames: jax.Array, consts: dict) -> jax.Array:
-    """Windowed rfft-as-matmul power spectrum: ``[B, T, win] → [B, T, bins]``."""
+def power_spectrum(frames: jax.Array, consts: dict, fft: str = "matmul") -> jax.Array:
+    """Windowed rfft-as-matmul power spectrum: ``[B, T, win] → [B, T, bins]``.
+
+    ``fft="stockham"`` computes the same quantity with the radix-2
+    Stockham FFT instead of the 3-GEMM matmul-DFT: O(N log N) on the VPU
+    and — decisively — TRUE f32 end to end (~3e-7 relative), where the
+    GEMMs run at the MXU's bf16 input precision (~2-4e-3 on chip). Pick it
+    for accuracy-sensitive configs (``DataConfig.audio_fft``); speed A/B
+    lives in experiments/fft_ab.py."""
+    if fft == "stockham":
+        return stockham_power_spectrum(frames, consts)
+    if fft != "matmul":
+        raise ValueError(f"unknown fft {fft!r} (matmul | stockham)")
     re = frames @ consts["cos"]
     im = frames @ consts["sin"]
     return re * re + im * im
 
 
-def melspectrogram(frames: jax.Array, consts: dict) -> jax.Array:
-    return power_spectrum(frames, consts) @ consts["mel_fb"]
+def stockham_stages(n_fft: int) -> list:
+    """Per-stage twiddle constants (n, m, wr, wi) for the autosort radix-2
+    Stockham FFT — no bit reversal: every stage is a static reshape +
+    butterfly + twiddle multiply, XLA-friendly and ``jnp.fft``-free
+    (jnp.fft hangs under jit on the axon backend, CLAUDE.md)."""
+    stages = []
+    n = n_fft
+    while n > 1:
+        m = n // 2
+        ang = -2.0 * np.pi * np.arange(m) / n
+        stages.append((n, m,
+                       np.cos(ang).astype(np.float32)[:, None],
+                       np.sin(ang).astype(np.float32)[:, None]))
+        n = m
+    return stages
+
+
+def stockham_power_spectrum(frames: jax.Array, consts: dict) -> jax.Array:
+    """Windowed power spectrum via the Stockham FFT: ``[..., win] →
+    [..., n_fft//2+1]``. The Hann window and win→n_fft zero pad fold into
+    the first touch, mirroring the folded-window matmul-DFT consts."""
+    n_bins = consts["cos"].shape[1]
+    n_fft = 2 * (n_bins - 1)
+    if n_fft & (n_fft - 1):
+        raise ValueError(f"stockham needs a power-of-two n_fft, got {n_fft}")
+    win = frames.shape[-1]
+    window = np.zeros(n_fft, np.float32)
+    window[:win] = hann_window(win)
+
+    lead = frames.shape[:-1]
+    N = 1
+    for d in lead:
+        N *= d
+    re = jnp.pad(frames.reshape(N, win), ((0, 0), (0, n_fft - win)))
+    re = re * jnp.asarray(window)
+    im = jnp.zeros_like(re)
+    s = 1
+    for (n, m, wr, wi) in stockham_stages(n_fft):
+        ar = re.reshape(N, n, s)[:, :m]
+        ai = im.reshape(N, n, s)[:, :m]
+        br = re.reshape(N, n, s)[:, m:]
+        bi = im.reshape(N, n, s)[:, m:]
+        # butterfly: top = a + b ; bottom = (a - b) * w
+        dr, di = ar - br, ai - bi
+        tr = jnp.stack([ar + br, dr * wr - di * wi], axis=2)
+        ti = jnp.stack([ai + bi, dr * wi + di * wr], axis=2)
+        re = tr.reshape(N, n_fft)
+        im = ti.reshape(N, n_fft)
+        s *= 2
+    out = re[:, :n_bins] ** 2 + im[:, :n_bins] ** 2
+    return out.reshape(*lead, n_bins)
+
+
+def melspectrogram(frames: jax.Array, consts: dict, fft: str = "matmul") -> jax.Array:
+    return power_spectrum(frames, consts, fft=fft) @ consts["mel_fb"]
 
 
 def log_power(s: jax.Array) -> jax.Array:
@@ -159,12 +223,13 @@ def power_to_db(s: jax.Array, top_db: float = 80.0, ref: jax.Array | None = None
     return jnp.maximum(log_spec - ref, -top_db)
 
 
-def log_mel(frames: jax.Array, consts: dict, eps: float = 1e-6) -> jax.Array:
+def log_mel(frames: jax.Array, consts: dict, eps: float = 1e-6,
+            fft: str = "matmul") -> jax.Array:
     """Natural-log mel (the common NN frontend variant)."""
-    return jnp.log(melspectrogram(frames, consts) + eps)
+    return jnp.log(melspectrogram(frames, consts, fft=fft) + eps)
 
 
-def mfcc(frames: jax.Array, consts: dict) -> jax.Array:
+def mfcc(frames: jax.Array, consts: dict, fft: str = "matmul") -> jax.Array:
     """MFCC: DCT-II(ortho) over power-dB mel.
 
     NOTE this is librosa's *shape* of pipeline but with ``ref=max`` dB
@@ -173,10 +238,10 @@ def mfcc(frames: jax.Array, consts: dict) -> jax.Array:
     offset vs actual-librosa features. Parity holds against the vendored
     torch oracle (the project's reference contract), NOT against features
     precomputed with real librosa; don't mix the two in one corpus."""
-    return power_to_db(melspectrogram(frames, consts)) @ consts["dct"]
+    return power_to_db(melspectrogram(frames, consts, fft=fft)) @ consts["dct"]
 
 
-@partial(jax.jit, static_argnames=("win_length", "hop_length", "num_frames", "feature", "fused"))
+@partial(jax.jit, static_argnames=("win_length", "hop_length", "num_frames", "feature", "fused", "fft"))
 def waveform_to_features(
     signal: jax.Array,
     consts: dict,
@@ -185,6 +250,7 @@ def waveform_to_features(
     num_frames: int,
     feature: str = "mfcc",
     fused: bool = False,
+    fft: str = "matmul",
 ) -> jax.Array:
     """End-to-end device-side audio frontend: ``[B, N] → [B, T, n_feat]``.
 
@@ -194,6 +260,10 @@ def waveform_to_features(
     log) tail stays in jnp. Numerically identical math in f32.
     """
     frames = frame_signal(signal, win_length, hop_length, num_frames)
+    if fft == "stockham" and fused:
+        # the fused Pallas melspec is matmul-DFT inside; the accuracy-first
+        # FFT path stays on the (already fast) unfused chain
+        fused = False
     if fused:
         from mmbidaf_tpu.ops.pallas.melspec_kernel import (
             log_mel_fused,
@@ -216,7 +286,7 @@ def waveform_to_features(
             return power_to_db(mel) @ consts["dct"]
         raise ValueError(f"unknown feature {feature!r}")
     if feature == "mfcc":
-        return mfcc(frames, consts)
+        return mfcc(frames, consts, fft=fft)
     if feature == "logmel":
-        return log_mel(frames, consts)
+        return log_mel(frames, consts, fft=fft)
     raise ValueError(f"unknown feature {feature!r}")

@@ -107,3 +107,56 @@ def test_mel_filterbank_analytic_golden():
         sup = np.nonzero(col > 0)[0]
         assert (np.diff(col[sup[0]:p + 1]) >= -1e-7).all()
         assert (np.diff(col[p:sup[-1] + 1]) <= 1e-7).all()
+
+
+# ---------------------------------------------------------------------------
+# Stockham FFT path (DataConfig.audio_fft="stockham" — the accuracy-first
+# power spectrum; VERDICT r4 weak 3 / SURVEY.md:169, 393-396 R2)
+
+
+def test_stockham_power_spectrum_vs_numpy(rng):
+    n_fft, win = 64, 48
+    consts = audio.make_audio_frontend_consts(16000, n_fft, win, 12, 8)
+    frames = rng.standard_normal((2, 5, win)).astype(np.float32)
+    ours = np.asarray(audio.stockham_power_spectrum(jnp.asarray(frames), consts))
+    w = audio.hann_window(win)
+    padded = np.zeros((2, 5, n_fft), np.float32)
+    padded[..., :win] = frames * w
+    ref = np.abs(np.fft.rfft(padded, axis=-1)) ** 2
+    # true-f32 butterflies: tighter than the matmul-DFT's GEMM tolerance
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_stockham_matches_matmul_dft(rng):
+    """Both power_spectrum paths agree (same window fold, same bins)."""
+    n_fft, win = 128, 100
+    consts = audio.make_audio_frontend_consts(16000, n_fft, win, 12, 8)
+    frames = rng.standard_normal((3, win)).astype(np.float32)
+    mm = np.asarray(audio.power_spectrum(jnp.asarray(frames), consts))
+    ff = np.asarray(audio.power_spectrum(jnp.asarray(frames), consts,
+                                         fft="stockham"))
+    np.testing.assert_allclose(ff, mm, rtol=1e-3, atol=1e-3)
+
+
+def test_stockham_rejects_non_power_of_two():
+    import pytest
+
+    consts = audio.make_audio_frontend_consts(16000, 96, 64, 12, 8)
+    with pytest.raises(ValueError, match="power-of-two"):
+        audio.stockham_power_spectrum(jnp.zeros((2, 64)), consts)
+
+
+def test_waveform_to_features_stockham_matches_matmul(rng):
+    """The full frontend under audio_fft='stockham' == the matmul path for
+    both feature types (mfcc + logmel), and the fused-kernel flag demotes
+    cleanly (the Pallas melspec is matmul-DFT inside)."""
+    sr, n_fft, win, hop, T = 16000, 128, 96, 48, 6
+    consts = audio.make_audio_frontend_consts(sr, n_fft, win, 12, 8)
+    sig = rng.standard_normal((2, T * hop + win)).astype(np.float32)
+    for feature in ("mfcc", "logmel"):
+        mm = np.asarray(audio.waveform_to_features(
+            jnp.asarray(sig), consts, win, hop, T, feature=feature))
+        ff = np.asarray(audio.waveform_to_features(
+            jnp.asarray(sig), consts, win, hop, T, feature=feature,
+            fft="stockham", fused=True))
+        np.testing.assert_allclose(ff, mm, rtol=2e-3, atol=2e-3)
